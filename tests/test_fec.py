@@ -1,0 +1,101 @@
+"""FEC roundtrip + error-correction tests (block codes and Viterbi)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from liquid_usrp_tpu.ops import fec
+
+BLOCK_SCHEMES = [
+    fec.FEC_NONE, fec.FEC_REP3, fec.FEC_REP5,
+    fec.FEC_HAMMING74, fec.FEC_HAMMING84, fec.FEC_HAMMING128,
+    fec.FEC_GOLAY2412,
+    fec.FEC_SECDED2216, fec.FEC_SECDED3932, fec.FEC_SECDED7264,
+]
+CONV_SCHEMES = [fec.FEC_CONV_V27, fec.FEC_CONV_V29]
+
+
+@pytest.mark.parametrize("scheme", BLOCK_SCHEMES + CONV_SCHEMES)
+@pytest.mark.parametrize("n", [1, 8, 37])
+def test_roundtrip_clean(scheme, n):
+    rng = np.random.default_rng(scheme * 100 + n)
+    data = rng.integers(0, 256, size=n, dtype=np.uint8)
+    enc = fec.fec_encode(scheme, jnp.asarray(data))
+    assert enc.shape[-1] == fec.encoded_length(scheme, n)
+    dec = fec.fec_decode(scheme, enc, n)
+    np.testing.assert_array_equal(np.asarray(dec), data)
+
+
+def _flip_bits(buf: np.ndarray, bit_idx):
+    out = buf.copy()
+    for b in bit_idx:
+        out[b // 8] ^= 1 << (7 - (b % 8))
+    return out
+
+
+@pytest.mark.parametrize("scheme,errs_per_block,blockbits", [
+    (fec.FEC_HAMMING74, 1, 7),
+    (fec.FEC_HAMMING84, 1, 8),
+    (fec.FEC_HAMMING128, 1, 12),
+    (fec.FEC_GOLAY2412, 3, 24),
+    (fec.FEC_SECDED2216, 1, 22),
+    (fec.FEC_REP3, 1, None),
+])
+def test_corrects_errors(scheme, errs_per_block, blockbits):
+    rng = np.random.default_rng(42)
+    n = 24
+    data = rng.integers(0, 256, size=n, dtype=np.uint8)
+    enc = np.asarray(fec.fec_encode(scheme, jnp.asarray(data)))
+    if blockbits is None:
+        corrupted = _flip_bits(enc, [5])  # single bit in first copy
+    else:
+        # flip errs_per_block bits inside the first and the last full block
+        nblocks = (n * 8 + 1) // 1  # upper bound; pick two safe blocks
+        first = list(range(errs_per_block))
+        total_blocks = (n * 8) // (blockbits if blockbits <= 8 else 8)
+        last_block = (enc.shape[0] * 8) // blockbits - 1
+        last = [last_block * blockbits + i for i in range(errs_per_block)]
+        corrupted = _flip_bits(enc, first + last)
+    dec = fec.fec_decode(scheme, jnp.asarray(corrupted), n)
+    np.testing.assert_array_equal(np.asarray(dec), data)
+
+
+def test_golay_fails_beyond_capacity_detected():
+    # 5 errors in one 24-bit block: decode must not crash; result may differ
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, size=3, dtype=np.uint8)
+    enc = np.asarray(fec.fec_encode(fec.FEC_GOLAY2412, jnp.asarray(data)))
+    corrupted = _flip_bits(enc, [0, 3, 7, 11, 15])
+    _ = fec.fec_decode(fec.FEC_GOLAY2412, jnp.asarray(corrupted), 3)
+
+
+@pytest.mark.parametrize("scheme", CONV_SCHEMES)
+def test_viterbi_corrects_scattered_errors(scheme):
+    rng = np.random.default_rng(scheme)
+    n = 32
+    data = rng.integers(0, 256, size=n, dtype=np.uint8)
+    enc = np.asarray(fec.fec_encode(scheme, jnp.asarray(data)))
+    # scattered single-bit errors, well separated (> constraint length spacing)
+    nbits = enc.shape[0] * 8
+    errs = list(range(3, nbits - 16, 40))
+    corrupted = _flip_bits(enc, errs)
+    dec = fec.fec_decode(scheme, jnp.asarray(corrupted), n)
+    np.testing.assert_array_equal(np.asarray(dec), data)
+
+
+def test_name_parser():
+    assert fec.fec_from_name("g2412") == fec.FEC_GOLAY2412
+    assert fec.fec_from_name("Hamming128") == fec.FEC_HAMMING128
+    assert fec.fec_from_name("v27") == fec.FEC_CONV_V27
+    with pytest.raises(ValueError):
+        fec.fec_from_name("nope")
+    for s in BLOCK_SCHEMES + CONV_SCHEMES:
+        assert fec.fec_from_name(fec.fec_name(s)) == s
+
+
+def test_batched_block_decode():
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, size=(4, 16), dtype=np.uint8)
+    enc = fec.fec_encode(fec.FEC_HAMMING128, jnp.asarray(data))
+    dec = fec.fec_decode(fec.FEC_HAMMING128, enc, 16)
+    np.testing.assert_array_equal(np.asarray(dec), data)
