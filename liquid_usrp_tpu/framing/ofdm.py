@@ -1,0 +1,301 @@
+"""OFDM flexible framing — shared format definition + frame generator (TX).
+
+Capability parity: ``ofdmflexframegen`` — M-subcarrier OFDM frames with S0/S1
+preamble, FEC+CRC protected header, per-packet runtime-settable payload
+modulation/FEC, cyclic prefix and taper (/root/reference/lib/ofdmtxrx.cc:
+79-88,293,317-328 uses assemble/write; /root/reference/lib/multichanneltx.cc:
+70-82,184-188 drives one per channel).  Frame defaults in the apps: M=48,
+cp=6, taper=4, QPSK, CRC32, Golay(24,12) (/root/reference/src/
+ofdmflexframe_tx.cc:57-72).
+
+This is a from-scratch frame format engineered for batched TPU generation and
+synchronization (NOT liquid-dsp's wire format — the reference never exposes
+that format off-air, only its capabilities):
+
+* preamble: 2 short-sync symbols ``S0`` (energy on every 4th subcarrier ->
+  period-M/4 time structure for detection + coarse CFO), then 1 long-sync
+  symbol ``S1`` (full-band PN BPSK for fine timing + channel estimation);
+  all preamble symbols are M samples, no CP.
+* header: 8 user bytes + [payload_len u16 | mod u8 | fec0 u8 | fec1 u8 |
+  check u8] + CRC16, Hamming(12,8) encoded, QPSK on the data subcarriers.
+* payload: payload -> CRC(check) -> inner FEC (fec0) -> outer FEC (fec1) ->
+  modem symbols -> data subcarriers.  Pilot subcarriers carry a per-symbol
+  PN-rotated BPSK sequence for common-phase/timing tracking.
+* every data symbol is IFFT(M) + cyclic prefix with a raised-cosine taper on
+  the first ``taper_len`` CP samples.
+
+TX is one fused batched graph: all OFDM symbols IFFT'd at once, CP/taper via
+slicing — no per-symbol loop (the reference emits symbol-by-symbol,
+/root/reference/lib/ofdmtxrx.cc:325-342).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import crc as crc_mod
+from ..ops import fec as fec_mod
+from ..ops import modem as modem_mod
+from ..utils.bits import pack_bits, unpack_bits
+
+__all__ = [
+    "OfdmParams", "FrameProps", "make_ofdm_params", "default_props",
+    "assemble_frame", "frame_length", "payload_symbol_count",
+    "HEADER_USER_BYTES",
+]
+
+HEADER_USER_BYTES = 8          # reference header size (p_id + 6 random,
+                               # /root/reference/src/ofdmflexframe_tx.cc:133)
+
+
+@functools.lru_cache(maxsize=None)
+def _scramble_np(n: int, salt: int) -> np.ndarray:
+    """Deterministic PN byte sequence for scrambling (whitens the payload and
+    kills the all-zeros degenerate frame, like liquid's packetizer scrambler)."""
+    rng = np.random.default_rng(0x5C4A3B1E + salt)
+    return rng.integers(0, 256, size=n, dtype=np.uint8)
+
+
+def scramble(data: jnp.ndarray, salt: int = 0) -> jnp.ndarray:
+    """XOR with the PN sequence (involutive: apply twice to undo)."""
+    return data ^ jnp.asarray(_scramble_np(data.shape[-1], salt))
+_HEADER_DEC_BYTES = HEADER_USER_BYTES + 6 + 2   # + internal fields + CRC16
+_HEADER_FEC = fec_mod.FEC_HAMMING128
+_HEADER_ENC_BYTES = fec_mod.encoded_length(_HEADER_FEC, _HEADER_DEC_BYTES)
+_HEADER_MOD = modem_mod.MOD_QPSK
+_HEADER_BPS = 2
+HEADER_SYMS = (_HEADER_ENC_BYTES * 8 + _HEADER_BPS - 1) // _HEADER_BPS
+
+NUM_S0 = 2                     # short-sync preamble symbols
+MAX_PAYLOAD = 4096             # bytes; >> any reference default (1200)
+
+
+class OfdmParams(NamedTuple):
+    """Static frame format description (all host-side constants)."""
+    M: int
+    cp_len: int
+    taper_len: int
+    # subcarrier maps, FFT-order indices
+    data_idx: np.ndarray       # [n_data] int
+    pilot_idx: np.ndarray      # [n_pilot] int
+    null_idx: np.ndarray       # [n_null] int
+    s0_freq: np.ndarray        # [M] complex64 S0 frequency-domain symbol
+    s1_freq: np.ndarray        # [M] complex64 S1 frequency-domain symbol
+    s0_time: np.ndarray        # [M] complex64 (unit average power)
+    s1_time: np.ndarray        # [M] complex64
+    pilot_base: np.ndarray     # [n_pilot] float (+-1 BPSK per pilot carrier)
+    pilot_pn: np.ndarray       # [127] float (+-1 per-symbol rotation PN)
+    taper_win: np.ndarray      # [taper_len] float raised-cosine ramp
+
+
+class FrameProps(NamedTuple):
+    """Per-packet properties (the ofdmflexframegenprops surface:
+    check/fec0/fec1/mod_scheme, /root/reference/include/ofdmtxrx.h)."""
+    check: int = crc_mod.CRC_32
+    fec0: int = fec_mod.FEC_NONE
+    fec1: int = fec_mod.FEC_HAMMING128
+    mod: int = modem_mod.MOD_QPSK
+
+
+def default_props() -> FrameProps:
+    """Library defaults (/root/reference/lib/ofdmtxrx.cc:79-83)."""
+    return FrameProps()
+
+
+def default_subcarrier_allocation(M: int):
+    """Deterministic default allocation: DC null, ~10% edge guards, pilots
+    every 7th active carrier (mirrors the reference default's structure)."""
+    guard = max(1, int(round(M * 0.1)))
+    null = {0}
+    for g in range(-guard + 1, guard):
+        null.add((M // 2 + g) % M)
+    active = [k for k in range(M) if k not in null]
+    # order active carriers by physical frequency (negative..positive)
+    def freq_order(k):
+        return k - M if k > M // 2 else k
+    active_sorted = sorted(active, key=freq_order)
+    pilots = set(active_sorted[::7])
+    data = [k for k in active if k not in pilots]
+    if len(pilots) < 2:
+        raise ValueError("M too small for pilot allocation")
+    return (np.array(sorted(data)), np.array(sorted(pilots)),
+            np.array(sorted(null)))
+
+
+@functools.lru_cache(maxsize=None)
+def make_ofdm_params(M: int = 64, cp_len: int = 16,
+                     taper_len: int = 4) -> OfdmParams:
+    if M < 8:
+        raise ValueError("number of subcarriers must be at least 8")
+    if not (0 < cp_len <= M):
+        raise ValueError("cyclic prefix must be in (0, M]")
+    if taper_len > cp_len:
+        raise ValueError("taper length cannot exceed cyclic prefix")
+    data_idx, pilot_idx, null_idx = default_subcarrier_allocation(M)
+    rng = np.random.default_rng(0x5EED0FD + M)
+
+    # S0: PN QPSK on every 4th active subcarrier, boosted to unit time power
+    s0 = np.zeros(M, dtype=np.complex128)
+    s0_set = [k for k in range(0, M, 4)
+              if k not in set(null_idx.tolist())]
+    ph = rng.integers(0, 4, size=len(s0_set))
+    s0[s0_set] = np.exp(1j * (np.pi / 2 * ph + np.pi / 4))
+    s0 *= np.sqrt(M / max(len(s0_set), 1))       # unit avg power in time
+    s0_time = np.fft.ifft(s0) * np.sqrt(M)       # scaled so E|s0_time|^2 ~ 1
+
+    # S1: PN BPSK on all active subcarriers
+    s1 = np.zeros(M, dtype=np.complex128)
+    act = sorted(set(range(M)) - set(null_idx.tolist()))
+    s1[act] = rng.integers(0, 2, size=len(act)) * 2.0 - 1.0
+    s1 *= np.sqrt(M / len(act))
+    s1_time = np.fft.ifft(s1) * np.sqrt(M)
+
+    pilot_base = rng.integers(0, 2, size=len(pilot_idx)) * 2.0 - 1.0
+    pilot_pn = rng.integers(0, 2, size=127) * 2.0 - 1.0
+
+    t = np.arange(taper_len) + 1.0
+    taper_win = 0.5 * (1.0 - np.cos(np.pi * t / (taper_len + 1)))
+
+    return OfdmParams(
+        M=M, cp_len=cp_len, taper_len=taper_len,
+        data_idx=data_idx, pilot_idx=pilot_idx, null_idx=null_idx,
+        s0_freq=s0.astype(np.complex64), s1_freq=s1.astype(np.complex64),
+        s0_time=s0_time.astype(np.complex64),
+        s1_time=s1_time.astype(np.complex64),
+        pilot_base=pilot_base.astype(np.float32),
+        pilot_pn=pilot_pn.astype(np.float32),
+        taper_win=taper_win.astype(np.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame geometry
+# ---------------------------------------------------------------------------
+
+def payload_enc_bytes(props: FrameProps, payload_len: int) -> int:
+    n = payload_len + crc_mod.crc_width_bytes(props.check)
+    n = fec_mod.encoded_length(props.fec0, n)
+    n = fec_mod.encoded_length(props.fec1, n)
+    return n
+
+
+def payload_symbol_count(params: OfdmParams, props: FrameProps,
+                         payload_len: int) -> int:
+    """Number of payload OFDM symbols."""
+    n_data = len(params.data_idx)
+    bps = modem_mod.bits_per_symbol(props.mod)
+    n_mod = -(-payload_enc_bytes(props, payload_len) * 8 // bps)
+    return -(-n_mod // n_data)
+
+
+def header_symbol_count(params: OfdmParams) -> int:
+    return -(-HEADER_SYMS // len(params.data_idx))
+
+
+def frame_length(params: OfdmParams, props: FrameProps,
+                 payload_len: int) -> int:
+    """Total samples in an assembled frame."""
+    M, cp = params.M, params.cp_len
+    n_sym = header_symbol_count(params) + payload_symbol_count(
+        params, props, payload_len)
+    return (NUM_S0 + 1) * M + n_sym * (M + cp)
+
+
+# ---------------------------------------------------------------------------
+# TX
+# ---------------------------------------------------------------------------
+
+def _pilot_values(params: OfdmParams, sym_indices: jnp.ndarray) -> jnp.ndarray:
+    """Pilot BPSK values for given absolute data-symbol indices: [n_sym, n_pilot]."""
+    pn = jnp.asarray(params.pilot_pn)[sym_indices % params.pilot_pn.shape[0]]
+    return pn[:, None] * jnp.asarray(params.pilot_base)[None, :]
+
+
+def _ofdm_modulate(params: OfdmParams, freq_syms: jnp.ndarray) -> jnp.ndarray:
+    """Frequency-domain symbols [n_sym, M] -> time samples [n_sym*(M+cp)]
+    with CP + taper."""
+    M, cp, tp = params.M, params.cp_len, params.taper_len
+    time_syms = jnp.fft.ifft(freq_syms, axis=-1).astype(jnp.complex64) * \
+        jnp.sqrt(jnp.float32(M))
+    with_cp = jnp.concatenate([time_syms[:, M - cp:], time_syms], axis=-1)
+    if tp > 0:
+        win = jnp.concatenate([
+            jnp.asarray(params.taper_win),
+            jnp.ones(M + cp - tp, dtype=jnp.float32)])
+        with_cp = with_cp * win[None, :].astype(with_cp.dtype)
+    return with_cp.reshape(-1)
+
+
+def _encode_header(header: jnp.ndarray, payload_len: int,
+                   props: FrameProps) -> jnp.ndarray:
+    """8 user bytes + internal fields -> encoded header bytes."""
+    internal = jnp.asarray([
+        (payload_len >> 8) & 0xFF, payload_len & 0xFF,
+        props.mod & 0xFF, props.fec0 & 0xFF, props.fec1 & 0xFF,
+        props.check & 0xFF], dtype=jnp.uint8)
+    dec = jnp.concatenate([header.astype(jnp.uint8), internal])
+    dec = crc_mod.crc_append(crc_mod.CRC_16, dec)
+    return scramble(fec_mod.fec_encode(_HEADER_FEC, dec), salt=1)
+
+
+def _symbols_to_grid(params: OfdmParams, mod_syms: jnp.ndarray,
+                     n_ofdm_syms: int, first_sym_index: int) -> jnp.ndarray:
+    """Pack modem symbols onto the data carriers of ``n_ofdm_syms`` OFDM
+    symbols (zero-padding the tail), add pilots -> [n_ofdm_syms, M] freq grid."""
+    M = params.M
+    n_data = len(params.data_idx)
+    total = n_ofdm_syms * n_data
+    pad = total - mod_syms.shape[-1]
+    syms = jnp.concatenate(
+        [mod_syms, jnp.zeros((pad,), dtype=mod_syms.dtype)])
+    grid = jnp.zeros((n_ofdm_syms, M), dtype=jnp.complex64)
+    grid = grid.at[:, jnp.asarray(params.data_idx)].set(
+        syms.reshape(n_ofdm_syms, n_data))
+    sym_idx = first_sym_index + jnp.arange(n_ofdm_syms)
+    grid = grid.at[:, jnp.asarray(params.pilot_idx)].set(
+        _pilot_values(params, sym_idx).astype(jnp.complex64))
+    return grid
+
+
+def assemble_frame(params: OfdmParams, props: FrameProps,
+                   header: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:
+    """Assemble a complete frame -> complex64 ``[frame_length]``.
+
+    ``header``: uint8 [8]; ``payload``: uint8 [payload_len] (static length).
+    Matches ``ofdmflexframegen_assemble`` + drain-all-symbols semantics
+    (/root/reference/lib/ofdmtxrx.cc:320-342) in one batched graph.
+    """
+    payload_len = payload.shape[-1]
+    # --- header ---
+    henc = _encode_header(header, payload_len, props)
+    hbits = unpack_bits(henc)
+    pad = HEADER_SYMS * _HEADER_BPS - hbits.shape[-1]
+    hbits = jnp.concatenate([hbits, jnp.zeros(pad, dtype=hbits.dtype)])
+    hsyms = modem_mod.modulate(
+        _HEADER_MOD, modem_mod.bits_to_symbols(hbits, _HEADER_BPS))
+    n_hsym = header_symbol_count(params)
+    # --- payload ---
+    enc = crc_mod.crc_append(props.check, payload.astype(jnp.uint8))
+    enc = fec_mod.fec_encode(props.fec0, enc)
+    enc = fec_mod.fec_encode(props.fec1, enc)
+    enc = scramble(enc, salt=2)
+    bps = modem_mod.bits_per_symbol(props.mod)
+    pbits = unpack_bits(enc)
+    n_mod = -(-pbits.shape[-1] // bps)
+    pad = n_mod * bps - pbits.shape[-1]
+    if pad:
+        pbits = jnp.concatenate([pbits, jnp.zeros(pad, dtype=pbits.dtype)])
+    psyms = modem_mod.modulate(props.mod,
+                               modem_mod.bits_to_symbols(pbits, bps))
+    n_psym = payload_symbol_count(params, props, payload_len)
+    # --- grids & time-domain ---
+    hgrid = _symbols_to_grid(params, hsyms, n_hsym, 0)
+    pgrid = _symbols_to_grid(params, psyms, n_psym, n_hsym)
+    body = _ofdm_modulate(params, jnp.concatenate([hgrid, pgrid], axis=0))
+    preamble = jnp.concatenate([
+        jnp.tile(jnp.asarray(params.s0_time), NUM_S0),
+        jnp.asarray(params.s1_time)])
+    return jnp.concatenate([preamble, body])

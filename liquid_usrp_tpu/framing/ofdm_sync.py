@@ -1,0 +1,437 @@
+"""OFDM flexframe synchronizer (RX) — batched block dataflow.
+
+Capability parity: ``ofdmflexframesync`` — streaming frame detection, coarse
+CFO estimation, fine timing, preamble channel equalization, header decode
+(-> per-packet payload mod/FEC), payload decode, and per-frame stats
+(rssi/evm/cfo) delivered with validity flags (/root/reference/lib/
+ofdmtxrx.cc:91,625 runs it one sample at a time; callback shape at
+/root/reference/src/ofdmflexframe_rx.cc:43-80).
+
+TPU-first redesign (SURVEY.md §7 hard part 1): instead of a samplewise state
+machine, the stream is processed in fixed-size blocks with an overlap of one
+maximum frame length:
+
+1. **Detect** — the S0 preamble's period-M/4 time structure yields a
+   normalized autocorrelation metric computed for *every* offset at once via
+   cumulative sums; plateau peaks are extracted with a max-pool
+   (``reduce_window``) non-max suppression and ``top_k``.
+2. **Refine & decode** (``vmap`` over candidates) — coarse CFO from the
+   autocorrelation phase; derotate a max-frame window (one gather); fine
+   timing by S1 matched filter; channel estimate from S1; all OFDM symbols
+   FFT'd in one batch; pilot common-phase + timing-slope correction per
+   symbol; header hard-decoded (static format); payload demodulated with a
+   runtime-selected constellation (padded-table gather) and FEC-decoded via
+   ``lax.switch`` over the scheme enum on static max-size buffers with
+   masked lengths.
+
+Results are fixed-shape arrays with validity masks — the functional
+replacement for the reference's callback-from-worker-thread design.
+Block-size invariance: every stream offset lands in exactly one block's
+detect region, so frame results are independent of the block chopping.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import crc as crc_mod
+from ..ops import fec as fec_mod
+from ..ops import modem as modem_mod
+from ..utils.bits import pack_bits
+from .ofdm import (HEADER_SYMS, HEADER_USER_BYTES, NUM_S0, OfdmParams,
+                   _HEADER_BPS, _HEADER_DEC_BYTES, _HEADER_ENC_BYTES,
+                   _HEADER_FEC, _HEADER_MOD, _pilot_values,
+                   header_symbol_count, scramble)
+
+__all__ = ["OfdmSync", "OfdmSyncState", "FrameResults", "make_sync",
+           "sync_init", "sync_block", "PAYLOAD_FECS", "PAYLOAD_MODS"]
+
+# payload schemes decodable at runtime (order = lax.switch branch index)
+PAYLOAD_FECS = (
+    fec_mod.FEC_NONE, fec_mod.FEC_REP3, fec_mod.FEC_REP5,
+    fec_mod.FEC_HAMMING74, fec_mod.FEC_HAMMING84, fec_mod.FEC_HAMMING128,
+    fec_mod.FEC_GOLAY2412, fec_mod.FEC_SECDED2216, fec_mod.FEC_SECDED3932,
+    fec_mod.FEC_SECDED7264,
+)
+PAYLOAD_MODS = tuple(range(17))     # every modem scheme id
+_EXPANSION = 3                      # worst supported FEC expansion budget
+_MAX_CONST = 256
+
+
+@functools.lru_cache(maxsize=None)
+def _stacked_tables() -> np.ndarray:
+    """All constellations padded to 256 points with far-away dummies."""
+    tabs = np.full((len(PAYLOAD_MODS), _MAX_CONST), 1e6 + 0j,
+                   dtype=np.complex64)
+    for s in PAYLOAD_MODS:
+        t = modem_mod._table_np(s)
+        tabs[s, : len(t)] = t.astype(np.complex64)
+    return tabs
+
+
+class OfdmSync(NamedTuple):
+    params: OfdmParams
+    block_size: int            # samples consumed per step
+    max_payload: int           # static payload decode budget (bytes)
+    max_frames: int            # candidates per block
+    threshold: float           # detection metric threshold in (0, 1)
+    overlap: int               # carried tail length (>= max frame length)
+    max_psym: int              # payload OFDM symbols budget
+    dec_max: int               # payload + max CRC bytes
+    enc_max: int               # encoded payload buffer bytes
+
+
+class OfdmSyncState(NamedTuple):
+    tail: jnp.ndarray          # [overlap] complex64
+    base: jnp.ndarray          # int32: stream index of tail[0]
+
+
+class FrameResults(NamedTuple):
+    """Fixed-shape per-block results; all leading dim = max_frames."""
+    detected: jnp.ndarray      # bool
+    header_valid: jnp.ndarray  # bool
+    payload_valid: jnp.ndarray # bool
+    header: jnp.ndarray        # [max_frames, 8] uint8
+    payload: jnp.ndarray       # [max_frames, max_payload] uint8
+    payload_len: jnp.ndarray   # int32
+    mod: jnp.ndarray           # int32
+    fec0: jnp.ndarray          # int32
+    fec1: jnp.ndarray          # int32
+    check: jnp.ndarray         # int32
+    rssi: jnp.ndarray          # float32 dB
+    evm: jnp.ndarray           # float32 dB (header symbols)
+    cfo: jnp.ndarray           # float32 rad/sample
+    t_start: jnp.ndarray       # int32 stream sample index of S0 start
+
+
+def make_sync(params: OfdmParams, block_size: int = 16384,
+              max_payload: int = 2048, max_frames: int = 8,
+              threshold: float = 0.5) -> OfdmSync:
+    M, cp = params.M, params.cp_len
+    n_data = len(params.data_idx)
+    dec_max = max_payload + 4
+    enc_max = _EXPANSION * dec_max
+    max_psym = -(-enc_max * 8 // n_data)     # bps >= 1
+    n_hsym = header_symbol_count(params)
+    max_frame = (NUM_S0 + 1) * M + (n_hsym + max_psym) * (M + cp)
+    overlap = max_frame + 4 * M
+    return OfdmSync(params=params, block_size=block_size,
+                    max_payload=max_payload, max_frames=max_frames,
+                    threshold=threshold, overlap=overlap, max_psym=max_psym,
+                    dec_max=dec_max, enc_max=enc_max)
+
+
+def sync_init(sync: OfdmSync) -> OfdmSyncState:
+    return OfdmSyncState(
+        tail=jnp.zeros((sync.overlap,), dtype=jnp.complex64),
+        base=jnp.int32(-sync.overlap))
+
+
+# ---------------------------------------------------------------------------
+# detection
+# ---------------------------------------------------------------------------
+
+def _moving_sum(x: jnp.ndarray, L: int) -> jnp.ndarray:
+    cs = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(x)])
+    return cs[L:] - cs[:-L]
+
+
+def _detect_metric(sync: OfdmSync, ext: jnp.ndarray):
+    """S0 periodicity metric for every offset: ``[len(ext) - span]``.
+
+    metric[n] = |sum_i x[n+i] conj(x[n+i+d])|^2 / (E1 E2), d = M/4,
+    summed over the S0 span.  Also returns the raw correlation (CFO phase).
+    """
+    M = sync.params.M
+    d = M // 4
+    L = NUM_S0 * M - d
+    prod = ext[:-d] * jnp.conj(ext[d:])
+    c = _moving_sum(prod, L)
+    p = jnp.abs(ext) ** 2
+    e1 = _moving_sum(p[:-d], L)
+    e2 = _moving_sum(p[d:], L)
+    metric = jnp.abs(c) ** 2 / jnp.maximum(e1 * e2, 1e-12)
+    # energy floor: a near-silent window must not score via 0/0 (the
+    # normalized metric is meaningless without signal energy)
+    floor = 1e-4 * L * (jnp.mean(p) + 1e-12)
+    metric = jnp.where(jnp.minimum(e1, e2) > floor, metric, 0.0)
+    return metric, c
+
+
+def _find_candidates(sync: OfdmSync, metric: jnp.ndarray):
+    """Non-max-suppressed top-k candidate offsets within [0, block_size)."""
+    M = sync.params.M
+    T = sync.block_size
+    win = M  # suppression radius ~ one symbol
+    local_max = jax.lax.reduce_window(
+        metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
+    is_peak = (metric >= local_max) & (metric > sync.threshold)
+    idx = jnp.arange(metric.shape[0])
+    in_region = idx < T
+    score = jnp.where(is_peak & in_region, metric, -1.0)
+    vals, locs = jax.lax.top_k(score, sync.max_frames)
+    detected = vals > 0
+    return detected, locs
+
+
+# ---------------------------------------------------------------------------
+# per-candidate decode
+# ---------------------------------------------------------------------------
+
+def _window_gather(ext: jnp.ndarray, start: jnp.ndarray, length: int):
+    idx = jnp.clip(start + jnp.arange(length), 0, ext.shape[0] - 1)
+    return ext[idx]
+
+
+def _equalized_symbols(sync: OfdmSync, w: jnp.ndarray, body_start: jnp.ndarray,
+                       H: jnp.ndarray, n_sym: int, first_abs_sym: int):
+    """Demodulate ``n_sym`` OFDM symbols from derotated window ``w``.
+
+    Returns equalized data-carrier values ``[n_sym, n_data]`` after pilot
+    common-phase and timing-slope correction.
+    """
+    p = sync.params
+    M, cp = p.M, p.cp_len
+    n_data = len(p.data_idx)
+    sym_starts = body_start + cp + jnp.arange(n_sym) * (M + cp)
+    idx = sym_starts[:, None] + jnp.arange(M)[None, :]
+    idx = jnp.clip(idx, 0, w.shape[0] - 1)
+    time_syms = w[idx]                                   # [n_sym, M]
+    Y = jnp.fft.fft(time_syms, axis=-1).astype(jnp.complex64) / \
+        jnp.sqrt(jnp.float32(M))
+    Hsafe = jnp.where(jnp.abs(H) > 1e-6, H, 1.0)
+    Yeq = Y / Hsafe[None, :]
+    # pilot correction
+    pil_idx = jnp.asarray(p.pilot_idx)
+    sym_abs = first_abs_sym + jnp.arange(n_sym)
+    pref = _pilot_values(p, sym_abs).astype(jnp.complex64)  # [n_sym, n_pilot]
+    rot = Yeq[:, pil_idx] * jnp.conj(pref)               # ~ e^{j err}
+    # common phase
+    cpe = jnp.angle(jnp.sum(rot, axis=-1))               # [n_sym]
+    # timing slope across frequency (pilot freq positions, centered)
+    f = jnp.asarray(np.where(p.pilot_idx > p.M // 2,
+                             p.pilot_idx - p.M, p.pilot_idx),
+                    dtype=jnp.float32)
+    th = jnp.angle(rot * jnp.exp(-1j * cpe)[:, None])    # residual per pilot
+    wgt = jnp.abs(rot)
+    denom = jnp.maximum(jnp.sum(wgt * f * f, axis=-1), 1e-6)
+    slope = jnp.sum(wgt * th * f, axis=-1) / denom       # [n_sym]
+    data_idx = jnp.asarray(p.data_idx)
+    fd = jnp.asarray(np.where(p.data_idx > p.M // 2,
+                              p.data_idx - p.M, p.data_idx),
+                     dtype=jnp.float32)
+    corr = jnp.exp(-1j * (cpe[:, None] + slope[:, None] * fd[None, :]))
+    return Yeq[:, data_idx] * corr
+
+
+def _decode_header_bytes(hbytes: jnp.ndarray):
+    """Encoded header bytes -> (fields..., header_valid)."""
+    dec = fec_mod.fec_decode(_HEADER_FEC, scramble(hbytes, salt=1),
+                             _HEADER_DEC_BYTES)
+    ok = crc_mod.crc_check(crc_mod.CRC_16, dec)
+    user = dec[:HEADER_USER_BYTES]
+    plen = (dec[HEADER_USER_BYTES].astype(jnp.int32) << 8) | \
+        dec[HEADER_USER_BYTES + 1].astype(jnp.int32)
+    mod = dec[HEADER_USER_BYTES + 2].astype(jnp.int32)
+    f0 = dec[HEADER_USER_BYTES + 3].astype(jnp.int32)
+    f1 = dec[HEADER_USER_BYTES + 4].astype(jnp.int32)
+    check = dec[HEADER_USER_BYTES + 5].astype(jnp.int32)
+    valid = ok & (mod < len(PAYLOAD_MODS)) & \
+        (f0 < len(PAYLOAD_FECS)) & (f1 < len(PAYLOAD_FECS)) & (check <= 2)
+    return user, plen, mod, f0, f1, check, valid
+
+
+def _generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
+    """Demap with a runtime-selected constellation -> bit stream [max_bits].
+
+    ``x``: flat received points [n_pts]; bits laid out bps-per-point
+    (MSB-first), where bps is the traced bits/symbol of ``mod``.
+    """
+    tabs = jnp.asarray(_stacked_tables())
+    table = tabs[mod]                                    # [256]
+    d2 = jnp.abs(x[:, None] - table[None, :]) ** 2
+    sym = jnp.argmin(d2, axis=-1).astype(jnp.int32)      # [n_pts]
+    bps = jnp.asarray(
+        [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
+        dtype=jnp.int32)[mod]
+    j = jnp.arange(max_bits)
+    src = j // bps
+    k = j % bps
+    src = jnp.clip(src, 0, x.shape[0] - 1)
+    bits = (sym[src] >> (bps - 1 - k)) & 1
+    return bits.astype(jnp.uint8), bps
+
+
+def _fec_decode_switch(scheme_idx: jnp.ndarray, buf: jnp.ndarray,
+                       out_bytes: int) -> jnp.ndarray:
+    """``lax.switch`` over PAYLOAD_FECS: decode max-size ``buf`` -> [out_bytes].
+
+    Each branch decodes as many bytes as its code can cover from ``buf``
+    (statically) and zero-pads to ``out_bytes``.
+    """
+    in_bytes = buf.shape[-1]
+
+    def make_branch(s):
+        def branch(b):
+            n = out_bytes
+            while fec_mod.encoded_length(s, n) > in_bytes and n > 1:
+                n -= 1
+            need = fec_mod.encoded_length(s, n)
+            dec = fec_mod.fec_decode(s, b[:need], n)
+            if n < out_bytes:
+                dec = jnp.concatenate(
+                    [dec, jnp.zeros(out_bytes - n, dtype=jnp.uint8)])
+            return dec
+        return branch
+
+    return jax.lax.switch(scheme_idx, [make_branch(s) for s in PAYLOAD_FECS],
+                          buf)
+
+
+def _crc_check_dynamic(check: jnp.ndarray, buf: jnp.ndarray,
+                       plen: jnp.ndarray) -> jnp.ndarray:
+    """Validate CRC over buf[:plen] against buf[plen:plen+w] (traced scheme)."""
+    def none_fn(b):
+        return jnp.bool_(True)
+
+    def make(scheme):
+        w = crc_mod.crc_width_bytes(scheme)
+
+        def fn(b):
+            got = crc_mod.crc_compute_masked(scheme, b, plen)
+            shifts = jnp.arange(w - 1, -1, -1, dtype=jnp.uint32) * 8
+            tail = jax.lax.dynamic_slice(b, (plen,), (w,))
+            want = jnp.sum(tail.astype(jnp.uint32) << shifts,
+                           dtype=jnp.uint32)
+            return got == want
+        return fn
+
+    return jax.lax.switch(
+        check, [none_fn, make(crc_mod.CRC_16), make(crc_mod.CRC_32)], buf)
+
+
+def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
+                      c_at: jnp.ndarray):
+    """Full refine+decode for one candidate offset ``n0`` (vmapped)."""
+    p = sync.params
+    M, cp = p.M, p.cp_len
+    n_hsym = header_symbol_count(p)
+    W = sync.overlap  # window covers a max frame from n0
+
+    cfo = -jnp.angle(c_at) / (M // 4)
+    t = jnp.arange(W, dtype=jnp.float32)
+    w = _window_gather(ext, n0, W) * jnp.exp(-1j * cfo * t)
+
+    # fine timing: S1 matched filter over [0, (NUM_S0+2)*M)
+    search = (NUM_S0 + 2) * M
+    s1 = jnp.conj(jnp.asarray(p.s1_time))
+    seg = w[:search + M]
+    idx = jnp.arange(search)[:, None] + jnp.arange(M)[None, :]
+    wins = seg[idx]                                       # [search, M]
+    corr = wins @ s1
+    energy = jnp.sqrt(jnp.maximum(
+        jnp.sum(jnp.abs(wins) ** 2, axis=-1), 1e-12))
+    t1 = jnp.argmax(jnp.abs(corr) / energy).astype(jnp.int32)
+
+    # channel estimate from S1
+    r1 = jax.lax.dynamic_slice(w, (t1,), (M,))
+    R1 = jnp.fft.fft(r1) / jnp.sqrt(jnp.float32(M))
+    s1f = jnp.asarray(p.s1_freq)
+    active = jnp.abs(s1f) > 1e-6
+    H = jnp.where(active, R1 * jnp.conj(s1f) /
+                  jnp.maximum(jnp.abs(s1f) ** 2, 1e-12), 1.0)
+
+    body = t1 + M
+    # header symbols
+    hdata = _equalized_symbols(sync, w, body, H, n_hsym, 0)
+    hflat = hdata.reshape(-1)[:HEADER_SYMS]
+    hsym = modem_mod.demodulate(_HEADER_MOD, hflat)
+    hbits = modem_mod.symbols_to_bits(hsym, _HEADER_BPS)
+    need = _HEADER_ENC_BYTES * 8
+    if hbits.shape[-1] < need:
+        hbits = jnp.concatenate([
+            hbits, jnp.zeros(need - hbits.shape[-1], dtype=jnp.uint8)])
+    hbytes = pack_bits(hbits[:need])
+    user, plen, mod, f0, f1, check, hvalid = _decode_header_bytes(hbytes)
+    plen = jnp.clip(plen, 0, sync.max_payload)
+    mod = jnp.clip(mod, 0, len(PAYLOAD_MODS) - 1)
+    f0 = jnp.clip(f0, 0, len(PAYLOAD_FECS) - 1)
+    f1 = jnp.clip(f1, 0, len(PAYLOAD_FECS) - 1)
+    check = jnp.clip(check, 0, 2)
+
+    # header EVM (uses decided symbols as reference)
+    hevm = modem_mod.evm(_HEADER_MOD, hflat, hsym)
+
+    # payload
+    pdata = _equalized_symbols(
+        sync, w, body + n_hsym * (M + cp), H, sync.max_psym, n_hsym)
+    pbits, _ = _generic_demod_bits(pdata.reshape(-1), mod,
+                                   sync.enc_max * 8)
+    enc_buf = scramble(pack_bits(pbits), salt=2)
+    mid = _fec_decode_switch(f1, enc_buf, sync.enc_max)
+    dec = _fec_decode_switch(f0, mid, sync.dec_max)
+    pvalid = hvalid & _crc_check_dynamic(check, dec, plen)
+    payload = jnp.where(jnp.arange(sync.max_payload) < plen,
+                        dec[: sync.max_payload], 0).astype(jnp.uint8)
+
+    # stats
+    pre = _window_gather(ext, n0, NUM_S0 * M)
+    rssi = 10.0 * jnp.log10(jnp.maximum(
+        jnp.mean(jnp.abs(pre) ** 2), 1e-12))
+    return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
+            rssi, hevm, cfo)
+
+
+# ---------------------------------------------------------------------------
+# top-level block step
+# ---------------------------------------------------------------------------
+
+def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
+    """Process one block of ``block_size`` samples.
+
+    Returns ``(state', FrameResults)``; results are fixed-shape with
+    ``detected`` masks.  For a jitted closure over a fixed config use
+    :func:`make_sync_step`.
+    """
+    assert block.shape[-1] == sync.block_size
+    ext = jnp.concatenate([state.tail, block])
+    metric, c = _detect_metric(sync, ext)
+    detected, locs = _find_candidates(sync, metric)
+    c_at = c[jnp.clip(locs, 0, c.shape[0] - 1)]
+
+    decode = jax.vmap(lambda n0, ca: _decode_candidate(sync, ext, n0, ca),
+                      in_axes=(0, 0))
+    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
+     cfo) = decode(locs, c_at)
+
+    res = FrameResults(
+        detected=detected,
+        header_valid=detected & hvalid,
+        payload_valid=detected & pvalid,
+        header=user, payload=payload,
+        payload_len=jnp.where(detected, plen, 0),
+        mod=mod, fec0=f0, fec1=f1, check=check,
+        rssi=rssi, evm=hevm, cfo=cfo,
+        t_start=state.base + locs.astype(jnp.int32),
+    )
+    new_state = OfdmSyncState(
+        tail=ext[ext.shape[0] - sync.overlap:],
+        base=state.base + sync.block_size)
+    return new_state, res
+
+
+def make_sync_step(sync: OfdmSync):
+    """Jitted ``step(state, block) -> (state', FrameResults)`` closure.
+
+    The config (incl. its NumPy tables) is captured as compile-time
+    constants, which is the TPU-idiomatic analog of the reference's
+    per-instance synchronizer object.
+    """
+    @jax.jit
+    def step(state, block):
+        return sync_block(sync, state, block)
+    return step

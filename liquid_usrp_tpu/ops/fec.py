@@ -241,8 +241,11 @@ def fec_encode(scheme: int, data: jnp.ndarray) -> jnp.ndarray:
     if scheme == FEC_NONE:
         return data
     if _is_rep(scheme):
+        # byte-local repetition (each byte r times consecutively) so that a
+        # max-size buffer decode agrees with an actual-size decode on every
+        # shared byte (required by the static-shape frame synchronizers)
         r = 3 if scheme == FEC_REP3 else 5
-        return jnp.concatenate([data] * r, axis=-1)
+        return jnp.repeat(data, r, axis=-1)
     if _is_conv(scheme):
         from . import conv
         return conv.conv_encode(scheme, data)
@@ -274,10 +277,12 @@ def fec_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
         return coded[..., :n_bytes]
     if _is_rep(scheme):
         r = 3 if scheme == FEC_REP3 else 5
-        copies = coded.reshape(*coded.shape[:-1], r, n_bytes)
-        bits = unpack_bits(copies)
+        copies = coded[..., : n_bytes * r].reshape(
+            *coded.shape[:-1], n_bytes, r)
+        bits = unpack_bits(copies).reshape(*coded.shape[:-1], n_bytes, r, 8)
         maj = (jnp.sum(bits.astype(jnp.int32), axis=-2) * 2 > r)
-        return pack_bits(maj.astype(jnp.uint8))
+        return pack_bits(maj.astype(jnp.uint8).reshape(
+            *coded.shape[:-1], n_bytes * 8))
     if _is_conv(scheme):
         from . import conv
         return conv.conv_decode(scheme, coded, n_bytes)

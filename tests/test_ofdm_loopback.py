@@ -1,0 +1,201 @@
+"""OFDM flexframe TX -> impairment channel -> sync loopback tests.
+
+The deterministic replacement for the reference's paired over-the-air apps
+(ofdmflexframe_tx / ofdmflexframe_rx, SURVEY.md §4): assert payload-exact
+recovery through AWGN/CFO/phase/delay channels, across payload mod/FEC
+combinations, with multiple frames per stream and block-size invariance.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+from liquid_usrp_tpu.io import channel_model as chan
+from liquid_usrp_tpu.ops import crc, fec, modem
+
+M, CP, TAPER = 48, 6, 4
+BLOCK = 8192
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = ofdm.make_ofdm_params(M=M, cp_len=CP, taper_len=TAPER)
+    sync = ofdm_sync.make_sync(params, block_size=BLOCK, max_payload=512,
+                               max_frames=4)
+    step = ofdm_sync.make_sync_step(sync)
+    return params, sync, step
+
+
+def _run_stream(sync, step, stream):
+    """Feed a stream through the synchronizer; collect detected frames."""
+    bs = sync.block_size
+    n_blocks = -(-len(stream) // bs)
+    pad = n_blocks * bs - len(stream)
+    stream = np.concatenate([stream, np.zeros(pad, np.complex64)])
+    # extra flush blocks so late frames clear the overlap delay
+    flush = int(np.ceil(sync.overlap / bs)) + 1
+    stream = np.concatenate(
+        [stream, np.zeros(flush * bs, np.complex64)])
+    state = ofdm_sync.sync_init(sync)
+    frames = []
+    for b in range((len(stream)) // bs):
+        state, res = step(state, jnp.asarray(stream[b * bs:(b + 1) * bs]))
+        det = np.asarray(res.detected)
+        for i in np.nonzero(det)[0]:
+            frames.append({
+                "t": int(res.t_start[i]),
+                "header_valid": bool(res.header_valid[i]),
+                "payload_valid": bool(res.payload_valid[i]),
+                "header": np.asarray(res.header[i]),
+                "payload": np.asarray(res.payload[i]),
+                "payload_len": int(res.payload_len[i]),
+                "evm": float(res.evm[i]),
+                "cfo": float(res.cfo[i]),
+                "rssi": float(res.rssi[i]),
+            })
+    return sorted(frames, key=lambda f: f["t"])
+
+
+def _make_frame(params, props, seed, payload_len):
+    rng = np.random.default_rng(seed)
+    header = rng.integers(0, 256, ofdm.HEADER_USER_BYTES, dtype=np.uint8)
+    payload = rng.integers(0, 256, payload_len, dtype=np.uint8)
+    samples = np.asarray(ofdm.assemble_frame(
+        params, props, jnp.asarray(header), jnp.asarray(payload)))
+    return header, payload, samples
+
+
+def test_single_frame_clean(setup):
+    params, sync, step = setup
+    props = ofdm.FrameProps()
+    header, payload, samples = _make_frame(params, props, 1, 256)
+    stream = np.zeros(4000 + len(samples), np.complex64)
+    stream[1500:1500 + len(samples)] = samples
+    frames = _run_stream(sync, step, stream)
+    assert len(frames) == 1
+    f = frames[0]
+    assert f["header_valid"] and f["payload_valid"]
+    assert f["t"] == 1500
+    np.testing.assert_array_equal(f["header"], header)
+    np.testing.assert_array_equal(f["payload"][:256], payload)
+    assert f["payload_len"] == 256
+
+
+@pytest.mark.parametrize("mod,fec0,fec1,check", [
+    (modem.MOD_QPSK, fec.FEC_NONE, fec.FEC_GOLAY2412, crc.CRC_32),
+    (modem.MOD_QPSK, fec.FEC_NONE, fec.FEC_HAMMING128, crc.CRC_32),
+    (modem.MOD_QAM16, fec.FEC_HAMMING74, fec.FEC_NONE, crc.CRC_16),
+    (modem.MOD_PSK8, fec.FEC_NONE, fec.FEC_SECDED2216, crc.CRC_32),
+    (modem.MOD_QAM64, fec.FEC_NONE, fec.FEC_GOLAY2412, crc.CRC_32),
+    (modem.MOD_BPSK, fec.FEC_REP3, fec.FEC_NONE, crc.CRC_16),
+])
+def test_props_matrix_awgn(setup, mod, fec0, fec1, check):
+    """Per-packet runtime-selected mod/FEC decode (the ofdmflexframegen
+    setprops surface) through a 25 dB AWGN + CFO channel."""
+    params, sync, step = setup
+    props = ofdm.FrameProps(check=check, fec0=fec0, fec1=fec1, mod=mod)
+    header, payload, samples = _make_frame(params, props, mod * 7 + fec1, 120)
+    stream = np.zeros(3000 + len(samples), np.complex64)
+    stream[800:800 + len(samples)] = samples
+    ch = chan.Channel(snr_db=25.0, cfo=0.002, phase=1.1)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(mod), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    assert len(frames) == 1, f"{len(frames)} detections"
+    f = frames[0]
+    assert f["header_valid"], "header failed"
+    assert f["payload_valid"], "payload failed"
+    np.testing.assert_array_equal(f["payload"][:120], payload)
+
+
+def test_multiple_frames_stream(setup):
+    """Several back-to-back frames with different payloads (TX loop shape of
+    /root/reference/src/ofdmflexframe_tx.cc:128-145)."""
+    params, sync, step = setup
+    props = ofdm.FrameProps()
+    stream = np.zeros(40000, np.complex64)
+    sent = []
+    pos = 700
+    for pid in range(5):
+        header, payload, samples = _make_frame(params, props, 100 + pid, 200)
+        header[0] = pid  # pid stamping idiom (ofdmflexframe_tx.cc:133-136)
+        samples = np.asarray(ofdm.assemble_frame(
+            params, props, jnp.asarray(header), jnp.asarray(payload)))
+        stream[pos:pos + len(samples)] = samples
+        sent.append((pos, header, payload))
+        pos += len(samples) + 900
+    ch = chan.Channel(snr_db=30.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(7), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    assert len(frames) == 5
+    for f, (pos, header, payload) in zip(frames, sent):
+        assert f["payload_valid"]
+        assert abs(f["t"] - pos) <= 2
+        np.testing.assert_array_equal(f["header"], header)
+        np.testing.assert_array_equal(f["payload"][:200], payload)
+
+
+def test_delay_and_cfo(setup):
+    """Unknown integer delay + strong CFO + phase: timing recovery must not
+    depend on block alignment."""
+    params, sync, step = setup
+    props = ofdm.FrameProps()
+    header, payload, samples = _make_frame(params, props, 55, 300)
+    stream = np.zeros(2000 + len(samples), np.complex64)
+    stream[137:137 + len(samples)] = samples
+    ch = chan.Channel(snr_db=22.0, cfo=0.01, phase=2.0, delay=251)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(3), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    assert len(frames) == 1
+    f = frames[0]
+    assert f["payload_valid"]
+    assert abs(f["t"] - (137 + 251)) <= 2
+    np.testing.assert_allclose(f["cfo"], 0.01, atol=1.5e-3)
+    np.testing.assert_array_equal(f["payload"][:300], payload)
+
+
+def test_block_size_invariance(setup):
+    """The same stream chopped at different block sizes yields the same
+    frames (SURVEY.md §7 hard part 2)."""
+    params, _, _ = setup
+    props = ofdm.FrameProps()
+    header, payload, samples = _make_frame(params, props, 77, 180)
+    base = np.zeros(30000, np.complex64)
+    base[4321:4321 + len(samples)] = samples
+    ch = chan.Channel(snr_db=28.0, cfo=0.003)
+    base = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(9), jnp.asarray(base), signal_power=0.8))
+    results = []
+    for bs in (8192, 4096):
+        s = ofdm_sync.make_sync(params, block_size=bs, max_payload=512,
+                                max_frames=4)
+        st = ofdm_sync.make_sync_step(s)
+        frames = _run_stream(s, st, base)
+        results.append(frames)
+    assert len(results[0]) == len(results[1]) == 1
+    a, b = results[0][0], results[1][0]
+    assert a["t"] == b["t"]
+    np.testing.assert_array_equal(a["payload"], b["payload"])
+
+
+def test_low_snr_header_rejection(setup):
+    """At very low SNR the CRC gates must reject corrupt payloads rather
+    than return garbage as valid."""
+    params, sync, step = setup
+    props = ofdm.FrameProps(fec1=fec.FEC_NONE)
+    header, payload, samples = _make_frame(params, props, 11, 400)
+    stream = np.zeros(2000 + len(samples), np.complex64)
+    stream[600:600 + len(samples)] = samples
+    ch = chan.Channel(snr_db=2.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(5), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    for f in frames:
+        if not f["header_valid"]:
+            continue
+        if f["payload_valid"]:
+            np.testing.assert_array_equal(f["payload"][:400], payload)
