@@ -1,0 +1,256 @@
+"""Multichannel OFDM transceivers over a polyphase channelizer.
+
+Capability parity with the reference's three classes:
+
+* ``multichanneltx`` (/root/reference/lib/multichanneltx.cc): N independent
+  ofdmflexframegens feed bins 0..N-1 of a 2N-channel polyphase synthesizer
+  (ctor 41-100: Kaiser m=13 As=60; NCO spectrum centering offset
+  -0.5*(N-1)/N*pi at 94-96); ``GenerateSamples`` emits 2N samples per
+  channel-sample (192-227); ``UpdateData``/``IsChannelReadyForData``
+  (152-189) schedule per-channel packets, idle channels emit zeros (239).
+* ``multichannelrx`` (/root/reference/lib/multichannelrx.cc): NCO mix-down,
+  2N-channel analyzer (m=7), one ofdmflexframesync per channel (45-104,
+  155-195).  The reference runs the per-channel syncs serially with a
+  ``TODO: make this multi-threaded`` (184); here they are **vmapped** over
+  the channel axis — the on-chip form of channel parallelism (SURVEY.md
+  §2.2), and the axis `shard_map`s across devices in the parallel layer.
+* ``multichanneltxrx`` (/root/reference/lib/multichanneltxrx.cc): the
+  composition with TX/RX workers and channel-availability polling
+  (217-299); the worker threads become block-wise pure steps.
+
+TPU-first shape: the reference's per-sample NCO + every-2N-samples
+channelizer firing (lib/multichannelrx.cc:155-182) becomes one fused jitted
+step over a whole IQ block: ``mix -> [T/2N, 2N] analyze -> vmapped N-channel
+sync``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..framing import ofdm, ofdm_sync
+from ..ops import nco as nco_mod
+from ..ops import pfb as pfb_mod
+
+__all__ = ["MultichannelTx", "MultichannelRx", "MultichannelTxRx",
+           "McrxState", "make_mcrx_step"]
+
+
+def _center_offset(num_channels: int) -> float:
+    """Spectrum-centering NCO frequency (rad/sample), matching the
+    reference's design point (lib/multichanneltx.cc:94-96)."""
+    return -0.5 * (num_channels - 1) / num_channels * np.pi
+
+
+# ---------------------------------------------------------------------------
+# TX
+# ---------------------------------------------------------------------------
+
+class MultichannelTx:
+    """N-channel OFDM downlink synthesizer (host scheduling + jitted DSP)."""
+
+    def __init__(self, num_channels: int, M: int = 48, cp_len: int = 6,
+                 taper_len: int = 4):
+        self.num_channels = num_channels
+        self.params = ofdm.make_ofdm_params(M, cp_len, taper_len)
+        self.props = [ofdm.default_props() for _ in range(num_channels)]
+        self.chz = pfb_mod.pfbch_create(2 * num_channels, m=13, As=60.0)
+        self._chz_state = pfb_mod.pfbch_state(self.chz)
+        self._nco = nco_mod.nco_init(_center_offset(num_channels))
+        # per-channel pending baseband samples (time-domain frame streams)
+        self._queues: list[np.ndarray] = [
+            np.zeros(0, np.complex64) for _ in range(num_channels)]
+
+    def is_channel_ready(self, ch: int) -> bool:
+        """True when channel ``ch`` has drained its queued frame
+        (= !ofdmflexframegen_is_assembled, lib/multichanneltx.cc:152-162)."""
+        return len(self._queues[ch]) == 0
+
+    def update_data(self, ch: int, header, payload, mod=None, fec0=None,
+                    fec1=None):
+        """Queue one packet on channel ``ch`` (UpdateData, :165-189)."""
+        if not self.is_channel_ready(ch):
+            raise RuntimeError(f"channel {ch} not ready for data")
+        p = self.props[ch]
+        if mod is not None or fec0 is not None or fec1 is not None:
+            p = ofdm.FrameProps(
+                check=p.check,
+                fec0=p.fec0 if fec0 is None else fec0,
+                fec1=p.fec1 if fec1 is None else fec1,
+                mod=p.mod if mod is None else mod)
+            self.props[ch] = p
+        samples = np.asarray(ofdm.assemble_frame(
+            self.params, p,
+            jnp.asarray(np.asarray(header, dtype=np.uint8)),
+            jnp.asarray(np.asarray(payload, dtype=np.uint8))))
+        self._queues[ch] = samples
+
+    def generate_samples(self, n_channel_samples: int) -> np.ndarray:
+        """Produce ``2N * n_channel_samples`` output samples.
+
+        Each channel contributes ``n_channel_samples`` baseband samples from
+        its queue (zeros when idle, :239); one fused synthesize + mix.
+        """
+        N = self.num_channels
+        Y = np.zeros((n_channel_samples, 2 * N), dtype=np.complex64)
+        for ch in range(N):
+            q = self._queues[ch]
+            take = min(len(q), n_channel_samples)
+            if take:
+                Y[:take, ch] = q[:take]
+                self._queues[ch] = q[take:]
+        self._chz_state, y = pfb_mod.pfb_synthesize_block(
+            self.chz, self._chz_state, jnp.asarray(Y))
+        self._nco, y = nco_mod.nco_mix_block(self._nco, y, up=True)
+        return np.asarray(y)
+
+
+# ---------------------------------------------------------------------------
+# RX — pure step (vmapped channel syncs) + host wrapper
+# ---------------------------------------------------------------------------
+
+class McrxState(NamedTuple):
+    nco: nco_mod.NcoState
+    chz: pfb_mod.PfbchState
+    syncs: ofdm_sync.OfdmSyncState      # stacked leading axis [N]
+
+
+def make_mcrx_step(num_channels: int, params: ofdm.OfdmParams,
+                   sync: ofdm_sync.OfdmSync):
+    """Build ``(init_state, step)`` for the fused multichannel RX.
+
+    ``step(state, x[2N*B]) -> (state', FrameResults[N, max_frames])`` where
+    ``B = sync.block_size`` channel-samples per channel per step.
+    """
+    N = num_channels
+    chz = pfb_mod.pfbch_create(2 * N, m=7, As=60.0)
+
+    def init_state() -> McrxState:
+        one = ofdm_sync.sync_init(sync)
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (N,) + x.shape), one)
+        return McrxState(
+            nco=nco_mod.nco_init(-_center_offset(N)),
+            chz=pfb_mod.pfbch_state(chz),
+            syncs=stacked)
+
+    @jax.jit
+    def step(state: McrxState, x: jnp.ndarray):
+        nco_state, y = nco_mod.nco_mix_block(state.nco, x, up=True)
+        chz_state, X = pfb_mod.pfb_analyze_block(chz, state.chz, y)
+        chans = X[:, :N].T                      # [N, B] per-channel streams
+        sync_states, results = jax.vmap(
+            lambda st, blk: ofdm_sync.sync_block(sync, st, blk)
+        )(state.syncs, chans)
+        return McrxState(nco=nco_state, chz=chz_state,
+                         syncs=sync_states), results
+
+    return init_state, step
+
+
+class MultichannelRx:
+    """N-channel uplink analyzer with vmapped per-channel frame sync."""
+
+    def __init__(self, num_channels: int, M: int = 48, cp_len: int = 6,
+                 taper_len: int = 4, callback=None, block_size: int = 4096,
+                 max_payload: int = 1024):
+        self.num_channels = num_channels
+        self.params = ofdm.make_ofdm_params(M, cp_len, taper_len)
+        self.sync = ofdm_sync.make_sync(self.params, block_size=block_size,
+                                        max_payload=max_payload)
+        self.callback = callback
+        init, self._step = make_mcrx_step(num_channels, self.params,
+                                          self.sync)
+        self._state = init()
+        self._pending = np.zeros(0, np.complex64)
+
+    @property
+    def granularity(self) -> int:
+        return 2 * self.num_channels * self.sync.block_size
+
+    def execute(self, samples: np.ndarray) -> list[dict]:
+        """Feed mixture samples; returns decoded frames across channels.
+
+        (The block replacement for per-sample Execute,
+        lib/multichannelrx.cc:155-182.)
+        """
+        buf = np.concatenate([self._pending, np.asarray(samples)])
+        g = self.granularity
+        frames = []
+        while len(buf) >= g:
+            chunk, buf = buf[:g], buf[g:]
+            self._state, res = self._step(self._state, jnp.asarray(chunk))
+            det = np.asarray(res.detected)
+            for ch, i in zip(*np.nonzero(det)):
+                row = {
+                    "channel": int(ch),
+                    "t": int(res.t_start[ch, i]),
+                    "header": np.asarray(res.header[ch, i]),
+                    "header_valid": bool(res.header_valid[ch, i]),
+                    "payload": np.asarray(res.payload[ch, i])[
+                        : int(res.payload_len[ch, i])],
+                    "payload_valid": bool(res.payload_valid[ch, i]),
+                    "payload_len": int(res.payload_len[ch, i]),
+                    "stats": {"rssi": float(res.rssi[ch, i]),
+                              "evm": float(res.evm[ch, i]),
+                              "cfo": float(res.cfo[ch, i])},
+                }
+                frames.append(row)
+                if self.callback is not None:
+                    self.callback(**row)
+        self._pending = buf
+        return frames
+
+    def flush(self) -> list[dict]:
+        pad = self.granularity * (
+            1 + (2 * self.num_channels * self.sync.overlap)
+            // self.granularity + 1)
+        return self.execute(np.zeros(pad, np.complex64))
+
+
+# ---------------------------------------------------------------------------
+# full duplex composition
+# ---------------------------------------------------------------------------
+
+class MultichannelTxRx:
+    """TX + RX composition (the multichanneltxrx surface: non-blocking
+    transmit_packet + channel availability polling,
+    /root/reference/lib/multichanneltxrx.cc:217-299)."""
+
+    def __init__(self, num_channels: int, M: int = 48, cp_len: int = 6,
+                 taper_len: int = 4, callback=None, **rx_kwargs):
+        self.tx = MultichannelTx(num_channels, M, cp_len, taper_len)
+        self.rx = MultichannelRx(num_channels, M, cp_len, taper_len,
+                                 callback=callback, **rx_kwargs)
+        self.num_channels = num_channels
+
+    def transmit_packet(self, ch: int, header, payload, mod=None,
+                        fec0=None, fec1=None) -> bool:
+        if not self.tx.is_channel_ready(ch):
+            return False
+        self.tx.update_data(ch, header, payload, mod, fec0, fec1)
+        return True
+
+    def is_channel_available(self, ch: int) -> bool:
+        return self.tx.is_channel_ready(ch)
+
+    def get_available_channel(self) -> Optional[int]:
+        for ch in range(self.num_channels):
+            if self.tx.is_channel_ready(ch):
+                return ch
+        return None
+
+    def wait_for_tx_to_complete(self) -> np.ndarray:
+        """Drain all queued frames to samples (the worker-thread drain,
+        lib/multichanneltxrx.cc:478-494)."""
+        out = []
+        while not all(self.tx.is_channel_ready(c)
+                      for c in range(self.num_channels)):
+            out.append(self.tx.generate_samples(256))
+        # flush channelizer memory
+        out.append(self.tx.generate_samples(2 * self.tx.chz.P))
+        return (np.concatenate(out) if out
+                else np.zeros(0, np.complex64))

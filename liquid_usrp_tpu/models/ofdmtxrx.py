@@ -1,0 +1,226 @@
+"""ofdmtxrx — single-channel OFDM packet transceiver.
+
+Capability parity with the reference's ``ofdmtxrx`` class
+(/root/reference/include/ofdmtxrx.h, lib/ofdmtxrx.cc):
+
+* ctor validates M>=8, cp>=1, taper<=cp (lib/ofdmtxrx.cc:60-69) and sets the
+  default frame props CRC32 / none / Hamming(12,8) / QPSK (79-83) and radio
+  defaults 462 MHz / 500 kS/s / -12 dB soft gain / 40 dB TX / 20 dB RX
+  (100-108);
+* ``set_tx_freq/rate/gain_soft/gain_uhd`` + rx equivalents (261-287,456-477);
+* ``transmit_packet(header, payload, ms, fec0, fec1)`` (297-363) incl. the
+  per-packet props override;
+* symbol-granular TX: ``assemble_frame``/``write_symbol``/``end_transmit_
+  frame`` (366-449);
+* ``start_rx``/``stop_rx`` and a frame callback (486-508, 554-636).
+
+TPU-first redesign: UHD handles become IQ stream endpoints (arrays / files /
+virtual air), the RX worker pthread becomes block-wise jitted sync steps
+driven by :meth:`run_rx`, and the callback receives structured
+:class:`FrameResults` rows instead of firing from a worker thread.  The
+radio-parameter setters model the hardware state (frequency offsets between
+TX and RX endpoints become CFO in the virtual channel).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..framing import ofdm, ofdm_sync
+from ..ops import crc as crc_mod
+from ..ops import fec as fec_mod
+from ..ops import modem as modem_mod
+
+__all__ = ["OfdmTxRx", "RadioConfig"]
+
+
+@dataclass
+class RadioConfig:
+    """Virtual radio front-end state (the multi_usrp surface, SURVEY.md §2.4).
+
+    Defaults mirror /root/reference/lib/ofdmtxrx.cc:100-108.
+    """
+    tx_freq: float = 462.0e6
+    tx_rate: float = 500e3
+    tx_gain_soft: float = -12.0   # dB
+    tx_gain_uhd: float = 40.0     # dB (modelled as metadata only)
+    rx_freq: float = 462.0e6
+    rx_rate: float = 500e3
+    rx_gain_uhd: float = 20.0
+
+
+class OfdmTxRx:
+    """Single-channel OFDM packet transceiver over IQ stream endpoints."""
+
+    def __init__(self, M: int = 48, cp_len: int = 6, taper_len: int = 4,
+                 callback: Optional[Callable] = None,
+                 block_size: int = 16384, max_payload: int = 2048):
+        # ctor validation mirrors lib/ofdmtxrx.cc:60-69
+        if M < 8:
+            raise ValueError("number of subcarriers must be at least 8")
+        if cp_len < 1:
+            raise ValueError("cyclic prefix length must be at least 1")
+        if taper_len > cp_len:
+            raise ValueError("taper length cannot exceed cyclic prefix")
+        self.params = ofdm.make_ofdm_params(M, cp_len, taper_len)
+        self.props = ofdm.default_props()
+        self.radio = RadioConfig()
+        self.callback = callback
+        self._sync = ofdm_sync.make_sync(self.params, block_size=block_size,
+                                         max_payload=max_payload)
+        self._step = ofdm_sync.make_sync_step(self._sync)
+        self._rx_state = ofdm_sync.sync_init(self._sync)
+        self._rx_running = False
+        self._tx_buffer: list[np.ndarray] = []
+        # partial-frame assembly (write_symbol surface)
+        self._assembled: Optional[np.ndarray] = None
+        self._assembled_pos = 0
+
+    # -- radio parameter surface (lib/ofdmtxrx.cc:261-287,456-477) ---------
+    def set_tx_freq(self, f: float):
+        self.radio.tx_freq = f
+
+    def set_tx_rate(self, r: float):
+        self.radio.tx_rate = r
+
+    def set_tx_gain_soft(self, g_db: float):
+        self.radio.tx_gain_soft = g_db
+
+    def set_tx_gain_uhd(self, g_db: float):
+        self.radio.tx_gain_uhd = g_db
+
+    def set_rx_freq(self, f: float):
+        self.radio.rx_freq = f
+
+    def set_rx_rate(self, r: float):
+        self.radio.rx_rate = r
+
+    def set_rx_gain_uhd(self, g_db: float):
+        self.radio.rx_gain_uhd = g_db
+
+    # -- TX ----------------------------------------------------------------
+    def set_properties(self, check=None, fec0=None, fec1=None, mod=None):
+        """ofdmflexframegen_setprops surface (strings or enum ids)."""
+        def res(v, cur, parser):
+            if v is None:
+                return cur
+            return parser(v) if isinstance(v, str) else v
+        self.props = ofdm.FrameProps(
+            check=res(check, self.props.check,
+                      lambda s: {"none": 0, "crc16": 1,
+                                 "crc32": 2}[s.lower()]),
+            fec0=res(fec0, self.props.fec0, fec_mod.fec_from_name),
+            fec1=res(fec1, self.props.fec1, fec_mod.fec_from_name),
+            mod=res(mod, self.props.mod, modem_mod.mod_from_name),
+        )
+
+    def transmit_packet(self, header, payload, mod=None, fec0=None,
+                        fec1=None) -> np.ndarray:
+        """Assemble + soft-gain a frame; returns (and queues) its samples.
+
+        Mirrors ofdmtxrx::transmit_packet (lib/ofdmtxrx.cc:297-363): optional
+        per-packet property overrides, then generate + scale by the soft
+        gain.  The returned block is what the reference streams to UHD in
+        256-sample chunks.
+        """
+        self.set_properties(fec0=fec0, fec1=fec1, mod=mod)
+        header = jnp.asarray(np.asarray(header, dtype=np.uint8))
+        payload = jnp.asarray(np.asarray(payload, dtype=np.uint8))
+        g = 10.0 ** (self.radio.tx_gain_soft / 20.0)
+        samples = ofdm.assemble_frame(
+            self.params, self.props, header, payload) * g
+        out = np.asarray(samples)
+        self._tx_buffer.append(out)
+        return out
+
+    # symbol-granular variant (lib/ofdmtxrx.cc:366-449)
+    def assemble_frame(self, header, payload, mod=None, fec0=None,
+                       fec1=None):
+        self.set_properties(fec0=fec0, fec1=fec1, mod=mod)
+        g = 10.0 ** (self.radio.tx_gain_soft / 20.0)
+        self._assembled = np.asarray(ofdm.assemble_frame(
+            self.params, self.props,
+            jnp.asarray(np.asarray(header, dtype=np.uint8)),
+            jnp.asarray(np.asarray(payload, dtype=np.uint8)))) * g
+        self._assembled_pos = 0
+
+    def write_symbol(self) -> tuple[np.ndarray, bool]:
+        """Next symbol-sized chunk of the assembled frame; (samples, last)."""
+        if self._assembled is None:
+            raise RuntimeError("no frame assembled")
+        step = self.params.M + self.params.cp_len
+        start = self._assembled_pos
+        chunk = self._assembled[start:start + step]
+        self._assembled_pos += len(chunk)
+        last = self._assembled_pos >= len(self._assembled)
+        if last:
+            self._assembled = None
+        return chunk, last
+
+    def drain_tx(self) -> np.ndarray:
+        """Concatenate and clear everything queued by transmit_packet."""
+        if not self._tx_buffer:
+            return np.zeros(0, dtype=np.complex64)
+        out = np.concatenate(self._tx_buffer)
+        self._tx_buffer = []
+        return out
+
+    # -- RX ----------------------------------------------------------------
+    def start_rx(self):
+        self._rx_running = True
+
+    def stop_rx(self):
+        self._rx_running = False
+
+    def reset_rx(self):
+        self._rx_state = ofdm_sync.sync_init(self._sync)
+
+    def run_rx(self, samples: np.ndarray, flush: bool = False) -> list[dict]:
+        """Feed IQ samples through the synchronizer; returns decoded frames.
+
+        The block-based replacement for the RX worker thread + callback
+        (lib/ofdmtxrx.cc:554-636): each decoded frame is delivered to the
+        registered callback (if any) and returned as a dict row.
+        """
+        if not self._rx_running:
+            return []
+        bs = self._sync.block_size
+        pending = getattr(self, "_pending", np.zeros(0, dtype=np.complex64))
+        samples = np.concatenate([pending, np.asarray(samples)])
+        if flush:
+            pad = (-(-len(samples) // bs) + 1 +
+                   self._sync.overlap // bs + 1) * bs - len(samples)
+            samples = np.concatenate(
+                [samples, np.zeros(pad, dtype=np.complex64)])
+        n_blocks = len(samples) // bs
+        frames = []
+        for b in range(n_blocks):
+            blk = jnp.asarray(samples[b * bs:(b + 1) * bs])
+            self._rx_state, res = self._step(self._rx_state, blk)
+            det = np.asarray(res.detected)
+            for i in np.nonzero(det)[0]:
+                row = {
+                    "t": int(res.t_start[i]),
+                    "header": np.asarray(res.header[i]),
+                    "header_valid": bool(res.header_valid[i]),
+                    "payload": np.asarray(
+                        res.payload[i])[: int(res.payload_len[i])],
+                    "payload_valid": bool(res.payload_valid[i]),
+                    "payload_len": int(res.payload_len[i]),
+                    "stats": {
+                        "rssi": float(res.rssi[i]),
+                        "evm": float(res.evm[i]),
+                        "cfo": float(res.cfo[i]),
+                    },
+                }
+                frames.append(row)
+                if self.callback is not None:
+                    self.callback(
+                        row["header"], row["header_valid"], row["payload"],
+                        row["payload_len"], row["payload_valid"],
+                        row["stats"])
+        self._pending = samples[n_blocks * bs:]
+        return frames

@@ -1,0 +1,71 @@
+"""Multichannel TX -> RX loopback (the multichannel_tx/_rx app pair idiom).
+
+Mirrors the reference's validation: per-channel packets with channel id
+stamped in the header (/root/reference/src/multichannel_tx.cc:171-176),
+recovered by the per-channel synchronizers
+(/root/reference/src/multichannel_rx.cc:37-66).
+"""
+import numpy as np
+import pytest
+
+from liquid_usrp_tpu.models.multichannel import (MultichannelRx,
+                                                 MultichannelTx,
+                                                 MultichannelTxRx)
+
+N = 2
+PAYLOAD = 64
+
+
+@pytest.fixture(scope="module")
+def loopback():
+    tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
+    rx = MultichannelRx(N, M=48, cp_len=6, taper_len=4,
+                        block_size=2048, max_payload=128)
+    return tx, rx
+
+
+def test_multichannel_loopback(loopback):
+    tx, rx = loopback
+    rng = np.random.default_rng(0)
+    sent = {}
+    for ch in range(N):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header[2] = ch  # channel-id stamping idiom (multichannel_tx.cc:174)
+        payload = rng.integers(0, 256, PAYLOAD, dtype=np.uint8)
+        tx.update_data(ch, header, payload)
+        sent[ch] = (header, payload)
+    # drain TX: generate enough channel-samples to flush all frames
+    need = max(len(q) for q in tx._queues) + 64
+    mixture = tx.generate_samples(need)
+    assert len(mixture) == 2 * N * need
+    frames = rx.execute(mixture)
+    frames += rx.flush()
+    got = {f["channel"]: f for f in frames if f["payload_valid"]}
+    assert set(got.keys()) == set(range(N)), \
+        f"valid frames on channels {sorted(got)} only"
+    for ch, (header, payload) in sent.items():
+        f = got[ch]
+        np.testing.assert_array_equal(f["header"], header)
+        np.testing.assert_array_equal(f["payload"], payload)
+
+
+def test_txrx_availability_polling():
+    txrx = MultichannelTxRx(N, M=48, cp_len=6, taper_len=4,
+                            block_size=2048, max_payload=128)
+    rng = np.random.default_rng(1)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, PAYLOAD, dtype=np.uint8)
+    assert txrx.is_channel_available(0)
+    assert txrx.transmit_packet(0, header, payload)
+    assert not txrx.is_channel_available(0)      # busy until drained
+    assert txrx.get_available_channel() == 1
+    assert not txrx.transmit_packet(0, header, payload)  # non-blocking refuse
+    samples = txrx.wait_for_tx_to_complete()
+    assert txrx.is_channel_available(0)
+    assert len(samples) > 0
+    # loop the drained samples back into the receiver
+    frames = txrx.rx.execute(samples)
+    frames += txrx.rx.flush()
+    valid = [f for f in frames if f["payload_valid"] and f["channel"] == 0]
+    assert len(valid) == 1
+    np.testing.assert_array_equal(valid[0]["payload"], payload)
