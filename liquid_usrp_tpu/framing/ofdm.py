@@ -40,34 +40,19 @@ from ..ops import crc as crc_mod
 from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
 from ..utils.bits import pack_bits, unpack_bits
+from . import payload as payload_codec
+from .payload import (HEADER_BPS as _HEADER_BPS,
+                      HEADER_DEC_BYTES as _HEADER_DEC_BYTES,
+                      HEADER_ENC_BYTES as _HEADER_ENC_BYTES,
+                      HEADER_FEC as _HEADER_FEC,
+                      HEADER_MOD as _HEADER_MOD,
+                      HEADER_SYMS, HEADER_USER_BYTES, scramble)
 
 __all__ = [
     "OfdmParams", "FrameProps", "make_ofdm_params", "default_props",
     "assemble_frame", "frame_length", "payload_symbol_count",
     "HEADER_USER_BYTES",
 ]
-
-HEADER_USER_BYTES = 8          # reference header size (p_id + 6 random,
-                               # /root/reference/src/ofdmflexframe_tx.cc:133)
-
-
-@functools.lru_cache(maxsize=None)
-def _scramble_np(n: int, salt: int) -> np.ndarray:
-    """Deterministic PN byte sequence for scrambling (whitens the payload and
-    kills the all-zeros degenerate frame, like liquid's packetizer scrambler)."""
-    rng = np.random.default_rng(0x5C4A3B1E + salt)
-    return rng.integers(0, 256, size=n, dtype=np.uint8)
-
-
-def scramble(data: jnp.ndarray, salt: int = 0) -> jnp.ndarray:
-    """XOR with the PN sequence (involutive: apply twice to undo)."""
-    return data ^ jnp.asarray(_scramble_np(data.shape[-1], salt))
-_HEADER_DEC_BYTES = HEADER_USER_BYTES + 6 + 2   # + internal fields + CRC16
-_HEADER_FEC = fec_mod.FEC_HAMMING128
-_HEADER_ENC_BYTES = fec_mod.encoded_length(_HEADER_FEC, _HEADER_DEC_BYTES)
-_HEADER_MOD = modem_mod.MOD_QPSK
-_HEADER_BPS = 2
-HEADER_SYMS = (_HEADER_ENC_BYTES * 8 + _HEADER_BPS - 1) // _HEADER_BPS
 
 NUM_S0 = 2                     # short-sync preamble symbols
 MAX_PAYLOAD = 4096             # bytes; >> any reference default (1200)
@@ -176,10 +161,7 @@ def make_ofdm_params(M: int = 64, cp_len: int = 16,
 # ---------------------------------------------------------------------------
 
 def payload_enc_bytes(props: FrameProps, payload_len: int) -> int:
-    n = payload_len + crc_mod.crc_width_bytes(props.check)
-    n = fec_mod.encoded_length(props.fec0, n)
-    n = fec_mod.encoded_length(props.fec1, n)
-    return n
+    return payload_codec.payload_enc_bytes(props, payload_len)
 
 
 def payload_symbol_count(params: OfdmParams, props: FrameProps,
@@ -231,14 +213,7 @@ def _ofdm_modulate(params: OfdmParams, freq_syms: jnp.ndarray) -> jnp.ndarray:
 
 def _encode_header(header: jnp.ndarray, payload_len: int,
                    props: FrameProps) -> jnp.ndarray:
-    """8 user bytes + internal fields -> encoded header bytes."""
-    internal = jnp.asarray([
-        (payload_len >> 8) & 0xFF, payload_len & 0xFF,
-        props.mod & 0xFF, props.fec0 & 0xFF, props.fec1 & 0xFF,
-        props.check & 0xFF], dtype=jnp.uint8)
-    dec = jnp.concatenate([header.astype(jnp.uint8), internal])
-    dec = crc_mod.crc_append(crc_mod.CRC_16, dec)
-    return scramble(fec_mod.fec_encode(_HEADER_FEC, dec), salt=1)
+    return payload_codec.encode_header(header, payload_len, props)
 
 
 def _symbols_to_grid(params: OfdmParams, mod_syms: jnp.ndarray,
@@ -278,10 +253,7 @@ def assemble_frame(params: OfdmParams, props: FrameProps,
         _HEADER_MOD, modem_mod.bits_to_symbols(hbits, _HEADER_BPS))
     n_hsym = header_symbol_count(params)
     # --- payload ---
-    enc = crc_mod.crc_append(props.check, payload.astype(jnp.uint8))
-    enc = fec_mod.fec_encode(props.fec0, enc)
-    enc = fec_mod.fec_encode(props.fec1, enc)
-    enc = scramble(enc, salt=2)
+    enc = payload_codec.encode_payload(props, payload)
     bps = modem_mod.bits_per_symbol(props.mod)
     pbits = unpack_bits(enc)
     n_mod = -(-pbits.shape[-1] // bps)

@@ -38,40 +38,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import crc as crc_mod
-from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
-from ..utils.bits import pack_bits
-from .ofdm import (HEADER_SYMS, HEADER_USER_BYTES, NUM_S0, OfdmParams,
-                   _HEADER_BPS, _HEADER_DEC_BYTES, _HEADER_ENC_BYTES,
-                   _HEADER_FEC, _HEADER_MOD, _pilot_values,
-                   header_symbol_count, scramble)
+from . import payload as payload_codec
+from .payload import (EXPANSION as _EXPANSION, HEADER_BPS as _HEADER_BPS,
+                      HEADER_MOD as _HEADER_MOD, HEADER_SYMS,
+                      PAYLOAD_FECS, PAYLOAD_MODS)
+from .ofdm import (NUM_S0, OfdmParams, _pilot_values, header_symbol_count)
 
 __all__ = ["OfdmSync", "OfdmSyncState", "FrameResults", "make_sync",
            "sync_init", "sync_block", "PAYLOAD_FECS", "PAYLOAD_MODS"]
-
-# payload schemes decodable at runtime (order = lax.switch branch index)
-PAYLOAD_FECS = (
-    fec_mod.FEC_NONE, fec_mod.FEC_REP3, fec_mod.FEC_REP5,
-    fec_mod.FEC_HAMMING74, fec_mod.FEC_HAMMING84, fec_mod.FEC_HAMMING128,
-    fec_mod.FEC_GOLAY2412, fec_mod.FEC_SECDED2216, fec_mod.FEC_SECDED3932,
-    fec_mod.FEC_SECDED7264,
-)
-PAYLOAD_MODS = tuple(range(17))     # every modem scheme id
-_EXPANSION = 3                      # worst supported FEC expansion budget
-_MAX_CONST = 256
-
-
-@functools.lru_cache(maxsize=None)
-def _stacked_tables() -> np.ndarray:
-    """All constellations padded to 256 points with far-away dummies."""
-    tabs = np.full((len(PAYLOAD_MODS), _MAX_CONST), 1e6 + 0j,
-                   dtype=np.complex64)
-    for s in PAYLOAD_MODS:
-        t = modem_mod._table_np(s)
-        tabs[s, : len(t)] = t.astype(np.complex64)
-    return tabs
-
 
 class OfdmSync(NamedTuple):
     params: OfdmParams
@@ -228,92 +203,6 @@ def _equalized_symbols(sync: OfdmSync, w: jnp.ndarray, body_start: jnp.ndarray,
     return Yeq[:, data_idx] * corr
 
 
-def _decode_header_bytes(hbytes: jnp.ndarray):
-    """Encoded header bytes -> (fields..., header_valid)."""
-    dec = fec_mod.fec_decode(_HEADER_FEC, scramble(hbytes, salt=1),
-                             _HEADER_DEC_BYTES)
-    ok = crc_mod.crc_check(crc_mod.CRC_16, dec)
-    user = dec[:HEADER_USER_BYTES]
-    plen = (dec[HEADER_USER_BYTES].astype(jnp.int32) << 8) | \
-        dec[HEADER_USER_BYTES + 1].astype(jnp.int32)
-    mod = dec[HEADER_USER_BYTES + 2].astype(jnp.int32)
-    f0 = dec[HEADER_USER_BYTES + 3].astype(jnp.int32)
-    f1 = dec[HEADER_USER_BYTES + 4].astype(jnp.int32)
-    check = dec[HEADER_USER_BYTES + 5].astype(jnp.int32)
-    valid = ok & (mod < len(PAYLOAD_MODS)) & \
-        (f0 < len(PAYLOAD_FECS)) & (f1 < len(PAYLOAD_FECS)) & (check <= 2)
-    return user, plen, mod, f0, f1, check, valid
-
-
-def _generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
-    """Demap with a runtime-selected constellation -> bit stream [max_bits].
-
-    ``x``: flat received points [n_pts]; bits laid out bps-per-point
-    (MSB-first), where bps is the traced bits/symbol of ``mod``.
-    """
-    tabs = jnp.asarray(_stacked_tables())
-    table = tabs[mod]                                    # [256]
-    d2 = jnp.abs(x[:, None] - table[None, :]) ** 2
-    sym = jnp.argmin(d2, axis=-1).astype(jnp.int32)      # [n_pts]
-    bps = jnp.asarray(
-        [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
-        dtype=jnp.int32)[mod]
-    j = jnp.arange(max_bits)
-    src = j // bps
-    k = j % bps
-    src = jnp.clip(src, 0, x.shape[0] - 1)
-    bits = (sym[src] >> (bps - 1 - k)) & 1
-    return bits.astype(jnp.uint8), bps
-
-
-def _fec_decode_switch(scheme_idx: jnp.ndarray, buf: jnp.ndarray,
-                       out_bytes: int) -> jnp.ndarray:
-    """``lax.switch`` over PAYLOAD_FECS: decode max-size ``buf`` -> [out_bytes].
-
-    Each branch decodes as many bytes as its code can cover from ``buf``
-    (statically) and zero-pads to ``out_bytes``.
-    """
-    in_bytes = buf.shape[-1]
-
-    def make_branch(s):
-        def branch(b):
-            n = out_bytes
-            while fec_mod.encoded_length(s, n) > in_bytes and n > 1:
-                n -= 1
-            need = fec_mod.encoded_length(s, n)
-            dec = fec_mod.fec_decode(s, b[:need], n)
-            if n < out_bytes:
-                dec = jnp.concatenate(
-                    [dec, jnp.zeros(out_bytes - n, dtype=jnp.uint8)])
-            return dec
-        return branch
-
-    return jax.lax.switch(scheme_idx, [make_branch(s) for s in PAYLOAD_FECS],
-                          buf)
-
-
-def _crc_check_dynamic(check: jnp.ndarray, buf: jnp.ndarray,
-                       plen: jnp.ndarray) -> jnp.ndarray:
-    """Validate CRC over buf[:plen] against buf[plen:plen+w] (traced scheme)."""
-    def none_fn(b):
-        return jnp.bool_(True)
-
-    def make(scheme):
-        w = crc_mod.crc_width_bytes(scheme)
-
-        def fn(b):
-            got = crc_mod.crc_compute_masked(scheme, b, plen)
-            shifts = jnp.arange(w - 1, -1, -1, dtype=jnp.uint32) * 8
-            tail = jax.lax.dynamic_slice(b, (plen,), (w,))
-            want = jnp.sum(tail.astype(jnp.uint32) << shifts,
-                           dtype=jnp.uint32)
-            return got == want
-        return fn
-
-    return jax.lax.switch(
-        check, [none_fn, make(crc_mod.CRC_16), make(crc_mod.CRC_32)], buf)
-
-
 def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
                       c_at: jnp.ndarray):
     """Full refine+decode for one candidate offset ``n0`` (vmapped)."""
@@ -351,17 +240,9 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     hflat = hdata.reshape(-1)[:HEADER_SYMS]
     hsym = modem_mod.demodulate(_HEADER_MOD, hflat)
     hbits = modem_mod.symbols_to_bits(hsym, _HEADER_BPS)
-    need = _HEADER_ENC_BYTES * 8
-    if hbits.shape[-1] < need:
-        hbits = jnp.concatenate([
-            hbits, jnp.zeros(need - hbits.shape[-1], dtype=jnp.uint8)])
-    hbytes = pack_bits(hbits[:need])
-    user, plen, mod, f0, f1, check, hvalid = _decode_header_bytes(hbytes)
-    plen = jnp.clip(plen, 0, sync.max_payload)
-    mod = jnp.clip(mod, 0, len(PAYLOAD_MODS) - 1)
-    f0 = jnp.clip(f0, 0, len(PAYLOAD_FECS) - 1)
-    f1 = jnp.clip(f1, 0, len(PAYLOAD_FECS) - 1)
-    check = jnp.clip(check, 0, 2)
+    hbytes = payload_codec.header_bits_to_bytes(hbits)
+    user, plen, mod, f0, f1, check, hvalid = payload_codec.decode_header(
+        hbytes, sync.max_payload)
 
     # header EVM (uses decided symbols as reference)
     hevm = modem_mod.evm(_HEADER_MOD, hflat, hsym)
@@ -369,14 +250,9 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     # payload
     pdata = _equalized_symbols(
         sync, w, body + n_hsym * (M + cp), H, sync.max_psym, n_hsym)
-    pbits, _ = _generic_demod_bits(pdata.reshape(-1), mod,
-                                   sync.enc_max * 8)
-    enc_buf = scramble(pack_bits(pbits), salt=2)
-    mid = _fec_decode_switch(f1, enc_buf, sync.enc_max)
-    dec = _fec_decode_switch(f0, mid, sync.dec_max)
-    pvalid = hvalid & _crc_check_dynamic(check, dec, plen)
-    payload = jnp.where(jnp.arange(sync.max_payload) < plen,
-                        dec[: sync.max_payload], 0).astype(jnp.uint8)
+    payload, pvalid = payload_codec.decode_payload(
+        sync.enc_max, sync.dec_max, sync.max_payload,
+        pdata.reshape(-1), mod, f0, f1, check, plen, hvalid)
 
     # stats
     pre = _window_gather(ext, n0, NUM_S0 * M)

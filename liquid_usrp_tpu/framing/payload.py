@@ -1,0 +1,227 @@
+"""Shared payload/header codec for all frame families.
+
+Every reference framer (ofdmflexframe, flexframe, gmskframe, frame64) shares
+the same packet shape: FEC+CRC protected header carrying per-packet payload
+properties, then a payload run through CRC -> inner FEC -> outer FEC ->
+modem (SURVEY.md §2.3).  This module holds the TPU-side codec used by all of
+them:
+
+* static header encode/decode (Hamming(12,8) + CRC16 + PN scramble),
+* runtime-property payload decode: constellation selected by a traced enum
+  via a padded-table gather, FEC via ``lax.switch`` over the scheme set on
+  static max-size buffers, CRC over a traced length.
+
+Factoring it here keeps each synchronizer to its modulation-specific front
+end (OFDM grid EQ / single-carrier matched filter / GMSK phase demod).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import crc as crc_mod
+from ..ops import fec as fec_mod
+from ..ops import modem as modem_mod
+from ..utils.bits import pack_bits, unpack_bits
+
+__all__ = [
+    "PAYLOAD_FECS", "PAYLOAD_MODS", "HEADER_USER_BYTES",
+    "HEADER_DEC_BYTES", "HEADER_ENC_BYTES", "HEADER_MOD", "HEADER_BPS",
+    "HEADER_SYMS", "scramble", "encode_header", "decode_header",
+    "encode_payload", "payload_enc_bytes",
+    "generic_demod_bits", "fec_decode_switch", "crc_check_dynamic",
+    "EXPANSION",
+]
+
+# payload schemes decodable at runtime (order = lax.switch branch index)
+PAYLOAD_FECS = (
+    fec_mod.FEC_NONE, fec_mod.FEC_REP3, fec_mod.FEC_REP5,
+    fec_mod.FEC_HAMMING74, fec_mod.FEC_HAMMING84, fec_mod.FEC_HAMMING128,
+    fec_mod.FEC_GOLAY2412, fec_mod.FEC_SECDED2216, fec_mod.FEC_SECDED3932,
+    fec_mod.FEC_SECDED7264,
+)
+PAYLOAD_MODS = tuple(range(17))     # every modem scheme id
+EXPANSION = 3                       # worst supported FEC expansion budget
+_MAX_CONST = 256
+
+HEADER_USER_BYTES = 8               # reference: p_id + 6 random bytes
+HEADER_DEC_BYTES = HEADER_USER_BYTES + 6 + 2  # + internal fields + CRC16
+HEADER_FEC = fec_mod.FEC_HAMMING128
+HEADER_ENC_BYTES = fec_mod.encoded_length(HEADER_FEC, HEADER_DEC_BYTES)
+HEADER_MOD = modem_mod.MOD_QPSK
+HEADER_BPS = 2
+HEADER_SYMS = (HEADER_ENC_BYTES * 8 + HEADER_BPS - 1) // HEADER_BPS
+
+
+@functools.lru_cache(maxsize=None)
+def _scramble_np(n: int, salt: int) -> np.ndarray:
+    """Deterministic PN byte sequence (whitens frames; kills the all-zero
+    degenerate decode, like liquid's packetizer scrambler)."""
+    rng = np.random.default_rng(0x5C4A3B1E + salt)
+    return rng.integers(0, 256, size=n, dtype=np.uint8)
+
+
+def scramble(data: jnp.ndarray, salt: int = 0) -> jnp.ndarray:
+    """XOR with the PN sequence (involutive)."""
+    return data ^ jnp.asarray(_scramble_np(data.shape[-1], salt))
+
+
+@functools.lru_cache(maxsize=None)
+def _stacked_tables() -> np.ndarray:
+    tabs = np.full((len(PAYLOAD_MODS), _MAX_CONST), 1e6 + 0j,
+                   dtype=np.complex64)
+    for s in PAYLOAD_MODS:
+        t = modem_mod._table_np(s)
+        tabs[s, : len(t)] = t.astype(np.complex64)
+    return tabs
+
+
+# ---------------------------------------------------------------------------
+# header
+# ---------------------------------------------------------------------------
+
+def encode_header(header: jnp.ndarray, payload_len: int, props) -> jnp.ndarray:
+    """8 user bytes + [len u16 | mod | fec0 | fec1 | check] -> encoded
+    (scrambled) header bytes."""
+    internal = jnp.asarray([
+        (payload_len >> 8) & 0xFF, payload_len & 0xFF,
+        props.mod & 0xFF, props.fec0 & 0xFF, props.fec1 & 0xFF,
+        props.check & 0xFF], dtype=jnp.uint8)
+    dec = jnp.concatenate([header.astype(jnp.uint8), internal])
+    dec = crc_mod.crc_append(crc_mod.CRC_16, dec)
+    return scramble(fec_mod.fec_encode(HEADER_FEC, dec), salt=1)
+
+
+def decode_header(hbytes: jnp.ndarray, max_payload: int):
+    """Encoded header bytes -> (user, plen, mod, f0, f1, check, valid).
+
+    Field values are clamped into range so they are safe as traced indices
+    even when ``valid`` is False.
+    """
+    dec = fec_mod.fec_decode(HEADER_FEC, scramble(hbytes, salt=1),
+                             HEADER_DEC_BYTES)
+    ok = crc_mod.crc_check(crc_mod.CRC_16, dec)
+    user = dec[:HEADER_USER_BYTES]
+    plen = (dec[HEADER_USER_BYTES].astype(jnp.int32) << 8) | \
+        dec[HEADER_USER_BYTES + 1].astype(jnp.int32)
+    mod = dec[HEADER_USER_BYTES + 2].astype(jnp.int32)
+    f0 = dec[HEADER_USER_BYTES + 3].astype(jnp.int32)
+    f1 = dec[HEADER_USER_BYTES + 4].astype(jnp.int32)
+    check = dec[HEADER_USER_BYTES + 5].astype(jnp.int32)
+    valid = ok & (mod < len(PAYLOAD_MODS)) & \
+        (f0 < len(PAYLOAD_FECS)) & (f1 < len(PAYLOAD_FECS)) & \
+        (check <= 2) & (plen <= max_payload)
+    return (user, jnp.clip(plen, 0, max_payload),
+            jnp.clip(mod, 0, len(PAYLOAD_MODS) - 1),
+            jnp.clip(f0, 0, len(PAYLOAD_FECS) - 1),
+            jnp.clip(f1, 0, len(PAYLOAD_FECS) - 1),
+            jnp.clip(check, 0, 2), valid)
+
+
+def header_bits_to_bytes(hbits: jnp.ndarray) -> jnp.ndarray:
+    """Demodulated header bit stream -> encoded header byte buffer."""
+    need = HEADER_ENC_BYTES * 8
+    if hbits.shape[-1] < need:
+        hbits = jnp.concatenate([
+            hbits, jnp.zeros(need - hbits.shape[-1], dtype=jnp.uint8)])
+    return pack_bits(hbits[:need])
+
+
+# ---------------------------------------------------------------------------
+# payload
+# ---------------------------------------------------------------------------
+
+def payload_enc_bytes(props, payload_len: int) -> int:
+    n = payload_len + crc_mod.crc_width_bytes(props.check)
+    n = fec_mod.encoded_length(props.fec0, n)
+    n = fec_mod.encoded_length(props.fec1, n)
+    return n
+
+
+def encode_payload(props, payload: jnp.ndarray) -> jnp.ndarray:
+    """payload -> CRC -> fec0 -> fec1 -> scramble (static length)."""
+    enc = crc_mod.crc_append(props.check, payload.astype(jnp.uint8))
+    enc = fec_mod.fec_encode(props.fec0, enc)
+    enc = fec_mod.fec_encode(props.fec1, enc)
+    return scramble(enc, salt=2)
+
+
+def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
+    """Demap with a runtime-selected constellation -> bit stream [max_bits].
+
+    ``x``: flat received points [n_pts]; bits laid out bps-per-point
+    (MSB-first), where bps is the traced bits/symbol of ``mod``.
+    """
+    tabs = jnp.asarray(_stacked_tables())
+    table = tabs[mod]                                    # [256]
+    d2 = jnp.abs(x[:, None] - table[None, :]) ** 2
+    sym = jnp.argmin(d2, axis=-1).astype(jnp.int32)      # [n_pts]
+    bps = jnp.asarray(
+        [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
+        dtype=jnp.int32)[mod]
+    j = jnp.arange(max_bits)
+    src = jnp.clip(j // bps, 0, x.shape[0] - 1)
+    k = j % bps
+    bits = (sym[src] >> (bps - 1 - k)) & 1
+    return bits.astype(jnp.uint8), bps
+
+
+def fec_decode_switch(scheme_idx: jnp.ndarray, buf: jnp.ndarray,
+                      out_bytes: int) -> jnp.ndarray:
+    """``lax.switch`` over PAYLOAD_FECS: decode max-size ``buf`` ->
+    ``[out_bytes]`` (each branch covers as many bytes as fit statically)."""
+    in_bytes = buf.shape[-1]
+
+    def make_branch(s):
+        def branch(b):
+            n = out_bytes
+            while fec_mod.encoded_length(s, n) > in_bytes and n > 1:
+                n -= 1
+            need = fec_mod.encoded_length(s, n)
+            dec = fec_mod.fec_decode(s, b[:need], n)
+            if n < out_bytes:
+                dec = jnp.concatenate(
+                    [dec, jnp.zeros(out_bytes - n, dtype=jnp.uint8)])
+            return dec
+        return branch
+
+    return jax.lax.switch(scheme_idx, [make_branch(s) for s in PAYLOAD_FECS],
+                          buf)
+
+
+def crc_check_dynamic(check: jnp.ndarray, buf: jnp.ndarray,
+                      plen: jnp.ndarray) -> jnp.ndarray:
+    """Validate CRC over buf[:plen] against buf[plen:plen+w] (traced scheme)."""
+    def none_fn(b):
+        return jnp.bool_(True)
+
+    def make(scheme):
+        w = crc_mod.crc_width_bytes(scheme)
+
+        def fn(b):
+            got = crc_mod.crc_compute_masked(scheme, b, plen)
+            shifts = jnp.arange(w - 1, -1, -1, dtype=jnp.uint32) * 8
+            tail = jax.lax.dynamic_slice(b, (plen,), (w,))
+            want = jnp.sum(tail.astype(jnp.uint32) << shifts,
+                           dtype=jnp.uint32)
+            return got == want
+        return fn
+
+    return jax.lax.switch(
+        check, [none_fn, make(crc_mod.CRC_16), make(crc_mod.CRC_32)], buf)
+
+
+def decode_payload(sync_enc_max: int, dec_max: int, max_payload: int,
+                   points: jnp.ndarray, mod, f0, f1, check, plen, hvalid):
+    """Received payload constellation points -> (payload, payload_valid)."""
+    pbits, _ = generic_demod_bits(points, mod, sync_enc_max * 8)
+    enc_buf = scramble(pack_bits(pbits), salt=2)
+    mid = fec_decode_switch(f1, enc_buf, sync_enc_max)
+    dec = fec_decode_switch(f0, mid, dec_max)
+    pvalid = hvalid & crc_check_dynamic(check, dec, plen)
+    payload = jnp.where(jnp.arange(max_payload) < plen,
+                        dec[:max_payload], 0).astype(jnp.uint8)
+    return payload, pvalid

@@ -82,8 +82,8 @@ def _tables(scheme: int):
     for ns in range(S):
         for w in (0, 1):
             pred_out[ns, w] = out[pred[ns, w], pred_bit[ns, w]]
-    return (jnp.asarray(pred), jnp.asarray(pred_bit), jnp.asarray(pred_out),
-            S, p.K)
+    # NumPy in the cache (a jnp constant built under trace would leak)
+    return pred, pred_bit, pred_out, S, p.K
 
 
 def conv_encode(scheme: int, data: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +114,10 @@ def conv_encode(scheme: int, data: jnp.ndarray) -> jnp.ndarray:
 
 def conv_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
     """Hard-decision Viterbi decode -> uint8 ``[n_bytes]``."""
-    pred, pred_bit, pred_out, S, K = _tables(scheme)
+    pred_np, pred_bit_np, pred_out_np, S, K = _tables(scheme)
+    pred = jnp.asarray(pred_np)
+    pred_bit = jnp.asarray(pred_bit_np)
+    pred_out = jnp.asarray(pred_out_np)
     nbits = n_bytes * 8 + (K - 1)
     pairs = unpack_bits(coded)[: 2 * nbits].reshape(nbits, 2).astype(jnp.int32)
 

@@ -145,7 +145,9 @@ def _build_tables(scheme: int):
         for _ in range(8):
             reg = _advance_bit(reg, 0, p)
 
-    return jnp.asarray(basis_desc), jnp.asarray(c0)
+    # cache NumPy (never jnp: building inside a jit trace would cache a
+    # tracer); call sites convert per-use
+    return basis_desc, c0
 
 
 CrcScheme = int  # alias for readability in signatures
@@ -169,8 +171,8 @@ def crc_compute(scheme: CrcScheme, data: jnp.ndarray) -> jnp.ndarray:
     if n > MAX_LEN:
         raise ValueError(f"message too long for CRC tables: {n} > {MAX_LEN}")
     bits = unpack_bits(data)
-    lin = gf2_matmul(bits, basis_desc[basis_desc.shape[0] - n * 8:])
-    return _bits_to_uint(lin ^ c0[n], basis_desc.shape[-1])
+    lin = gf2_matmul(bits, jnp.asarray(basis_desc[basis_desc.shape[0] - n * 8:]))
+    return _bits_to_uint(lin ^ jnp.asarray(c0[n]), basis_desc.shape[-1])
 
 
 def crc_compute_masked(scheme: CrcScheme, data: jnp.ndarray,
@@ -189,8 +191,9 @@ def crc_compute_masked(scheme: CrcScheme, data: jnp.ndarray,
     masked = jnp.where(idx < length, data, 0).astype(jnp.uint8)
     aligned = jnp.roll(masked, n_max - length, axis=-1)
     bits = unpack_bits(aligned)
-    lin = gf2_matmul(bits, basis_desc[basis_desc.shape[0] - n_max * 8:])
-    return _bits_to_uint(lin ^ c0[length], basis_desc.shape[-1])
+    lin = gf2_matmul(bits,
+                     jnp.asarray(basis_desc[basis_desc.shape[0] - n_max * 8:]))
+    return _bits_to_uint(lin ^ jnp.asarray(c0)[length], basis_desc.shape[-1])
 
 
 def crc_append(scheme: CrcScheme, data: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,169 @@
+"""Sharded stream processing: time-block (SP) and channel (TP) parallelism.
+
+The TPU-native re-expression of the reference's concurrency (SURVEY.md §2.2):
+
+* **Time-block sharding** — the stream is split into contiguous per-device
+  chunks; each device receives the last ``overlap`` samples of its left
+  neighbor via ``lax.ppermute`` (overlap-save halo = filter memory + max
+  frame length) and runs the frame synchronizer *statelessly* on its
+  extended chunk.  Every stream offset is detected by exactly one device, so
+  results equal the sequential run.  This is the CP/ring analog of the
+  reference's sample-serial carried state (msresamp/framesync `_execute`).
+* **Channel sharding** — the per-channel synchronizers of the multichannel
+  receiver are split across the ``channel`` mesh axis (the parallelization
+  the reference leaves as a TODO at /root/reference/lib/
+  multichannelrx.cc:184).  Within a device the local channels are vmapped.
+
+Both compose on a 2-D ``('time', 'channel')`` mesh: each device analyzes its
+time chunk (channelizer) and synchronizes its channel subset.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..framing import ofdm, ofdm_sync
+from ..models.multichannel import _center_offset
+from ..ops import nco as nco_mod
+from ..ops import pfb as pfb_mod
+
+__all__ = ["make_time_sharded_sync", "make_sharded_mcrx"]
+
+
+def _scan_sync(sync, tail, base, stream, n_blocks):
+    """Run ``n_blocks`` sequential sync blocks over ``stream`` via lax.scan."""
+    state = ofdm_sync.OfdmSyncState(tail=tail, base=base)
+    blocks = stream.reshape(n_blocks, sync.block_size)
+
+    def body(st, blk):
+        st, res = ofdm_sync.sync_block(sync, st, blk)
+        return st, res
+
+    state, results = jax.lax.scan(body, state, blocks)
+    # results leaves: [n_blocks, max_frames, ...] -> flatten frame axis
+    flat = jax.tree.map(
+        lambda x: x.reshape((n_blocks * sync.max_frames,) + x.shape[2:]),
+        results)
+    return state, flat
+
+
+def make_time_sharded_sync(mesh: jax.sharding.Mesh, sync: ofdm_sync.OfdmSync,
+                           chunk_blocks: int):
+    """Jitted time-sharded synchronizer over mesh axis ``'time'``.
+
+    ``mesh`` must be 1-D with axis name ``'time'``.  Input: stream
+    ``[n_time * chunk_blocks * block_size]`` sharded over ``'time'``;
+    output: FrameResults with leading axis ``n_time * chunk_blocks *
+    max_frames`` (masked rows where nothing was detected).
+    """
+    n_time = mesh.shape["time"]
+    B = sync.block_size * chunk_blocks
+    halo = sync.overlap
+    if B < halo:
+        raise ValueError(
+            f"per-device chunk ({B}) must cover the halo ({halo}); "
+            "raise chunk_blocks or block_size")
+
+    def shard_fn(x_local):
+        x_local = x_local.reshape(-1)              # [B]
+        t_idx = jax.lax.axis_index("time")
+        # halo from left neighbor: everyone sends its tail to the right
+        tail = x_local[B - halo:]
+        left = jax.lax.ppermute(
+            tail, "time", [(i, i + 1) for i in range(n_time - 1)])
+        base = t_idx * B - halo
+        state, res = _scan_sync(sync, left, base, x_local, chunk_blocks)
+        return jax.tree.map(lambda v: v[None], res)  # add mapped time axis
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=P("time"),
+                       out_specs=P("time"), check_vma=False)
+
+    @jax.jit
+    def run(stream):
+        res = fn(stream)
+        return jax.tree.map(
+            lambda v: v.reshape((-1,) + v.shape[2:]), res)
+
+    return run
+
+
+def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
+                      sync: ofdm_sync.OfdmSync, chunk_blocks: int):
+    """Channel- and time-sharded multichannel receiver.
+
+    Input: mixture ``[n_time * chunk_blocks * block_size * 2N]`` sharded over
+    ``'time'`` (replicated over ``'channel'``); each device channelizes its
+    time chunk and synchronizes its ``N / n_channel_shards`` channels.
+    Output: FrameResults with leading axes ``[time*blocks*frames, N]``
+    flattened to rows.
+    """
+    N = num_channels
+    n_time = mesh.shape["time"]
+    n_ch = mesh.shape["channel"]
+    if N % n_ch:
+        raise ValueError(f"{N} channels not divisible by "
+                         f"{n_ch} channel shards")
+    N_loc = N // n_ch
+    chz = pfb_mod.pfbch_create(2 * N, m=7, As=60.0)
+    B = sync.block_size * chunk_blocks          # channel-samples per chunk
+    halo = sync.overlap
+    if B < halo:
+        raise ValueError(
+            f"per-device chunk ({B}) must cover the halo ({halo})")
+    mix_B = 2 * N * B
+    mix_halo = 2 * N * halo
+    freq = -_center_offset(N)
+
+    def shard_fn(x_local):
+        x_local = x_local.reshape(-1)            # [mix_B]
+        t_idx = jax.lax.axis_index("time")
+        c_idx = jax.lax.axis_index("channel")
+        tail = x_local[mix_B - mix_halo:]
+        left = jax.lax.ppermute(
+            tail, "time", [(i, i + 1) for i in range(n_time - 1)])
+        ext = jnp.concatenate([left, x_local])   # [mix_halo + mix_B]
+        # NCO with globally consistent phase
+        g0 = (t_idx * mix_B - mix_halo).astype(jnp.float32)
+        nco0 = nco_mod.NcoState(
+            phase=jnp.mod(freq * g0, 2 * np.pi).astype(jnp.float32),
+            freq=jnp.float32(freq))
+        _, mixed = nco_mod.nco_mix_block(nco0, ext, up=True)
+        _, X = pfb_mod.pfb_analyze_block(chz, pfb_mod.pfbch_state(chz),
+                                         mixed)
+        chans = jax.lax.dynamic_slice_in_dim(
+            X, c_idx * N_loc, N_loc, axis=1).T   # [N_loc, halo + B]
+
+        base = t_idx * B - halo
+
+        def per_channel(s):
+            state, res = _scan_sync(sync, s[:halo], base, s[halo:],
+                                    chunk_blocks)
+            return res
+
+        res = jax.vmap(per_channel)(chans)       # leaves [N_loc, rows, ...]
+        return jax.tree.map(lambda v: v[None, None], res)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=P("time"),
+                       out_specs=P("time", "channel"),
+                       check_vma=False)
+
+    jit_fn = jax.jit(fn)
+
+    def run(stream):
+        res = jax.tree.map(np.asarray, jit_fn(stream))
+        # host-side regroup (a cross-shard transpose is not worth device
+        # collectives for result bookkeeping)
+        def fix(v):
+            v = np.moveaxis(v, 0, 2)         # [n_ch, N_loc, n_time, rows, ..]
+            return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
+
+        return jax.tree.map(fix, res)        # leaves [N, rows, ...]
+
+    return run

@@ -1,0 +1,126 @@
+"""Sharded stream processing tests on the 8-device virtual CPU mesh.
+
+Validates the SP/TP analogs (SURVEY.md §2.2): time-block sharding with
+ppermute halo exchange must reproduce the sequential synchronizer exactly;
+channel sharding must recover per-channel payloads from the mixture.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+from liquid_usrp_tpu.io import channel_model as chan
+from liquid_usrp_tpu.models.multichannel import MultichannelTx
+from liquid_usrp_tpu.parallel import stream as pstream
+from liquid_usrp_tpu.parallel.mesh import factor_devices
+
+
+@pytest.fixture(scope="module")
+def params():
+    return ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
+
+
+def test_factor_devices():
+    assert factor_devices(8) == (4, 2) or factor_devices(8) == (2, 4)
+    assert factor_devices(1) == (1, 1)
+    t, c = factor_devices(6)
+    assert t * c == 6
+
+
+def test_time_sharded_matches_sequential(params):
+    assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
+    mesh = jax.make_mesh((8,), ("time",))
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=128,
+                               max_frames=4)
+    chunk_blocks = 2
+    total = 8 * chunk_blocks * 4096
+
+    # stream with frames scattered across shard boundaries
+    rng = np.random.default_rng(0)
+    streamv = np.zeros(total, np.complex64)
+    props = ofdm.FrameProps()
+    sent = []
+    pos = 2000
+    pid = 0
+    while True:
+        payload = rng.integers(0, 256, 96, dtype=np.uint8)
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        frame = np.asarray(ofdm.assemble_frame(
+            params, props, jnp.asarray(header), jnp.asarray(payload)))
+        if pos + len(frame) >= total - sync.overlap:
+            break
+        streamv[pos:pos + len(frame)] = frame
+        sent.append((pos, header, payload))
+        pos += len(frame) + 5000   # crosses 8192-sample shard boundaries
+        pid += 1
+    streamv = np.asarray(chan.channel_apply(
+        chan.Channel(snr_db=30.0, cfo=0.001), jax.random.PRNGKey(1),
+        jnp.asarray(streamv), signal_power=0.8))
+
+    run = pstream.make_time_sharded_sync(mesh, sync, chunk_blocks)
+    res = jax.tree.map(np.asarray, run(jnp.asarray(streamv)))
+    det = res.detected & res.payload_valid
+    rows = np.nonzero(det)[0]
+    got = sorted((int(res.t_start[r]),
+                  np.asarray(res.header[r]),
+                  np.asarray(res.payload[r])[: int(res.payload_len[r])])
+                 for r in rows)
+    assert len(got) == len(sent), (len(got), len(sent))
+    for (t_got, h_got, p_got), (t_want, h_want, p_want) in zip(got, sent):
+        assert abs(t_got - t_want) <= 2
+        np.testing.assert_array_equal(h_got, h_want)
+        np.testing.assert_array_equal(p_got, p_want)
+
+    # sequential oracle: same sync config run block-by-block
+    step = ofdm_sync.make_sync_step(sync)
+    state = ofdm_sync.sync_init(sync)
+    seq = []
+    padded = np.concatenate(
+        [np.asarray(streamv), np.zeros(sync.overlap + 4096, np.complex64)])
+    nb = len(padded) // 4096
+    for b in range(nb):
+        state, r = step(state, jnp.asarray(padded[b * 4096:(b + 1) * 4096]))
+        for i in np.nonzero(np.asarray(r.detected) &
+                            np.asarray(r.payload_valid))[0]:
+            seq.append((int(r.t_start[i]),
+                        np.asarray(r.payload[i])[: int(r.payload_len[i])]))
+    seq.sort()
+    assert len(seq) == len(got)
+    for (t_s, p_s), (t_g, _, p_g) in zip(seq, got):
+        assert t_s == t_g
+        np.testing.assert_array_equal(p_s, p_g)
+
+
+def test_channel_sharded_mcrx(params):
+    N = 4
+    mesh = jax.make_mesh((2, 4), ("time", "channel"))
+    sync = ofdm_sync.make_sync(params, block_size=2048, max_payload=64,
+                               max_frames=4)
+    chunk_blocks = 2
+    B = chunk_blocks * 2048
+    total_mix = 2 * N * B * 2      # two time shards
+
+    tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
+    rng = np.random.default_rng(3)
+    sent = {}
+    for ch in range(N):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header[2] = ch
+        payload = rng.integers(0, 256, 48, dtype=np.uint8)
+        tx.update_data(ch, header, payload)
+        sent[ch] = (header, payload)
+    mixture = tx.generate_samples(total_mix // (2 * N))
+    assert len(mixture) == total_mix
+
+    run = pstream.make_sharded_mcrx(mesh, N, sync, chunk_blocks)
+    res = jax.tree.map(np.asarray, run(jnp.asarray(mixture)))
+    det = res.detected & res.payload_valid
+    found = {}
+    for ch, r in zip(*np.nonzero(det)):
+        found[int(ch)] = np.asarray(res.payload[ch, r])[
+            : int(res.payload_len[ch, r])]
+    assert set(found) == set(range(N)), sorted(found)
+    for ch, (header, payload) in sent.items():
+        np.testing.assert_array_equal(found[ch], payload)
