@@ -1,0 +1,239 @@
+"""Single-carrier flexframe synchronizer (RX) — batched block dataflow.
+
+Capability parity: ``flexframesync`` / ``framesync64`` — burst detection,
+CFO + gain/phase estimation, matched-filter symbol recovery with fractional
+timing, header decode -> per-packet payload props, payload decode with CRC
+gate (/root/reference/src/flexframe_rx.cc:190-243, src/packet_rx.cc:190).
+
+Same block architecture as the OFDM sync (overlap region, detect ->
+``vmap`` candidates -> shared payload codec):
+
+1. matched-filter the whole extended block (one streaming FIR),
+2. preamble cross-correlation at symbol stride for every offset (a strided
+   window gather + matvec against the known PN preamble), energy-normalized,
+3. per candidate: CFO from split-preamble correlation phase, fractional
+   timing by parabolic interpolation of the correlation peak, complex gain
+   from the derotated preamble, linear-interpolated symbol sampling,
+   per-pilot-segment phase tracking across the payload, then the shared
+   header/payload codec.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fir as fir_mod
+from ..ops import modem as modem_mod
+from . import payload as payload_codec
+from .flexframe import (FlexParams, PILOT_SPACING, PREAMBLE_SYMS,
+                        slots_layout)
+from .payload import (EXPANSION as _EXPANSION, HEADER_BPS, HEADER_MOD,
+                      HEADER_SYMS)
+
+__all__ = ["FlexSync", "FlexSyncState", "make_flex_sync", "flex_sync_init",
+           "flex_sync_block", "make_flex_sync_step"]
+
+
+class FlexSync(NamedTuple):
+    params: FlexParams
+    block_size: int
+    max_payload: int
+    max_frames: int
+    threshold: float
+    overlap: int
+    max_slots: int             # payload section slot budget
+    dec_max: int
+    enc_max: int
+
+
+class FlexSyncState(NamedTuple):
+    tail: jnp.ndarray          # [overlap] complex64 raw samples
+    mf_state: fir_mod.FirState # matched filter carry (overlap handled via tail)
+    base: jnp.ndarray          # int32
+
+
+class FlexResults(NamedTuple):
+    detected: jnp.ndarray
+    header_valid: jnp.ndarray
+    payload_valid: jnp.ndarray
+    header: jnp.ndarray
+    payload: jnp.ndarray
+    payload_len: jnp.ndarray
+    mod: jnp.ndarray
+    fec0: jnp.ndarray
+    fec1: jnp.ndarray
+    check: jnp.ndarray
+    rssi: jnp.ndarray
+    evm: jnp.ndarray
+    cfo: jnp.ndarray
+    t_start: jnp.ndarray
+
+
+def make_flex_sync(params: FlexParams, block_size: int = 16384,
+                   max_payload: int = 2048, max_frames: int = 8,
+                   threshold: float = 0.5) -> FlexSync:
+    dec_max = max_payload + 4
+    enc_max = _EXPANSION * dec_max
+    max_data = enc_max * 8                      # bps >= 1
+    max_slots = max_data + -(-max_data // (PILOT_SPACING - 1))
+    n_syms = PREAMBLE_SYMS + HEADER_SYMS + max_slots
+    max_frame = n_syms * params.k + 4 * params.m * params.k
+    return FlexSync(params=params, block_size=block_size,
+                    max_payload=max_payload, max_frames=max_frames,
+                    threshold=threshold,
+                    overlap=max_frame + 8 * params.k,
+                    max_slots=max_slots, dec_max=dec_max, enc_max=enc_max)
+
+
+def flex_sync_init(sync: FlexSync) -> FlexSyncState:
+    ntaps = len(sync.params.taps)
+    return FlexSyncState(
+        tail=jnp.zeros((sync.overlap,), dtype=jnp.complex64),
+        mf_state=fir_mod.fir_init(ntaps),
+        base=jnp.int32(-sync.overlap))
+
+
+def _preamble_corr(sync: FlexSync, mf: jnp.ndarray, region: int):
+    """Normalized preamble correlation for offsets [0, region).
+
+    ``corr[n] = sum_i pre[i] mf[n + k i]``, energy-normalized; also the two
+    half-sums for CFO estimation.
+    """
+    p = sync.params
+    k = p.k
+    pre = jnp.asarray(p.preamble, dtype=jnp.complex64)
+    idx = jnp.arange(region)[:, None] + k * jnp.arange(PREAMBLE_SYMS)[None, :]
+    wins = mf[idx]                                  # [region, 64]
+    half = PREAMBLE_SYMS // 2
+    c1 = wins[:, :half] @ jnp.conj(pre[:half])
+    c2 = wins[:, half:] @ jnp.conj(pre[half:])
+    c = c1 + c2
+    energy = jnp.sum(jnp.abs(wins) ** 2, axis=-1)
+    metric = jnp.abs(c) ** 2 / (jnp.maximum(energy, 1e-12) * PREAMBLE_SYMS)
+    # silence gate
+    floor = 1e-4 * PREAMBLE_SYMS * (jnp.mean(jnp.abs(mf) ** 2) + 1e-12)
+    metric = jnp.where(energy > floor, metric, 0.0)
+    return metric, c, c1, c2
+
+
+def _find_candidates(sync: FlexSync, metric: jnp.ndarray):
+    T = sync.block_size
+    win = sync.params.k * PREAMBLE_SYMS // 2
+    local_max = jax.lax.reduce_window(
+        metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
+    is_peak = (metric >= local_max) & (metric > sync.threshold)
+    idx = jnp.arange(metric.shape[0])
+    score = jnp.where(is_peak & (idx < T), metric, -1.0)
+    vals, locs = jax.lax.top_k(score, sync.max_frames)
+    return vals > 0, locs
+
+
+def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
+                      n0: jnp.ndarray, c1: jnp.ndarray, c2: jnp.ndarray):
+    p = sync.params
+    k = p.k
+    half = PREAMBLE_SYMS // 2
+
+    # CFO from split preamble halves (phase advance over half*k samples)
+    cfo = jnp.angle(c2 * jnp.conj(c1)) / (half * k)
+
+    # fractional timing: parabolic fit on the metric around the peak
+    m_m1 = metric[jnp.clip(n0 - 1, 0, metric.shape[0] - 1)]
+    m_0 = metric[n0]
+    m_p1 = metric[jnp.clip(n0 + 1, 0, metric.shape[0] - 1)]
+    denom = m_m1 - 2 * m_0 + m_p1
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (m_m1 - m_p1) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+
+    # symbol sample positions: preamble starts at n0 (+delta fractional)
+    n_syms = PREAMBLE_SYMS + HEADER_SYMS + sync.max_slots
+    pos = n0.astype(jnp.float32) + delta + k * jnp.arange(
+        n_syms, dtype=jnp.float32)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - i0.astype(jnp.float32)
+    i0 = jnp.clip(i0, 0, mf.shape[0] - 2)
+    raw = mf[i0] * (1 - frac) + mf[i0 + 1] * frac   # linear interp sampling
+
+    # derotate CFO (phase referenced to n0)
+    t = pos - n0.astype(jnp.float32)
+    syms = raw * jnp.exp(-1j * cfo * t)
+
+    # complex gain from the preamble symbols
+    pre = jnp.asarray(p.preamble, dtype=jnp.complex64)
+    g = jnp.sum(syms[:PREAMBLE_SYMS] * jnp.conj(pre)) / PREAMBLE_SYMS
+    g = jnp.where(jnp.abs(g) > 1e-9, g, 1.0)
+    syms = syms / g
+
+    # header
+    hsyms = syms[PREAMBLE_SYMS:PREAMBLE_SYMS + HEADER_SYMS]
+    hdec = modem_mod.demodulate(HEADER_MOD, hsyms)
+    hbits = modem_mod.symbols_to_bits(hdec, HEADER_BPS)
+    hbytes = payload_codec.header_bits_to_bytes(hbits)
+    user, plen, mod, f0, f1, check, hvalid = payload_codec.decode_header(
+        hbytes, sync.max_payload)
+    hevm = modem_mod.evm(HEADER_MOD, hsyms, hdec)
+
+    # payload section with per-pilot-segment phase correction
+    section = syms[PREAMBLE_SYMS + HEADER_SYMS:]
+    data_pos, pilot_pos = slots_layout(sync.max_slots)
+    pil_ref = jnp.asarray(p.pilot_pn[: len(pilot_pos)], dtype=jnp.complex64)
+    rot = section[jnp.asarray(pilot_pos)] * jnp.conj(pil_ref)
+    ph = jnp.angle(rot)                               # [n_pilots]
+    # piecewise-constant segment phase (segment s covers slots
+    # [pilot_pos[s], pilot_pos[s+1]))
+    seg = jnp.asarray(data_pos) // PILOT_SPACING
+    corr = jnp.exp(-1j * ph[jnp.clip(seg, 0, ph.shape[0] - 1)])
+    data = section[jnp.asarray(data_pos)] * corr
+
+    payload, pvalid = payload_codec.decode_payload(
+        sync.enc_max, sync.dec_max, sync.max_payload,
+        data, mod, f0, f1, check, plen, hvalid)
+
+    rssi = 20.0 * jnp.log10(jnp.maximum(jnp.abs(g), 1e-12))
+    return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
+            rssi, hevm, cfo)
+
+
+def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
+    """Process ``block_size`` samples -> (state', FlexResults)."""
+    p = sync.params
+    ext = jnp.concatenate([state.tail, block])
+    # matched filter (stateless on ext: overlap >> filter length)
+    taps = jnp.asarray(p.taps)
+    mf = jnp.convolve(ext, taps.astype(ext.dtype), mode="full")[
+        len(p.taps) - 1:]
+    region = sync.block_size
+    metric, c, c1, c2 = _preamble_corr(sync, mf, region + 1)
+    detected, locs = _find_candidates(sync, metric[:region])
+
+    decode = jax.vmap(
+        lambda n0: _decode_candidate(sync, mf, metric, n0, c1[n0], c2[n0]))
+    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
+     cfo) = decode(locs)
+
+    res = FlexResults(
+        detected=detected,
+        header_valid=detected & hvalid,
+        payload_valid=detected & pvalid,
+        header=user, payload=payload,
+        payload_len=jnp.where(detected, plen, 0),
+        mod=mod, fec0=f0, fec1=f1, check=check,
+        rssi=rssi, evm=hevm, cfo=cfo,
+        t_start=state.base + locs.astype(jnp.int32),
+    )
+    new_state = FlexSyncState(
+        tail=ext[ext.shape[0] - sync.overlap:],
+        mf_state=state.mf_state,
+        base=state.base + sync.block_size)
+    return new_state, res
+
+
+def make_flex_sync_step(sync: FlexSync):
+    @jax.jit
+    def step(state, block):
+        return flex_sync_block(sync, state, block)
+    return step

@@ -1,0 +1,134 @@
+"""Single-carrier flexframe / frame64 loopback tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from liquid_usrp_tpu.framing import flexframe as ff
+from liquid_usrp_tpu.framing import flexframe_sync as ffs
+from liquid_usrp_tpu.io import channel_model as chan
+from liquid_usrp_tpu.ops import crc, fec, modem
+
+BLOCK = 8192
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = ff.make_flex_params(k=2, m=7, beta=0.3)
+    sync = ffs.make_flex_sync(params, block_size=BLOCK, max_payload=512,
+                              max_frames=4)
+    step = ffs.make_flex_sync_step(sync)
+    return params, sync, step
+
+
+def _run(sync, step, stream):
+    bs = sync.block_size
+    flush = int(np.ceil(sync.overlap / bs)) + 1
+    n_blocks = -(-len(stream) // bs) + flush
+    stream = np.concatenate(
+        [stream, np.zeros(n_blocks * bs - len(stream), np.complex64)])
+    state = ffs.flex_sync_init(sync)
+    out = []
+    for b in range(n_blocks):
+        state, res = step(state, jnp.asarray(stream[b * bs:(b + 1) * bs]))
+        det = np.asarray(res.detected)
+        for i in np.nonzero(det)[0]:
+            out.append({
+                "t": int(res.t_start[i]),
+                "header_valid": bool(res.header_valid[i]),
+                "payload_valid": bool(res.payload_valid[i]),
+                "header": np.asarray(res.header[i]),
+                "payload": np.asarray(res.payload[i])[
+                    : int(res.payload_len[i])],
+                "cfo": float(res.cfo[i]),
+                "evm": float(res.evm[i]),
+            })
+    return sorted(out, key=lambda f: f["t"])
+
+
+def test_clean_loopback(setup):
+    params, sync, step = setup
+    rng = np.random.default_rng(0)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 200, dtype=np.uint8)
+    frame = np.asarray(ff.flex_assemble(params, ff.default_props(),
+                                        jnp.asarray(header),
+                                        jnp.asarray(payload)))
+    stream = np.zeros(4000 + len(frame), np.complex64)
+    stream[1234:1234 + len(frame)] = frame
+    frames = _run(sync, step, stream)
+    assert len(frames) == 1
+    f = frames[0]
+    assert f["header_valid"] and f["payload_valid"]
+    np.testing.assert_array_equal(f["header"], header)
+    np.testing.assert_array_equal(f["payload"], payload)
+
+
+@pytest.mark.parametrize("mod,fec0,fec1", [
+    (modem.MOD_QPSK, fec.FEC_NONE, fec.FEC_HAMMING128),
+    (modem.MOD_QAM16, fec.FEC_NONE, fec.FEC_GOLAY2412),
+    (modem.MOD_BPSK, fec.FEC_NONE, fec.FEC_NONE),
+    (modem.MOD_PSK8, fec.FEC_HAMMING74, fec.FEC_NONE),
+])
+def test_props_awgn_cfo(setup, mod, fec0, fec1):
+    params, sync, step = setup
+    props = ff.FrameProps(check=crc.CRC_32, fec0=fec0, fec1=fec1, mod=mod)
+    rng = np.random.default_rng(mod)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 160, dtype=np.uint8)
+    frame = np.asarray(ff.flex_assemble(params, props, jnp.asarray(header),
+                                        jnp.asarray(payload)))
+    stream = np.zeros(3000 + len(frame), np.complex64)
+    stream[777:777 + len(frame)] = frame
+    ch = chan.Channel(snr_db=25.0, cfo=0.003, phase=0.9)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(mod), jnp.asarray(stream), signal_power=1.0))
+    frames = _run(sync, step, stream)
+    assert len(frames) == 1
+    f = frames[0]
+    assert f["payload_valid"], f
+    np.testing.assert_array_equal(f["payload"], payload)
+    np.testing.assert_allclose(f["cfo"], 0.003, atol=1e-3)
+
+
+def test_frame64(setup):
+    params, sync, step = setup
+    rng = np.random.default_rng(5)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, ff.FRAME64_PAYLOAD, dtype=np.uint8)
+    frame = np.asarray(ff.frame64_assemble(params, jnp.asarray(header),
+                                           jnp.asarray(payload)))
+    assert len(frame) == ff.FRAME64_LEN
+    stream = np.zeros(2000 + len(frame), np.complex64)
+    stream[500:500 + len(frame)] = frame
+    ch = chan.Channel(snr_db=20.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(9), jnp.asarray(stream)))
+    frames = _run(sync, step, stream)
+    assert len(frames) == 1
+    assert frames[0]["payload_valid"]
+    np.testing.assert_array_equal(frames[0]["payload"], payload)
+
+
+def test_multiple_bursts(setup):
+    params, sync, step = setup
+    props = ff.default_props()
+    rng = np.random.default_rng(2)
+    stream = np.zeros(30000, np.complex64)
+    sent = []
+    pos = 900
+    for pid in range(4):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        payload = rng.integers(0, 256, 100, dtype=np.uint8)
+        frame = np.asarray(ff.flex_assemble(
+            params, props, jnp.asarray(header), jnp.asarray(payload)))
+        stream[pos:pos + len(frame)] = frame
+        sent.append((pos, payload))
+        pos += len(frame) + 1500
+    frames = _run(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 4
+    for f, (p, payload) in zip(ok, sent):
+        assert abs(f["t"] - p) <= 2
+        np.testing.assert_array_equal(f["payload"], payload)
