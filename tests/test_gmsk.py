@@ -1,0 +1,92 @@
+"""GMSK frame loopback tests (gmskframe_tx/_rx pair idiom)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from liquid_usrp_tpu.framing import gmskframe as gf
+from liquid_usrp_tpu.io import channel_model as chan
+from liquid_usrp_tpu.ops import crc, fec
+
+BLOCK = 8192
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = gf.make_gmsk_params(k=2, m=3, bt=0.5)
+    sync = gf.make_gmsk_sync(params, block_size=BLOCK, max_payload=512,
+                             max_frames=4)
+    step = gf.make_gmsk_sync_step(sync)
+    return params, sync, step
+
+
+def _run(sync, step, stream):
+    bs = sync.block_size
+    flush = int(np.ceil(sync.overlap / bs)) + 1
+    n_blocks = -(-len(stream) // bs) + flush
+    stream = np.concatenate(
+        [stream, np.zeros(n_blocks * bs - len(stream), np.complex64)])
+    state = gf.gmsk_sync_init(sync)
+    out = []
+    for b in range(n_blocks):
+        state, res = step(state, jnp.asarray(stream[b * bs:(b + 1) * bs]))
+        for i in np.nonzero(np.asarray(res.detected))[0]:
+            out.append({
+                "t": int(res.t_start[i]),
+                "header_valid": bool(res.header_valid[i]),
+                "payload_valid": bool(res.payload_valid[i]),
+                "header": np.asarray(res.header[i]),
+                "payload": np.asarray(res.payload[i])[
+                    : int(res.payload_len[i])],
+                "cfo": float(res.cfo[i]),
+            })
+    return sorted(out, key=lambda f: f["t"])
+
+
+def test_constant_envelope(setup):
+    params, _, _ = setup
+    rng = np.random.default_rng(0)
+    frame = np.asarray(gf.gmsk_assemble(
+        params, gf.gmsk_default_props(),
+        jnp.asarray(rng.integers(0, 256, 8, dtype=np.uint8)),
+        jnp.asarray(rng.integers(0, 256, 50, dtype=np.uint8))))
+    np.testing.assert_allclose(np.abs(frame), 1.0, atol=1e-5)
+
+
+def test_clean_loopback(setup):
+    params, sync, step = setup
+    rng = np.random.default_rng(1)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 200, dtype=np.uint8)
+    frame = np.asarray(gf.gmsk_assemble(params, gf.gmsk_default_props(),
+                                        jnp.asarray(header),
+                                        jnp.asarray(payload)))
+    stream = np.zeros(3000 + len(frame), np.complex64)
+    stream[1100:1100 + len(frame)] = frame
+    frames = _run(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1
+    np.testing.assert_array_equal(ok[0]["header"], header)
+    np.testing.assert_array_equal(ok[0]["payload"], payload)
+
+
+def test_awgn_cfo_loopback(setup):
+    params, sync, step = setup
+    props = gf.FrameProps(check=crc.CRC_32, fec0=fec.FEC_NONE,
+                          fec1=fec.FEC_GOLAY2412, mod=0)
+    rng = np.random.default_rng(2)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 120, dtype=np.uint8)
+    frame = np.asarray(gf.gmsk_assemble(params, props, jnp.asarray(header),
+                                        jnp.asarray(payload)))
+    stream = np.zeros(2500 + len(frame), np.complex64)
+    stream[800:800 + len(frame)] = frame
+    ch = chan.Channel(snr_db=20.0, cfo=0.002, phase=1.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(3), jnp.asarray(stream)))
+    frames = _run(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, frames
+    np.testing.assert_array_equal(ok[0]["payload"], payload)
+    np.testing.assert_allclose(ok[0]["cfo"], 0.002, atol=2e-3)
