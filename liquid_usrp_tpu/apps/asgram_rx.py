@@ -1,0 +1,59 @@
+"""asgram_rx — ASCII spectrogram (FFT waterfall) over an IQ file.
+
+CLI re-creation of /root/reference/src/asgram_rx.cc: nfft=64 default,
+-65 dB offset, 5 dB/char scale (:70-74), rows printed with peak value and
+frequency annotation (:213-224).
+"""
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.streams import read_iq
+from ..ops import spectrum as spec_mod
+from .common import apply_channel, parse_args
+
+USAGE = """asgram_rx -i in.iq [options]
+  h : usage              i : input IQ file (required)
+  n : FFT size (64)      L : rows to print (20)
+  o : dB offset (-65)    S : dB per character (5)
+"""
+
+
+def main(argv=None) -> int:
+    flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
+                          "hi:n:L:o:S:")
+    if "h" in flags:
+        print(USAGE)
+        return 0
+    path = flags.get("i")
+    if not path:
+        print(USAGE)
+        return 1
+    nfft = int(flags.get("n", 64))
+    rows = int(flags.get("L", 20))
+    offset = float(flags.get("o", -65.0))
+    scale = float(flags.get("S", 5.0))
+
+    stream = read_iq(path)
+    stream = apply_channel(stream, flags)
+    sg = spec_mod.spectrogram_create(nfft=nfft, ref_level=offset,
+                                     scale=scale)
+    n_frames = len(stream) // nfft
+    take = min(rows, n_frames)
+    stride = max(n_frames // max(take, 1), 1)
+    x = jnp.asarray(stream[: n_frames * nfft])
+    psd, peak_db, peak_f = spec_mod.spectrogram_block(sg, x)
+    psd = np.asarray(psd)
+    for r in range(take):
+        i = r * stride
+        row = spec_mod.ascii_row(sg, psd[i])
+        print("[%s] peak: %6.1f dB @ f=%+.3f" %
+              (row, float(peak_db[i]), float(peak_f[i])))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""Shared app plumbing: getopt-compatible flags, radio-rate math, stats.
+
+The reference apps share informal getopt conventions (SURVEY.md §5): ``f``
+carrier freq, ``b`` bandwidth, ``g``/``G`` soft/hardware gain, ``M/C/T``
+OFDM dims, ``m/c/k`` mod/inner-FEC/outer-FEC, ``t`` runtime, ``N`` frames,
+``P`` payload bytes, ``n`` channels-or-payload, ``q/v`` quiet/verbose.
+These are preserved; hardware I/O flags are joined by ``-o/-i`` IQ file
+endpoints and ``--snr/--cfo`` virtual-channel impairments (the air
+replacement; per BASELINE.json USRP I/O becomes file/synthetic streams).
+"""
+from __future__ import annotations
+
+import getopt as _getopt
+import sys
+
+import numpy as np
+
+from ..ops import fec as fec_mod
+from ..ops import modem as modem_mod
+
+__all__ = ["parse_args", "print_usage_schemes", "RxStats", "apply_channel"]
+
+
+def parse_args(argv, optstring: str, long_opts=None):
+    """getopt wrapper returning (dict, positional).  Last flag wins."""
+    opts, rest = _getopt.getopt(argv, optstring,
+                                long_opts or ["snr=", "cfo=", "delay=",
+                                              "seed="])
+    d = {}
+    for k, v in opts:
+        d[k.lstrip("-")] = v
+    return d, rest
+
+
+def print_usage_schemes(file=None):
+    """List supported mod/FEC names (the liquid_print_*_schemes surface)."""
+    file = file if file is not None else sys.stdout
+    print("  modulation schemes:", " ".join(modem_mod.mod_names()),
+          file=file)
+    print("  FEC schemes:", " ".join(fec_mod.fec_names()), file=file)
+
+
+def apply_channel(stream: np.ndarray, flags: dict, seed: int = 0,
+                  signal_power: float = 1.0) -> np.ndarray:
+    """Apply --snr/--cfo/--delay virtual-air impairments if requested."""
+    snr = float(flags.get("snr", 1000.0))
+    cfo = float(flags.get("cfo", 0.0))
+    delay = int(flags.get("delay", 0))
+    if snr >= 1000.0 and cfo == 0.0 and delay == 0:
+        return stream
+    import jax
+    import jax.numpy as jnp
+    from ..io.channel_model import Channel, channel_apply
+    ch = Channel(snr_db=min(snr, 99.0), cfo=cfo, delay=delay)
+    key = jax.random.PRNGKey(int(flags.get("seed", seed)))
+    return np.asarray(channel_apply(ch, key, jnp.asarray(stream),
+                                    signal_power=signal_power))
+
+
+class RxStats:
+    """Aggregate counters + the reference's end-of-run report format
+    (/root/reference/src/ofdmflexframe_rx.cc:187-199)."""
+
+    def __init__(self):
+        self.num_frames_detected = 0
+        self.num_valid_headers = 0
+        self.num_valid_packets = 0
+        self.num_bytes_received = 0
+
+    def update(self, frame: dict):
+        self.num_frames_detected += 1
+        if frame["header_valid"]:
+            self.num_valid_headers += 1
+        if frame["payload_valid"]:
+            self.num_valid_packets += 1
+            self.num_bytes_received += frame["payload_len"]
+
+    def report(self, runtime_s: float, file=None):
+        file = file if file is not None else sys.stdout
+        d = max(self.num_frames_detected, 1)
+        print("    frames detected     : %6u" % self.num_frames_detected,
+              file=file)
+        print("    valid headers       : %6u (%6.2f%%)" %
+              (self.num_valid_headers, 100.0 * self.num_valid_headers / d),
+              file=file)
+        print("    valid packets       : %6u (%6.2f%%)" %
+              (self.num_valid_packets, 100.0 * self.num_valid_packets / d),
+              file=file)
+        print("    bytes received      : %6u" % self.num_bytes_received,
+              file=file)
+        print("    run time            : %f s" % runtime_s, file=file)
+        if runtime_s > 0:
+            print("    data rate           : %12.8f kbps" %
+                  (8.0 * self.num_bytes_received / runtime_s * 1e-3),
+                  file=file)

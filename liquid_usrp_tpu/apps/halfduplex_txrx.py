@@ -1,0 +1,91 @@
+"""halfduplex_txrx — stop-and-wait ARQ over a virtual air loopback.
+
+CLI re-creation of /root/reference/src/halfduplex_txrx.cc: transmit a
+packet, listen for the echoed/acked frame with a timeout, retry on miss
+(:196-206; 50 ms ACK timeout :107 becomes a retry budget here).  Two
+OfdmTxRx endpoints share a virtual air with optional impairments.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..models.ofdmtxrx import OfdmTxRx
+from .common import apply_channel, parse_args
+
+USAGE = """halfduplex_txrx [options]
+  h : usage                     N : packets (5)
+  P : payload bytes (64)        M : subcarriers (48)
+  C : cyclic prefix (6)         R : max retries per packet (3)
+  q : quiet
+  --snr/--cfo : virtual air impairments
+"""
+
+
+def main(argv=None) -> int:
+    flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
+                          "hN:P:M:C:R:q")
+    if "h" in flags:
+        print(USAGE)
+        return 0
+    num_packets = int(flags.get("N", 5))
+    P = int(flags.get("P", 64))
+    M = int(flags.get("M", 48))
+    cp = int(flags.get("C", 6))
+    retries = int(flags.get("R", 3))
+    verbose = "q" not in flags
+    rng = np.random.default_rng(11)
+
+    node_a = OfdmTxRx(M=M, cp_len=cp, taper_len=min(4, cp),
+                      max_payload=max(P, 64))
+    node_b = OfdmTxRx(M=M, cp_len=cp, taper_len=min(4, cp),
+                      max_payload=max(P, 64))
+    node_b.start_rx()
+    node_a.start_rx()
+
+    delivered = 0
+    attempts = 0
+    for pid in range(num_packets):
+        header = np.empty(8, np.uint8)
+        header[0] = (pid >> 8) & 0xFF
+        header[1] = pid & 0xFF
+        header[2:] = rng.integers(0, 256, 6, dtype=np.uint8)
+        payload = rng.integers(0, 256, P, dtype=np.uint8)
+        got_ack = False
+        for attempt in range(retries + 1):
+            attempts += 1
+            air = node_a.transmit_packet(header, payload)
+            node_a.drain_tx()
+            air = apply_channel(air, flags, seed=pid * 10 + attempt,
+                                signal_power=float(
+                                    np.mean(np.abs(air) ** 2)) or 1.0)
+            frames = node_b.run_rx(air, flush=True)
+            rx_ok = any(f["header_valid"] for f in frames)
+            if not rx_ok:
+                continue
+            # B acks by echoing the header back to A
+            ack = node_b.transmit_packet(header, np.zeros(1, np.uint8))
+            node_b.drain_tx()
+            ack = apply_channel(ack, flags, seed=pid * 10 + attempt + 5000,
+                                signal_power=float(
+                                    np.mean(np.abs(ack) ** 2)) or 1.0)
+            acks = node_a.run_rx(ack, flush=True)
+            if any(f["header_valid"] and
+                   (int(f["header"][0]) << 8 | int(f["header"][1])) == pid
+                   for f in acks):
+                got_ack = True
+                break
+        if got_ack:
+            delivered += 1
+        if verbose:
+            print("  packet %3d: %s (%d attempt%s)" %
+                  (pid, "delivered" if got_ack else "LOST", attempt + 1,
+                   "s" if attempt else ""))
+    print("halfduplex_txrx: %d/%d delivered, %d transmissions" %
+          (delivered, num_packets, attempts))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""rssi — receive-power meter over an IQ file.
+
+CLI re-creation of /root/reference/src/rssi.cc: AGC tracking (bandwidth
+0.01, :115-116), periodic RSSI printout (:200-203), ring-logged rssi/IQ and
+an executable octave plot script dump on exit (:217-247).
+"""
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.streams import read_iq
+from ..ops import agc as agc_mod
+from ..ops import window as window_mod
+from .common import apply_channel, parse_args
+
+USAGE = """rssi -i in.iq [options]
+  h : usage              i : input IQ file (required)
+  b : AGC bandwidth (0.01)
+  L : print interval in samples (10000)
+  o : octave dump file (optional, e.g. rssi_log.m)
+"""
+
+
+def main(argv=None) -> int:
+    flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
+                          "hi:b:L:o:")
+    if "h" in flags:
+        print(USAGE)
+        return 0
+    path = flags.get("i")
+    if not path:
+        print(USAGE)
+        return 1
+    bw = float(flags.get("b", 0.01))
+    interval = int(flags.get("L", 10000))
+    dump = flags.get("o")
+
+    stream = read_iq(path)
+    stream = apply_channel(stream, flags)
+    state = agc_mod.agc_init(bandwidth=bw)
+    rssi_log = window_mod.ring_init(1024, dtype=jnp.float32)
+    iq_log = window_mod.ring_init(1024)
+    printed = 0
+    block = 4096
+    for i in range(0, len(stream) - block + 1, block):
+        x = jnp.asarray(stream[i:i + block])
+        state, y, level, rssi = agc_mod.agc_block(state, x)
+        rssi_log = window_mod.ring_push(rssi_log, rssi[::16])
+        iq_log = window_mod.ring_push(iq_log, x[::16])
+        while printed + interval <= i + block:
+            printed += interval
+            j = printed - i - 1
+            if 0 <= j < block:
+                print("  rssi = %8.2f dB" % float(rssi[j]))
+    if dump:
+        r = np.asarray(window_mod.ring_read(rssi_log))
+        q = np.asarray(window_mod.ring_read(iq_log))
+        with open(dump, "w") as f:
+            f.write("%% auto-generated rssi log (octave)\nclear all;\n")
+            f.write("rssi = [" + " ".join("%.3f" % v for v in r) + "];\n")
+            f.write("x = [" + " ".join(
+                "(%.5f+%.5fj)" % (v.real, v.imag) for v in q) + "];\n")
+            f.write("figure; plot(rssi); ylabel('RSSI [dB]');\n")
+        print(f"octave log written to {dump}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
