@@ -1,0 +1,132 @@
+"""ctypes binding for the native IQ stream engine (native/iqstream.cc).
+
+The C++ engine provides CF32/SC16 file I/O with a double-buffered
+background reader thread — the native runtime analog of the reference's
+UHD transport + RX worker pthread.  Falls back to the pure-NumPy
+:mod:`liquid_usrp_tpu.io.streams` when the shared library is absent; the
+library is built lazily on first use if a toolchain is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["available", "read_file", "write_file", "NativeReader",
+           "FORMAT_CF32", "FORMAT_SC16"]
+
+FORMAT_CF32 = 0
+FORMAT_SC16 = 1
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libiqstream.so"))
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.iq_reader_open.restype = ctypes.c_void_p
+    lib.iq_reader_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                   ctypes.c_size_t]
+    lib.iq_reader_next.restype = ctypes.c_size_t
+    lib.iq_reader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.iq_reader_close.argtypes = [ctypes.c_void_p]
+    lib.iq_file_size_samples.restype = ctypes.c_size_t
+    lib.iq_file_size_samples.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.iq_read_file.restype = ctypes.c_size_t
+    lib.iq_read_file.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                 ctypes.c_void_p, ctypes.c_size_t]
+    lib.iq_write_file.restype = ctypes.c_int
+    lib.iq_write_file.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                  ctypes.c_void_p, ctypes.c_size_t]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_file(path: str, fmt: int = FORMAT_CF32) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from .streams import read_iq
+        return read_iq(path)
+    n = lib.iq_file_size_samples(path.encode(), fmt)
+    buf = np.empty(2 * n, dtype=np.float32)
+    got = lib.iq_read_file(path.encode(), fmt,
+                           buf.ctypes.data_as(ctypes.c_void_p), n)
+    buf = buf[: 2 * got]
+    return (buf[0::2] + 1j * buf[1::2]).astype(np.complex64)
+
+
+def write_file(path: str, samples: np.ndarray,
+               fmt: int = FORMAT_CF32) -> None:
+    lib = _load()
+    samples = np.asarray(samples, dtype=np.complex64)
+    inter = np.empty(2 * samples.size, dtype=np.float32)
+    inter[0::2] = samples.real
+    inter[1::2] = samples.imag
+    if lib is None:
+        if fmt != FORMAT_CF32:
+            raise RuntimeError("SC16 output requires the native engine")
+        from .streams import write_iq
+        write_iq(path, samples)
+        return
+    rc = lib.iq_write_file(path.encode(), fmt,
+                           inter.ctypes.data_as(ctypes.c_void_p),
+                           samples.size)
+    if rc != 0:
+        raise IOError(f"iq_write_file failed for {path}")
+
+
+class NativeReader:
+    """Double-buffered block reader (background prefetch thread in C++)."""
+
+    def __init__(self, path: str, block_samples: int,
+                 fmt: int = FORMAT_CF32):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native iqstream library unavailable")
+        self._lib = lib
+        self._h = lib.iq_reader_open(path.encode(), fmt, block_samples)
+        if not self._h:
+            raise IOError(f"cannot open {path}")
+        self._block = block_samples
+        self._buf = np.empty(2 * block_samples, dtype=np.float32)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._h is None:
+            raise StopIteration
+        n = self._lib.iq_reader_next(
+            self._h, self._buf.ctypes.data_as(ctypes.c_void_p))
+        if n == 0:
+            self.close()
+            raise StopIteration
+        out = (self._buf[: 2 * n][0::2] +
+               1j * self._buf[: 2 * n][1::2]).astype(np.complex64)
+        if n < self._block:
+            self.close()
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.iq_reader_close(self._h)
+            self._h = None

@@ -1,0 +1,197 @@
+// iqstream — native IQ stream I/O engine for the TPU SDR framework.
+//
+// Plays the role UHD's device transport plays in the reference
+// (/root/reference/lib/ofdmtxrx.cc:96-97 send/recv paths): moving complex
+// sample blocks between storage/wire formats and the host buffers that feed
+// the device, off the Python hot path.  Supports the two on-disk formats the
+// framework uses plus the USRP over-the-wire format:
+//
+//   * CF32: interleaved float32 I/Q (the framework's .iq/.dat/.cfile)
+//   * SC16: interleaved int16 I/Q (UHD's over-the-wire format; the
+//     reference always converts at the driver boundary)
+//
+// A background reader thread double-buffers file blocks ahead of the
+// consumer (the pipeline-parallel stage the reference implements with its
+// RX worker pthread, lib/ofdmtxrx.cc:554-636).
+//
+// C ABI only (consumed via ctypes from liquid_usrp_tpu.io.native).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr float kSc16Scale = 32767.0f;
+
+struct Block {
+  std::vector<float> data;  // interleaved I/Q, 2 * n_samples floats
+  size_t n_samples = 0;
+  bool eof = false;
+};
+
+struct Reader {
+  FILE* f = nullptr;
+  int format = 0;  // 0 = CF32, 1 = SC16
+  size_t block_samples = 0;
+  // double buffer
+  Block slots[2];
+  int next_fill = 0;
+  int next_read = 0;
+  std::atomic<int> filled{0};
+  std::mutex mu;
+  std::condition_variable cv_fill, cv_read;
+  std::thread worker;
+  std::atomic<bool> stop{false};
+
+  void fill_loop() {
+    std::vector<int16_t> tmp;
+    for (;;) {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_fill.wait(lk, [&] { return filled.load() < 2 || stop.load(); });
+      if (stop.load()) return;
+      Block& b = slots[next_fill];
+      lk.unlock();
+
+      b.data.resize(2 * block_samples);
+      size_t got = 0;
+      if (format == 0) {
+        got = fread(b.data.data(), sizeof(float) * 2, block_samples, f);
+      } else {
+        tmp.resize(2 * block_samples);
+        got = fread(tmp.data(), sizeof(int16_t) * 2, block_samples, f);
+        for (size_t i = 0; i < 2 * got; i++) {
+          b.data[i] = static_cast<float>(tmp[i]) / kSc16Scale;
+        }
+      }
+      b.n_samples = got;
+      b.eof = (got < block_samples);
+
+      lk.lock();
+      next_fill ^= 1;
+      filled.fetch_add(1);
+      cv_read.notify_one();
+      if (b.eof) return;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- streaming double-buffered reader ----
+
+void* iq_reader_open(const char* path, int format, size_t block_samples) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* r = new Reader();
+  r->f = f;
+  r->format = format;
+  r->block_samples = block_samples;
+  r->worker = std::thread([r] { r->fill_loop(); });
+  return r;
+}
+
+// Returns samples read into out (interleaved float I/Q, capacity
+// 2*block_samples floats); 0 at EOF.
+size_t iq_reader_next(void* h, float* out) {
+  auto* r = static_cast<Reader*>(h);
+  std::unique_lock<std::mutex> lk(r->mu);
+  r->cv_read.wait(lk, [&] { return r->filled.load() > 0; });
+  Block& b = r->slots[r->next_read];
+  size_t n = b.n_samples;
+  memcpy(out, b.data.data(), 2 * n * sizeof(float));
+  bool eof = b.eof;
+  r->next_read ^= 1;
+  r->filled.fetch_sub(1);
+  r->cv_fill.notify_one();
+  if (eof) r->stop.store(true);
+  return n;
+}
+
+void iq_reader_close(void* h) {
+  auto* r = static_cast<Reader*>(h);
+  {
+    std::lock_guard<std::mutex> lk(r->mu);
+    r->stop.store(true);
+    r->filled.store(0);
+    r->cv_fill.notify_all();
+  }
+  if (r->worker.joinable()) r->worker.join();
+  fclose(r->f);
+  delete r;
+}
+
+// ---- one-shot bulk conversion / file I/O ----
+
+size_t iq_file_size_samples(const char* path, int format) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 0;
+  fseek(f, 0, SEEK_END);
+  long bytes = ftell(f);
+  fclose(f);
+  return static_cast<size_t>(bytes) /
+         (format == 0 ? 2 * sizeof(float) : 2 * sizeof(int16_t));
+}
+
+size_t iq_read_file(const char* path, int format, float* out,
+                    size_t max_samples) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 0;
+  size_t got;
+  if (format == 0) {
+    got = fread(out, 2 * sizeof(float), max_samples, f);
+  } else {
+    std::vector<int16_t> tmp(2 * max_samples);
+    got = fread(tmp.data(), 2 * sizeof(int16_t), max_samples, f);
+    for (size_t i = 0; i < 2 * got; i++)
+      out[i] = static_cast<float>(tmp[i]) / kSc16Scale;
+  }
+  fclose(f);
+  return got;
+}
+
+int iq_write_file(const char* path, int format, const float* data,
+                  size_t n_samples) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  size_t put;
+  if (format == 0) {
+    put = fwrite(data, 2 * sizeof(float), n_samples, f);
+  } else {
+    std::vector<int16_t> tmp(2 * n_samples);
+    for (size_t i = 0; i < 2 * n_samples; i++) {
+      float v = data[i] * kSc16Scale;
+      if (v > 32767.0f) v = 32767.0f;
+      if (v < -32768.0f) v = -32768.0f;
+      tmp[i] = static_cast<int16_t>(v);
+    }
+    put = fwrite(tmp.data(), 2 * sizeof(int16_t), n_samples, f);
+  }
+  fclose(f);
+  return put == n_samples ? 0 : -1;
+}
+
+// ---- sc16 <-> cf32 buffer converters (wire-format boundary) ----
+
+void iq_sc16_to_cf32(const int16_t* in, float* out, size_t n_samples) {
+  for (size_t i = 0; i < 2 * n_samples; i++)
+    out[i] = static_cast<float>(in[i]) / kSc16Scale;
+}
+
+void iq_cf32_to_sc16(const float* in, int16_t* out, size_t n_samples) {
+  for (size_t i = 0; i < 2 * n_samples; i++) {
+    float v = in[i] * kSc16Scale;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    out[i] = static_cast<int16_t>(v);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,49 @@
+"""Native IQ stream engine tests (C++ via ctypes)."""
+import numpy as np
+import pytest
+
+from liquid_usrp_tpu.io import native, streams
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    return True
+
+
+def _rand_iq(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+
+
+def test_cf32_roundtrip(tmp_path, lib_ok):
+    x = _rand_iq(1000)
+    p = str(tmp_path / "a.iq")
+    native.write_file(p, x)
+    back = native.read_file(p)
+    np.testing.assert_array_equal(back, x)
+    # interoperable with the NumPy path
+    np.testing.assert_array_equal(streams.read_iq(p), x)
+
+
+def test_sc16_roundtrip(tmp_path, lib_ok):
+    # keep |I|,|Q| < 1.0: SC16 full scale clips at +-1
+    rng = np.random.default_rng(1)
+    x = (rng.uniform(-0.9, 0.9, 512) +
+         1j * rng.uniform(-0.9, 0.9, 512)).astype(np.complex64)
+    p = str(tmp_path / "a.sc16")
+    native.write_file(p, x, fmt=native.FORMAT_SC16)
+    back = native.read_file(p, fmt=native.FORMAT_SC16)
+    np.testing.assert_allclose(back, x, atol=1.0 / 32767 * 2)
+
+
+def test_block_reader(tmp_path, lib_ok):
+    x = _rand_iq(10000, seed=3)
+    p = str(tmp_path / "b.iq")
+    native.write_file(p, x)
+    got = []
+    for blk in native.NativeReader(p, 4096):
+        got.append(blk)
+    out = np.concatenate(got)
+    np.testing.assert_array_equal(out, x)
