@@ -210,10 +210,25 @@ def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
     metric, c, c1, c2 = _preamble_corr(sync, mf, region + 1)
     detected, locs = _find_candidates(sync, metric[:region])
 
-    decode = jax.vmap(
-        lambda n0: _decode_candidate(sync, mf, metric, n0, c1[n0], c2[n0]))
+    K = sync.max_frames
+
+    def do_decode(locs_):
+        return jax.vmap(
+            lambda n0: _decode_candidate(sync, mf, metric, n0, c1[n0],
+                                         c2[n0]))(locs_)
+
+    def skip_decode(locs_):
+        f32 = jnp.float32
+        return (jnp.zeros((K, 8), jnp.uint8),
+                jnp.zeros((K, sync.max_payload), jnp.uint8),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), bool),
+                jnp.zeros((K,), bool), jnp.zeros((K,), f32),
+                jnp.zeros((K,), f32), jnp.zeros((K,), f32))
+
     (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
-     cfo) = decode(locs)
+     cfo) = jax.lax.cond(jnp.any(detected), do_decode, skip_decode, locs)
 
     res = FlexResults(
         detected=detected,

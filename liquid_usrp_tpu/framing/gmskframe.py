@@ -239,8 +239,21 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
         return (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid,
                 rssi, evm, cfo_rad)
 
+    K = sync.max_frames
+
+    def skip_decode(locs_):
+        f32 = jnp.float32
+        return (jnp.zeros((K, 8), jnp.uint8),
+                jnp.zeros((K, sync.max_payload), jnp.uint8),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), bool),
+                jnp.zeros((K,), bool), jnp.zeros((K,), f32),
+                jnp.zeros((K,), f32), jnp.zeros((K,), f32))
+
     (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid, rssi, evm,
-     cfo) = jax.vmap(decode)(locs)
+     cfo) = jax.lax.cond(jnp.any(detected),
+                         lambda l: jax.vmap(decode)(l), skip_decode, locs)
 
     res = FlexResults(
         detected=detected,

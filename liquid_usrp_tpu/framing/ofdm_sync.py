@@ -279,10 +279,29 @@ def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
     detected, locs = _find_candidates(sync, metric)
     c_at = c[jnp.clip(locs, 0, c.shape[0] - 1)]
 
-    decode = jax.vmap(lambda n0, ca: _decode_candidate(sync, ext, n0, ca),
-                      in_axes=(0, 0))
+    # Gate the whole candidate-decode graph on "anything detected": RX
+    # streams are mostly idle noise, and lax.cond skips the expensive
+    # refine/EQ/FEC work entirely for empty blocks.
+    K = sync.max_frames
+
+    def do_decode(args):
+        locs_, c_at_ = args
+        return jax.vmap(lambda n0, ca: _decode_candidate(sync, ext, n0, ca),
+                        in_axes=(0, 0))(locs_, c_at_)
+
+    def skip_decode(args):
+        f32 = jnp.float32
+        return (jnp.zeros((K, 8), jnp.uint8),
+                jnp.zeros((K, sync.max_payload), jnp.uint8),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), bool),
+                jnp.zeros((K,), bool), jnp.zeros((K,), f32),
+                jnp.zeros((K,), f32), jnp.zeros((K,), f32))
+
     (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
-     cfo) = decode(locs, c_at)
+     cfo) = jax.lax.cond(jnp.any(detected), do_decode, skip_decode,
+                         (locs, c_at))
 
     res = FrameResults(
         detected=detected,
