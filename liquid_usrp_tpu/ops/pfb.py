@@ -43,7 +43,9 @@ __all__ = [
 class Pfbch(NamedTuple):
     M: int                 # number of channels (= frames size)
     P: int                 # taps per polyphase branch (2*m)
-    h_pol: jnp.ndarray     # [P, M] float32, h_pol[q, p] = h[q*M + p]
+    h_pol: np.ndarray      # [P, M] float32, h_pol[q, p] = h[q*M + p]
+    # NOTE: NumPy on purpose — device constants are materialized at trace
+    # time (an eagerly-created jnp closure constant breaks some backends)
 
 
 class PfbchState(NamedTuple):
@@ -54,8 +56,8 @@ def pfbch_create(num_channels: int, m: int = 7, As: float = 60.0) -> Pfbch:
     M = num_channels
     h = pfb_channelizer_prototype(M, m, As)          # length 2*M*m
     P = 2 * m
-    h_pol = h.reshape(P, M)
-    return Pfbch(M=M, P=P, h_pol=jnp.asarray(h_pol, dtype=jnp.float32))
+    h_pol = h.reshape(P, M).astype(np.float32)
+    return Pfbch(M=M, P=P, h_pol=h_pol)
 
 
 def pfbch_state(ch: Pfbch) -> PfbchState:
@@ -68,10 +70,11 @@ def _branch_filter(ch: Pfbch, state_frames: jnp.ndarray,
     """Per-branch FIR along the frame axis: ``u[n,p] = sum_q hq[p] f[n-q,p]``."""
     ext = jnp.concatenate([state_frames, frames], axis=0)  # [P-1+n, M]
     n = frames.shape[0]
+    h = jnp.asarray(ch.h_pol)
     u = jnp.zeros_like(frames)
     for q in range(ch.P):  # P is small (14-26): unrolled FMA chain, XLA-fused
-        u = u + ch.h_pol[q][None, :].astype(frames.dtype) * \
-            jax.lax.dynamic_slice_in_dim(ext, ch.P - 1 - q, n, axis=0)
+        u = u + h[q][None, :].astype(frames.dtype) * \
+            ext[ch.P - 1 - q: ch.P - 1 - q + n]
     return u
 
 

@@ -50,12 +50,11 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 class Resamp2(NamedTuple):
-    taps: jnp.ndarray  # [4m+1] float32 half-band
+    taps: np.ndarray   # [4m+1] float32 half-band (NumPy: converted at trace)
 
 
 def resamp2_create(m: int = 7, As: float = 60.0) -> Resamp2:
-    return Resamp2(taps=jnp.asarray(halfband_kaiser(m, As),
-                                    dtype=jnp.float32))
+    return Resamp2(taps=halfband_kaiser(m, As).astype(np.float32))
 
 
 def resamp2_state(r2: Resamp2) -> FirState:
@@ -68,7 +67,7 @@ def resamp2_decim_state(r2: Resamp2) -> FirState:
 
 def resamp2_interp_block(r2: Resamp2, state: FirState, x: jnp.ndarray):
     """2x interpolation: ``[N] -> [2N]`` (unit passband gain)."""
-    state, y = firinterp_block(r2.taps * 2.0, 2, state, x)
+    state, y = firinterp_block(jnp.asarray(r2.taps) * 2.0, 2, state, x)
     return state, y
 
 
@@ -79,7 +78,7 @@ def resamp2_decim_block(r2: Resamp2, state: FirState, x: jnp.ndarray):
     decim cascade has integer group delay (2m+... samples), not a
     half-sample offset.
     """
-    state, full = fir_block(r2.taps, state, x)
+    state, full = fir_block(jnp.asarray(r2.taps), state, x)
     return state, full[::2]
 
 
@@ -88,7 +87,7 @@ def resamp2_decim_block(r2: Resamp2, state: FirState, x: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 class Resamp(NamedTuple):
-    pfb: jnp.ndarray      # [npfb + 1, P] float32 (extra row for lerp wrap)
+    pfb: np.ndarray       # [npfb + 1, P] float32 (extra row for lerp wrap)
     npfb: int
     P: int                # taps per phase
     # exact rational timing: input advances p_num/q_den per output sample
@@ -127,7 +126,7 @@ def resamp_create(rate: float, m: int = 7, fc: float = 0.45,
     stride = Fraction(frac.denominator, frac.numerator)
     a, b, q = (stride.numerator // stride.denominator,
                stride.numerator % stride.denominator, stride.denominator)
-    return Resamp(pfb=jnp.asarray(pfb, dtype=jnp.float32), npfb=npfb, P=P,
+    return Resamp(pfb=pfb.astype(np.float32), npfb=npfb, P=P,
                   a=a, b=b, q=q, rate=float(frac))
 
 
@@ -166,7 +165,8 @@ def resamp_block(rs: Resamp, state: ResampState, x: jnp.ndarray):
     ph = frac * rs.npfb
     ph_lo = jnp.floor(ph).astype(jnp.int32)
     w = (ph - ph_lo)[:, None]
-    h = rs.pfb[ph_lo] * (1.0 - w) + rs.pfb[ph_lo + 1] * w  # [max_out, P]
+    pfb = jnp.asarray(rs.pfb)
+    h = pfb[ph_lo] * (1.0 - w) + pfb[ph_lo + 1] * w  # [max_out, P]
     y = jnp.sum(windows * h.astype(ext.dtype), axis=-1)
     y = jnp.where(valid, y, 0.0)
 

@@ -23,7 +23,7 @@ __all__ = ["Spectrogram", "spectrogram_create", "spectrogram_block",
 
 class Spectrogram(NamedTuple):
     nfft: int
-    window: jnp.ndarray      # [nfft] float32
+    window: np.ndarray       # [nfft] float32 (NumPy: converted at trace)
     ref_level: float         # dB offset (reference's -65 dBm-ish default)
     scale: float             # dB per character
 
@@ -32,7 +32,7 @@ def spectrogram_create(nfft: int = 64, ref_level: float = -65.0,
                        scale: float = 5.0) -> Spectrogram:
     # Hamming window (smooth sidelobe floor for a 64-pt display FFT)
     w = np.hamming(nfft).astype(np.float32)
-    return Spectrogram(nfft=nfft, window=jnp.asarray(w),
+    return Spectrogram(nfft=nfft, window=w,
                        ref_level=ref_level, scale=scale)
 
 
@@ -44,7 +44,7 @@ def spectrogram_block(sg: Spectrogram, x: jnp.ndarray):
     cycles/sample in [-0.5, 0.5).
     """
     nfft = sg.nfft
-    frames = x.reshape(-1, nfft) * sg.window.astype(x.dtype)
+    frames = x.reshape(-1, nfft) * jnp.asarray(sg.window).astype(x.dtype)
     spec = jnp.fft.fftshift(jnp.fft.fft(frames, axis=-1), axes=-1)
     psd = 20.0 * jnp.log10(jnp.maximum(jnp.abs(spec), 1e-12) /
                            jnp.sqrt(nfft))
