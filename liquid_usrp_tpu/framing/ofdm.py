@@ -33,6 +33,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,7 +51,8 @@ from .payload import (HEADER_BPS as _HEADER_BPS,
 
 __all__ = [
     "OfdmParams", "FrameProps", "make_ofdm_params", "default_props",
-    "assemble_frame", "frame_length", "payload_symbol_count",
+    "assemble_frame", "assemble_frames", "frame_length",
+    "payload_symbol_count",
     "HEADER_USER_BYTES",
 ]
 
@@ -271,3 +273,16 @@ def assemble_frame(params: OfdmParams, props: FrameProps,
         jnp.tile(jnp.asarray(params.s0_time), NUM_S0),
         jnp.asarray(params.s1_time)])
     return jnp.concatenate([preamble, body])
+
+
+def assemble_frames(params: OfdmParams, props: FrameProps,
+                    headers: jnp.ndarray, payloads: jnp.ndarray):
+    """Batched assembly: ``[B, 8]`` headers + ``[B, P]`` payloads ->
+    ``[B, frame_length]``.
+
+    The frame-batch (DP) axis of SURVEY.md §2.2: frames are independent
+    given per-frame params, so a whole batch is generated in one vmapped
+    graph and the batch axis shards across devices for throughput.
+    """
+    return jax.vmap(lambda h, p: assemble_frame(params, props, h, p))(
+        headers, payloads)

@@ -57,7 +57,8 @@ class OfdmTxRx:
 
     def __init__(self, M: int = 48, cp_len: int = 6, taper_len: int = 4,
                  callback: Optional[Callable] = None,
-                 block_size: int = 16384, max_payload: int = 2048):
+                 block_size: int = 16384, max_payload: int = 2048,
+                 rx_transform: Optional[Callable] = None):
         # ctor validation mirrors lib/ofdmtxrx.cc:60-69
         if M < 8:
             raise ValueError("number of subcarriers must be at least 8")
@@ -74,6 +75,11 @@ class OfdmTxRx:
         self._step = ofdm_sync.make_sync_step(self._sync)
         self._rx_state = ofdm_sync.sync_init(self._sync)
         self._rx_running = False
+        # pluggable mid-pipeline transform between recv and sync — the
+        # functional replacement for the reference's blocking-RX 3-condvar
+        # handshake that lets a third thread mutate the rx buffer
+        # (/root/reference/lib/ofdmtxrx.cc:642-739)
+        self.rx_transform = rx_transform
         self._tx_buffer: list[np.ndarray] = []
         # partial-frame assembly (write_symbol surface)
         self._assembled: Optional[np.ndarray] = None
@@ -199,6 +205,8 @@ class OfdmTxRx:
         frames = []
         for b in range(n_blocks):
             blk = jnp.asarray(samples[b * bs:(b + 1) * bs])
+            if self.rx_transform is not None:
+                blk = jnp.asarray(self.rx_transform(blk))
             self._rx_state, res = self._step(self._rx_state, blk)
             det = np.asarray(res.detected)
             for i in np.nonzero(det)[0]:

@@ -167,3 +167,104 @@ def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
         return jax.tree.map(fix, res)        # leaves [N, rows, ...]
 
     return run
+
+
+def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
+                          sync: ofdm_sync.OfdmSync, chunk_blocks: int):
+    """All-to-all sharded multichannel receiver (no duplicated channelizer).
+
+    The refinement of :func:`make_sharded_mcrx` for the >=80% scaling
+    target (SURVEY.md §7 hard part 5): the mixture is split into
+    ``n_time * n_ch`` *fine* time chunks over the flattened mesh so every
+    device channelizes distinct samples (only a filter-memory halo is
+    duplicated), then one ``all_to_all`` over the ``channel`` axis reshards
+    channelizer output -> per-channel streams (the sequence<->heads
+    transpose of the SDR domain), a ``ppermute`` over ``time`` provides the
+    synchronizer overlap, and each device syncs its channel subset.
+
+    Input: mixture ``[n_time * n_ch * chunk_blocks * block_size * 2N]``
+    sharded over the flattened ``(time, channel)`` axes; output like
+    :func:`make_sharded_mcrx` (leaves ``[N, rows, ...]``).
+    """
+    N = num_channels
+    n_time = mesh.shape["time"]
+    n_ch = mesh.shape["channel"]
+    if N % n_ch:
+        raise ValueError(f"{N} channels not divisible by {n_ch} shards")
+    N_loc = N // n_ch
+    chz = pfb_mod.pfbch_create(2 * N, m=7, As=60.0)
+    B_sub = sync.block_size * chunk_blocks      # channel-samples, fine chunk
+    B_grp = B_sub * n_ch                        # channel-samples per time row
+    halo = sync.overlap                         # sync overlap (channel-samp)
+    ana_halo = 4 * chz.P                        # analysis filter memory
+    if B_grp < halo:
+        raise ValueError(
+            f"time-row chunk ({B_grp}) must cover the sync halo ({halo})")
+    mix_sub = 2 * N * B_sub
+    freq = -_center_offset(N)
+
+    def shard_fn(x_local):
+        x_local = x_local.reshape(-1)            # [mix_sub]
+        t_idx = jax.lax.axis_index("time")
+        c_idx = jax.lax.axis_index("channel")
+        flat = t_idx * n_ch + c_idx              # fine chunk index
+
+        # analysis halo from the combined-order left neighbor
+        n_dev = n_time * n_ch
+        tail = x_local[mix_sub - 2 * N * ana_halo:]
+        left = jax.lax.ppermute(
+            tail, ("time", "channel"),
+            [(i, i + 1) for i in range(n_dev - 1)])
+        ext = jnp.concatenate([left, x_local])
+
+        g0 = (flat * mix_sub - 2 * N * ana_halo).astype(jnp.float32)
+        nco0 = nco_mod.NcoState(
+            phase=jnp.mod(freq * g0, 2 * np.pi).astype(jnp.float32),
+            freq=jnp.float32(freq))
+        _, mixed = nco_mod.nco_mix_block(nco0, ext, up=True)
+        _, X = pfb_mod.pfb_analyze_block(chz, pfb_mod.pfbch_state(chz),
+                                         mixed)
+        X = X[ana_halo:]                         # [B_sub, 2N] valid frames
+        chans = X[:, :N]                         # [B_sub, N]
+
+        # reshard: channels split over 'channel', fine-time gathered.
+        # split axis 1 into n_ch groups, concatenate received pieces along
+        # axis 0 (the c-ordered fine chunks of this time row).
+        grp = jax.lax.all_to_all(
+            chans.reshape(B_sub, n_ch, N_loc), "channel",
+            split_axis=1, concat_axis=0, tiled=False)
+        # grp: [n_ch(=fine chunks in c order), B_sub, N_loc] -> time-major
+        streams = grp.reshape(B_grp, N_loc).T    # [N_loc, B_grp]
+
+        # sync halo from the previous time row (same channel group)
+        s_tail = streams[:, B_grp - halo:]
+        s_left = jax.lax.ppermute(
+            s_tail, "time", [(i, i + 1) for i in range(n_time - 1)])
+
+        base = t_idx * B_grp - halo
+
+        def per_channel(halo_s, s):
+            _, res = _scan_sync(sync, halo_s, base, s,
+                                chunk_blocks * n_ch)
+            return res
+
+        res = jax.vmap(per_channel)(s_left, streams)
+        return jax.tree.map(lambda v: v[None, None], res)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=P(("time", "channel")),
+                       out_specs=P("time", "channel"),
+                       check_vma=False)
+
+    jit_fn = jax.jit(fn)
+
+    def run(stream):
+        res = jax.tree.map(np.asarray, jit_fn(stream))
+
+        def fix(v):
+            v = np.moveaxis(v, 0, 2)         # [n_ch, N_loc, n_time, rows, ..]
+            return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
+
+        return jax.tree.map(fix, res)        # leaves [N, rows, ...]
+
+    return run

@@ -124,3 +124,37 @@ def test_channel_sharded_mcrx(params):
     assert set(found) == set(range(N)), sorted(found)
     for ch, (header, payload) in sent.items():
         np.testing.assert_array_equal(found[ch], payload)
+
+
+def test_a2a_mcrx_matches_duplicate_channelizer(params):
+    """The all-to-all resharded receiver finds the same frames as the
+    duplicate-channelizer version."""
+    N = 4
+    mesh = jax.make_mesh((2, 4), ("time", "channel"))
+    sync = ofdm_sync.make_sync(params, block_size=2048, max_payload=64,
+                               max_frames=4)
+    chunk_blocks = 1
+    B_grp = chunk_blocks * 2048 * 4
+    total_mix = 2 * N * B_grp * 2          # two time rows
+
+    tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
+    rng = np.random.default_rng(5)
+    sent = {}
+    for ch in range(N):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header[2] = ch
+        payload = rng.integers(0, 256, 48, dtype=np.uint8)
+        tx.update_data(ch, header, payload)
+        sent[ch] = payload
+    mixture = tx.generate_samples(total_mix // (2 * N))
+
+    run = pstream.make_sharded_mcrx_a2a(mesh, N, sync, chunk_blocks)
+    res = jax.tree.map(np.asarray, run(jnp.asarray(mixture)))
+    det = res.detected & res.payload_valid
+    found = {}
+    for ch, r in zip(*np.nonzero(det)):
+        found[int(ch)] = np.asarray(res.payload[ch, r])[
+            : int(res.payload_len[ch, r])]
+    assert set(found) == set(range(N)), sorted(found)
+    for ch, payload in sent.items():
+        np.testing.assert_array_equal(found[ch], payload)
