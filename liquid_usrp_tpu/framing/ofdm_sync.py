@@ -58,6 +58,7 @@ class OfdmSync(NamedTuple):
     max_psym: int              # payload OFDM symbols budget
     dec_max: int               # payload + max CRC bytes
     enc_max: int               # encoded payload buffer bytes
+    fecs: tuple = PAYLOAD_FECS # runtime-decodable payload FEC set
 
 
 class OfdmSyncState(NamedTuple):
@@ -85,7 +86,8 @@ class FrameResults(NamedTuple):
 
 def make_sync(params: OfdmParams, block_size: int = 16384,
               max_payload: int = 2048, max_frames: int = 8,
-              threshold: float = 0.5) -> OfdmSync:
+              threshold: float = 0.5,
+              enable_conv: bool = False) -> OfdmSync:
     M, cp = params.M, params.cp_len
     n_data = len(params.data_idx)
     dec_max = max_payload + 4
@@ -94,10 +96,12 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
     n_hsym = header_symbol_count(params)
     max_frame = (NUM_S0 + 1) * M + (n_hsym + max_psym) * (M + cp)
     overlap = max_frame + 4 * M
+    fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
+            else payload_codec.PAYLOAD_FECS)
     return OfdmSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold, overlap=overlap, max_psym=max_psym,
-                    dec_max=dec_max, enc_max=enc_max)
+                    dec_max=dec_max, enc_max=enc_max, fecs=fecs)
 
 
 def sync_init(sync: OfdmSync) -> OfdmSyncState:
@@ -242,7 +246,7 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     hbits = modem_mod.symbols_to_bits(hsym, _HEADER_BPS)
     hbytes = payload_codec.header_bits_to_bytes(hbits)
     user, plen, mod, f0, f1, check, hvalid = payload_codec.decode_header(
-        hbytes, sync.max_payload)
+        hbytes, sync.max_payload, len(sync.fecs))
 
     # header EVM (uses decided symbols as reference)
     hevm = modem_mod.evm(_HEADER_MOD, hflat, hsym)
@@ -252,7 +256,7 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
         sync, w, body + n_hsym * (M + cp), H, sync.max_psym, n_hsym)
     payload, pvalid = payload_codec.decode_payload(
         sync.enc_max, sync.dec_max, sync.max_payload,
-        pdata.reshape(-1), mod, f0, f1, check, plen, hvalid)
+        pdata.reshape(-1), mod, f0, f1, check, plen, hvalid, sync.fecs)
 
     # stats
     pre = _window_gather(ext, n0, NUM_S0 * M)

@@ -28,7 +28,8 @@ from ..ops import modem as modem_mod
 from ..utils.bits import pack_bits, unpack_bits
 
 __all__ = [
-    "PAYLOAD_FECS", "PAYLOAD_MODS", "HEADER_USER_BYTES",
+    "PAYLOAD_FECS", "PAYLOAD_FECS_FULL", "PAYLOAD_MODS",
+    "HEADER_USER_BYTES",
     "HEADER_DEC_BYTES", "HEADER_ENC_BYTES", "HEADER_MOD", "HEADER_BPS",
     "HEADER_SYMS", "scramble", "encode_header", "decode_header",
     "encode_payload", "payload_enc_bytes",
@@ -36,13 +37,17 @@ __all__ = [
     "EXPANSION",
 ]
 
-# payload schemes decodable at runtime (order = lax.switch branch index)
+# payload schemes decodable at runtime (order = lax.switch branch index =
+# scheme id, so the tuples below are prefixes of the full enum)
 PAYLOAD_FECS = (
     fec_mod.FEC_NONE, fec_mod.FEC_REP3, fec_mod.FEC_REP5,
     fec_mod.FEC_HAMMING74, fec_mod.FEC_HAMMING84, fec_mod.FEC_HAMMING128,
     fec_mod.FEC_GOLAY2412, fec_mod.FEC_SECDED2216, fec_mod.FEC_SECDED3932,
     fec_mod.FEC_SECDED7264,
 )
+# extended set incl. Viterbi branches (compile-heavier; opt-in per sync)
+PAYLOAD_FECS_FULL = PAYLOAD_FECS + (fec_mod.FEC_CONV_V27,
+                                    fec_mod.FEC_CONV_V29)
 PAYLOAD_MODS = tuple(range(17))     # every modem scheme id
 EXPANSION = 3                       # worst supported FEC expansion budget
 _MAX_CONST = 256
@@ -95,7 +100,8 @@ def encode_header(header: jnp.ndarray, payload_len: int, props) -> jnp.ndarray:
     return scramble(fec_mod.fec_encode(HEADER_FEC, dec), salt=1)
 
 
-def decode_header(hbytes: jnp.ndarray, max_payload: int):
+def decode_header(hbytes: jnp.ndarray, max_payload: int,
+                  n_fecs: int = len(PAYLOAD_FECS)):
     """Encoded header bytes -> (user, plen, mod, f0, f1, check, valid).
 
     Field values are clamped into range so they are safe as traced indices
@@ -112,12 +118,12 @@ def decode_header(hbytes: jnp.ndarray, max_payload: int):
     f1 = dec[HEADER_USER_BYTES + 4].astype(jnp.int32)
     check = dec[HEADER_USER_BYTES + 5].astype(jnp.int32)
     valid = ok & (mod < len(PAYLOAD_MODS)) & \
-        (f0 < len(PAYLOAD_FECS)) & (f1 < len(PAYLOAD_FECS)) & \
+        (f0 < n_fecs) & (f1 < n_fecs) & \
         (check <= 2) & (plen <= max_payload)
     return (user, jnp.clip(plen, 0, max_payload),
             jnp.clip(mod, 0, len(PAYLOAD_MODS) - 1),
-            jnp.clip(f0, 0, len(PAYLOAD_FECS) - 1),
-            jnp.clip(f1, 0, len(PAYLOAD_FECS) - 1),
+            jnp.clip(f0, 0, n_fecs - 1),
+            jnp.clip(f1, 0, n_fecs - 1),
             jnp.clip(check, 0, 2), valid)
 
 
@@ -170,8 +176,8 @@ def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
 
 
 def fec_decode_switch(scheme_idx: jnp.ndarray, buf: jnp.ndarray,
-                      out_bytes: int) -> jnp.ndarray:
-    """``lax.switch`` over PAYLOAD_FECS: decode max-size ``buf`` ->
+                      out_bytes: int, fecs=PAYLOAD_FECS) -> jnp.ndarray:
+    """``lax.switch`` over ``fecs``: decode max-size ``buf`` ->
     ``[out_bytes]`` (each branch covers as many bytes as fit statically)."""
     in_bytes = buf.shape[-1]
 
@@ -188,7 +194,7 @@ def fec_decode_switch(scheme_idx: jnp.ndarray, buf: jnp.ndarray,
             return dec
         return branch
 
-    return jax.lax.switch(scheme_idx, [make_branch(s) for s in PAYLOAD_FECS],
+    return jax.lax.switch(scheme_idx, [make_branch(s) for s in fecs],
                           buf)
 
 
@@ -215,12 +221,13 @@ def crc_check_dynamic(check: jnp.ndarray, buf: jnp.ndarray,
 
 
 def decode_payload(sync_enc_max: int, dec_max: int, max_payload: int,
-                   points: jnp.ndarray, mod, f0, f1, check, plen, hvalid):
+                   points: jnp.ndarray, mod, f0, f1, check, plen, hvalid,
+                   fecs=PAYLOAD_FECS):
     """Received payload constellation points -> (payload, payload_valid)."""
     pbits, _ = generic_demod_bits(points, mod, sync_enc_max * 8)
     enc_buf = scramble(pack_bits(pbits), salt=2)
-    mid = fec_decode_switch(f1, enc_buf, sync_enc_max)
-    dec = fec_decode_switch(f0, mid, dec_max)
+    mid = fec_decode_switch(f1, enc_buf, sync_enc_max, fecs)
+    dec = fec_decode_switch(f0, mid, dec_max, fecs)
     pvalid = hvalid & crc_check_dynamic(check, dec, plen)
     payload = jnp.where(jnp.arange(max_payload) < plen,
                         dec[:max_payload], 0).astype(jnp.uint8)

@@ -199,3 +199,24 @@ def test_low_snr_header_rejection(setup):
             continue
         if f["payload_valid"]:
             np.testing.assert_array_equal(f["payload"][:400], payload)
+
+
+def test_conv_payload_decode():
+    """Runtime Viterbi payload decode (enable_conv sync): the reference CLI
+    offers conv codes through its FEC parser for any packet."""
+    params = ofdm.make_ofdm_params(M=M, cp_len=CP, taper_len=TAPER)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=64,
+                               max_frames=2, enable_conv=True)
+    step = ofdm_sync.make_sync_step(sync)
+    props = ofdm.FrameProps(check=crc.CRC_32, fec0=fec.FEC_CONV_V27,
+                            fec1=fec.FEC_NONE, mod=modem.MOD_QPSK)
+    header, payload, samples = _make_frame(params, props, 3, 48)
+    stream = np.zeros(2000 + len(samples), np.complex64)
+    stream[700:700 + len(samples)] = samples
+    ch = chan.Channel(snr_db=12.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(2), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, frames
+    np.testing.assert_array_equal(ok[0]["payload"][:48], payload)
