@@ -22,14 +22,40 @@ USAGE = """ofdmflexframe_rx -i in.iq [options]
   M     : number of subcarriers, default 48
   C     : cyclic prefix length, default 6
   T     : taper length, default 4
+  d     : debug dump prefix (writes <prefix>_framesync_debug.m, the
+          ofdmflexframesync_debug_print parity surface)
   q/v   : quiet / verbose
   --snr/--cfo/--delay : virtual channel impairments
 """
 
 
+def _dump_debug(prefix: str, txrx, stream):
+    """Octave dump of the detection metric + IQ — the debug-capture parity
+    surface (ofdmflexframesync_debug_print -> ofdmtxrx_framesync_debug.m,
+    /root/reference/lib/ofdmtxrx.cc:241-242)."""
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm_sync as _os
+    n = min(len(stream), 1 << 16)
+    ext = jnp.asarray(stream[:n])
+    metric, _ = _os._detect_metric(txrx._sync, ext)
+    metric = np.asarray(metric)
+    path = f"{prefix}_framesync_debug.m"
+    with open(path, "w") as f:
+        f.write("%% ofdmflexframe_rx debug capture (octave)\nclear all;\n")
+        f.write("x = [" + " ".join(
+            "(%.5g%+.5gj)" % (v.real, v.imag)
+            for v in stream[: min(n, 4096)]) + "];\n")
+        f.write("metric = [" + " ".join(
+            "%.4f" % v for v in metric[: min(len(metric), 4096)]) + "];\n")
+        f.write("figure; subplot(2,1,1); plot(real(x)); "
+                "ylabel('I'); subplot(2,1,2); plot(metric); "
+                "ylabel('detect metric');\n")
+    print(f"debug capture written to {path}")
+
+
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:M:C:T:qv")
+                          "hi:M:C:T:d:qv")
     if "h" in flags:
         print(USAGE)
         return 0
@@ -67,6 +93,8 @@ def main(argv=None) -> int:
     txrx.start_rx()
     txrx.run_rx(stream, flush=True)
     runtime = time.time() - t0
+    if "d" in flags:
+        _dump_debug(flags["d"], txrx, stream)
     print("ofdmflexframe_rx results:")
     stats.report(runtime)
     return 0
