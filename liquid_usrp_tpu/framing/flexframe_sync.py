@@ -189,12 +189,8 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     corr = jnp.exp(-1j * ph[jnp.clip(seg, 0, ph.shape[0] - 1)])
     data = section[jnp.asarray(data_pos)] * corr
 
-    payload, pvalid = payload_codec.decode_payload(
-        sync.enc_max, sync.dec_max, sync.max_payload,
-        data, mod, f0, f1, check, plen, hvalid)
-
     rssi = 20.0 * jnp.log10(jnp.maximum(jnp.abs(g), 1e-12))
-    return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
+    return (user, data, plen, mod, f0, f1, check, hvalid,
             rssi, hevm, cfo)
 
 
@@ -213,9 +209,15 @@ def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
     K = sync.max_frames
 
     def do_decode(locs_):
-        return jax.vmap(
+        (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
+         cfo) = jax.vmap(
             lambda n0: _decode_candidate(sync, mf, metric, n0, c1[n0],
                                          c2[n0]))(locs_)
+        payload, pvalid = payload_codec.decode_payload_batch(
+            sync.enc_max, sync.dec_max, sync.max_payload,
+            points, mod, f0, f1, check, plen, hvalid)
+        return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
+                rssi, hevm, cfo)
 
     def skip_decode(locs_):
         f32 = jnp.float32

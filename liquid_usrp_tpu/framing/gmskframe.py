@@ -223,11 +223,7 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
         user, plen, mod_f, f0, f1, check, hvalid = \
             payload_codec.decode_header(hbytes, sync.max_payload)
         # payload: GMSK is 1 bit/symbol regardless of the header mod field
-        mod_bpsk = jnp.int32(modem_mod.MOD_BPSK)
         ppts = data[payload_codec.HEADER_ENC_BYTES * 8:]
-        payload, pvalid = payload_codec.decode_payload(
-            sync.enc_max, sync.dec_max, sync.max_payload,
-            ppts, mod_bpsk, f0, f1, check, plen, hvalid)
         snr_est = 10.0 * jnp.log10(
             jnp.maximum(amp ** 2 / jnp.maximum(
                 jnp.mean((samp[:n_t] - amp * tmpl) ** 2), 1e-9), 1e-9))
@@ -236,7 +232,7 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
             1e-12))
         evm = -snr_est
         cfo_rad = cfo  # rad/sample (differential-phase DC)
-        return (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid,
+        return (user, ppts, plen, mod_f, f0, f1, check, hvalid,
                 rssi, evm, cfo_rad)
 
     K = sync.max_frames
@@ -251,9 +247,19 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
                 jnp.zeros((K,), bool), jnp.zeros((K,), f32),
                 jnp.zeros((K,), f32), jnp.zeros((K,), f32))
 
+    def do_decode(locs_):
+        (user, ppts, plen, mod_f, f0, f1, check, hvalid, rssi, evm,
+         cfo) = jax.vmap(decode)(locs_)
+        # GMSK payload is 1 bit/symbol regardless of the header mod field
+        mod_bpsk = jnp.full((K,), modem_mod.MOD_BPSK, dtype=jnp.int32)
+        payload, pvalid = payload_codec.decode_payload_batch(
+            sync.enc_max, sync.dec_max, sync.max_payload,
+            ppts, mod_bpsk, f0, f1, check, plen, hvalid)
+        return (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid,
+                rssi, evm, cfo)
+
     (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid, rssi, evm,
-     cfo) = jax.lax.cond(jnp.any(detected),
-                         lambda l: jax.vmap(decode)(l), skip_decode, locs)
+     cfo) = jax.lax.cond(jnp.any(detected), do_decode, skip_decode, locs)
 
     res = FlexResults(
         detected=detected,

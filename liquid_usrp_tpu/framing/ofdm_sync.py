@@ -251,18 +251,16 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     # header EVM (uses decided symbols as reference)
     hevm = modem_mod.evm(_HEADER_MOD, hflat, hsym)
 
-    # payload
+    # payload constellation points (FEC decode happens batched outside
+    # the candidate vmap — see decode_payload_batch)
     pdata = _equalized_symbols(
         sync, w, body + n_hsym * (M + cp), H, sync.max_psym, n_hsym)
-    payload, pvalid = payload_codec.decode_payload(
-        sync.enc_max, sync.dec_max, sync.max_payload,
-        pdata.reshape(-1), mod, f0, f1, check, plen, hvalid, sync.fecs)
 
     # stats
     pre = _window_gather(ext, n0, NUM_S0 * M)
     rssi = 10.0 * jnp.log10(jnp.maximum(
         jnp.mean(jnp.abs(pre) ** 2), 1e-12))
-    return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
+    return (user, pdata.reshape(-1), plen, mod, f0, f1, check, hvalid,
             rssi, hevm, cfo)
 
 
@@ -290,8 +288,15 @@ def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
 
     def do_decode(args):
         locs_, c_at_ = args
-        return jax.vmap(lambda n0, ca: _decode_candidate(sync, ext, n0, ca),
-                        in_axes=(0, 0))(locs_, c_at_)
+        (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
+         cfo) = jax.vmap(
+            lambda n0, ca: _decode_candidate(sync, ext, n0, ca),
+            in_axes=(0, 0))(locs_, c_at_)
+        payload, pvalid = payload_codec.decode_payload_batch(
+            sync.enc_max, sync.dec_max, sync.max_payload,
+            points, mod, f0, f1, check, plen, hvalid, sync.fecs)
+        return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
+                rssi, hevm, cfo)
 
     def skip_decode(args):
         f32 = jnp.float32

@@ -232,3 +232,48 @@ def decode_payload(sync_enc_max: int, dec_max: int, max_payload: int,
     payload = jnp.where(jnp.arange(max_payload) < plen,
                         dec[:max_payload], 0).astype(jnp.uint8)
     return payload, pvalid
+
+
+def _fec_batch(scheme_ids: jnp.ndarray, bufs: jnp.ndarray, out_bytes: int,
+               fecs) -> jnp.ndarray:
+    """Batched FEC decode: ``bufs [K, in]`` with per-row scheme ids.
+
+    Under ``vmap`` a ``lax.switch`` executes every branch per element (K x
+    redundant work); here each scheme decodes the *whole batch once* and a
+    masked select picks the right row — the branch set runs once total.
+    """
+    in_bytes = bufs.shape[-1]
+    out = jnp.zeros((bufs.shape[0], out_bytes), dtype=jnp.uint8)
+    for idx, s in enumerate(fecs):
+        n = out_bytes
+        while fec_mod.encoded_length(s, n) > in_bytes and n > 1:
+            n -= 1
+        need = fec_mod.encoded_length(s, n)
+        if s in (fec_mod.FEC_CONV_V27, fec_mod.FEC_CONV_V29):
+            dec = jax.vmap(lambda b: fec_mod.fec_decode(s, b, n))(
+                bufs[:, :need])
+        else:
+            dec = fec_mod.fec_decode(s, bufs[:, :need], n)
+        if n < out_bytes:
+            dec = jnp.concatenate(
+                [dec, jnp.zeros((bufs.shape[0], out_bytes - n),
+                                dtype=jnp.uint8)], axis=-1)
+        out = jnp.where((scheme_ids == idx)[:, None], dec, out)
+    return out
+
+
+def decode_payload_batch(sync_enc_max: int, dec_max: int, max_payload: int,
+                         points: jnp.ndarray, mod, f0, f1, check, plen,
+                         hvalid, fecs=PAYLOAD_FECS):
+    """Batched payload decode for K candidates: ``points [K, n_pts]``,
+    per-row props -> (payload [K, max_payload], payload_valid [K])."""
+    pbits, _ = jax.vmap(
+        lambda x, m: generic_demod_bits(x, m, sync_enc_max * 8))(points, mod)
+    enc = scramble(jax.vmap(pack_bits)(pbits), salt=2)
+    mid = _fec_batch(f1, enc, sync_enc_max, fecs)
+    dec = _fec_batch(f0, mid, dec_max, fecs)
+    crc_ok = jax.vmap(crc_check_dynamic)(check, dec, plen)
+    pvalid = hvalid & crc_ok
+    payload = jnp.where(jnp.arange(max_payload)[None, :] < plen[:, None],
+                        dec[:, :max_payload], 0).astype(jnp.uint8)
+    return payload, pvalid
