@@ -6,6 +6,8 @@ arrays with the same sample format:
 
 * ``.iq`` / ``.dat`` / ``.cfile``: raw interleaved float32 I/Q (the de-facto
   SDR interchange format; also what the reference's octave dumps use),
+* ``.sc16``: interleaved int16 I/Q (UHD's over-the-wire format; handled by
+  the native engine when built, NumPy otherwise),
 * ``.npy``: NumPy complex64.
 
 Block-oriented read/write mirrors the reference's 256-sample send buffers
@@ -26,6 +28,12 @@ def write_iq(path: str, samples: np.ndarray) -> None:
     if path.endswith(".npy"):
         np.save(path, samples)
         return
+    if path.endswith(".sc16"):
+        inter = np.empty(samples.size * 2, dtype=np.float32)
+        inter[0::2] = samples.real
+        inter[1::2] = samples.imag
+        np.clip(inter * 32767.0, -32768, 32767).astype(np.int16).tofile(path)
+        return
     inter = np.empty(samples.size * 2, dtype=np.float32)
     inter[0::2] = samples.real
     inter[1::2] = samples.imag
@@ -35,6 +43,11 @@ def write_iq(path: str, samples: np.ndarray) -> None:
 def read_iq(path: str) -> np.ndarray:
     if path.endswith(".npy"):
         return np.load(path).astype(np.complex64)
+    if path.endswith(".sc16"):
+        raw = np.fromfile(path, dtype=np.int16).astype(np.float32) / 32767.0
+        if raw.size % 2:
+            raw = raw[:-1]
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
     raw = np.fromfile(path, dtype=np.float32)
     if raw.size % 2:
         raw = raw[:-1]
