@@ -45,15 +45,15 @@ def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def gf2_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """GF(2) matrix product ``(a @ b) % 2`` computed as an integer matmul.
+    """GF(2) matrix product ``(a @ b) % 2`` computed as a float32 matmul.
 
-    ``a``: ``[..., k]`` bits, ``b``: ``[k, n]`` bits.  Uses int32 accumulation
-    (exact for k < 2^31) and reduces mod 2; XLA maps the contraction onto the
-    MXU for batched operands.
+    ``a``: ``[..., k]`` bits, ``b``: ``[k, n]`` bits.  float32 accumulation
+    of 0/1 values is exact for ``k < 2^24`` (far above the largest CRC basis
+    contraction, 65536) and — unlike an integer dot — maps onto the TPU MXU.
     """
-    acc = jnp.matmul(a.astype(jnp.int32), b.astype(jnp.int32),
-                     preferred_element_type=jnp.int32)
-    return (acc & 1).astype(jnp.uint8)
+    acc = jnp.matmul(a.astype(jnp.float32), b.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
