@@ -22,15 +22,16 @@ def main():
     params = ofdm.make_ofdm_params(48, 6, 4)
     rng = np.random.default_rng(0)
 
-    # a loaded stream: back-to-back frames
+    # a loaded stream: back-to-back frames (generated on host CPU)
     props = ofdm.default_props()
     frames = []
-    for i in range(40):
-        h = rng.integers(0, 256, 8, dtype=np.uint8)
-        p = rng.integers(0, 256, 400, dtype=np.uint8)
-        frames.append(np.asarray(ofdm.assemble_frame(
-            params, props, jnp.asarray(h), jnp.asarray(p))))
-        frames.append(np.zeros(500, np.complex64))
+    with jax.default_device(jax.devices("cpu")[0]):
+        for i in range(40):
+            h = rng.integers(0, 256, 8, dtype=np.uint8)
+            p = rng.integers(0, 256, 400, dtype=np.uint8)
+            frames.append(np.asarray(ofdm.assemble_frame(
+                params, props, jnp.asarray(h), jnp.asarray(p))))
+            frames.append(np.zeros(500, np.complex64))
     loaded = np.concatenate(frames)
 
     for bs in (8192, 32768):
