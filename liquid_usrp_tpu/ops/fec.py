@@ -39,7 +39,7 @@ __all__ = [
     "FEC_HAMMING74", "FEC_HAMMING84", "FEC_HAMMING128",
     "FEC_GOLAY2412",
     "FEC_SECDED2216", "FEC_SECDED3932", "FEC_SECDED7264",
-    "FEC_CONV_V27", "FEC_CONV_V29",
+    "FEC_CONV_V27", "FEC_CONV_V29", "FEC_RS8",
     "fec_names", "fec_from_name", "fec_name",
     "encoded_length", "fec_encode", "fec_decode",
 ]
@@ -57,6 +57,7 @@ FEC_SECDED3932 = 8
 FEC_SECDED7264 = 9
 FEC_CONV_V27 = 10
 FEC_CONV_V29 = 11
+FEC_RS8 = 12
 
 _NAMES = {
     FEC_NONE: "none", FEC_REP3: "rep3", FEC_REP5: "rep5",
@@ -65,6 +66,7 @@ _NAMES = {
     FEC_SECDED2216: "secded2216", FEC_SECDED3932: "secded3932",
     FEC_SECDED7264: "secded7264",
     FEC_CONV_V27: "v27", FEC_CONV_V29: "v29",
+    FEC_RS8: "rs8",
 }
 _BY_NAME = {v: k for k, v in _NAMES.items()}
 # Aliases accepted by the reference CLI parser surface.
@@ -223,6 +225,9 @@ def encoded_length(scheme: int, n_bytes: int) -> int:
     """Encoded size in bytes for an ``n_bytes`` input message."""
     if scheme == FEC_NONE:
         return n_bytes
+    if scheme == FEC_RS8:
+        from . import rs
+        return rs.rs_encoded_length(n_bytes)
     if scheme == FEC_REP3:
         return 3 * n_bytes
     if scheme == FEC_REP5:
@@ -240,6 +245,9 @@ def fec_encode(scheme: int, data: jnp.ndarray) -> jnp.ndarray:
     """Encode uint8 ``[..., n]`` -> uint8 ``[..., encoded_length(n)]``."""
     if scheme == FEC_NONE:
         return data
+    if scheme == FEC_RS8:
+        from . import rs
+        return rs.rs_encode(data)
     if _is_rep(scheme):
         # byte-local repetition (each byte r times consecutively) so that a
         # max-size buffer decode agrees with an actual-size decode on every
@@ -275,6 +283,11 @@ def fec_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
     """
     if scheme == FEC_NONE:
         return coded[..., :n_bytes]
+    if scheme == FEC_RS8:
+        from . import rs
+        return rs.rs_decode(coded, n_bytes)
+    if _is_conv(scheme):
+        pass  # handled below
     if _is_rep(scheme):
         r = 3 if scheme == FEC_REP3 else 5
         copies = coded[..., : n_bytes * r].reshape(

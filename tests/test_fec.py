@@ -99,3 +99,26 @@ def test_batched_block_decode():
     enc = fec.fec_encode(fec.FEC_HAMMING128, jnp.asarray(data))
     dec = fec.fec_decode(fec.FEC_HAMMING128, enc, 16)
     np.testing.assert_array_equal(np.asarray(dec), data)
+
+
+def test_rs8_roundtrip_and_correction():
+    """RS(255,223): multi-block roundtrip + up to 16 byte errors/block."""
+    rng = np.random.default_rng(8)
+    for n in (10, 223, 300, 500):
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        enc = fec.fec_encode(fec.FEC_RS8, jnp.asarray(data))
+        assert enc.shape[-1] == fec.encoded_length(fec.FEC_RS8, n)
+        dec = fec.fec_decode(fec.FEC_RS8, enc, n)
+        np.testing.assert_array_equal(np.asarray(dec), data)
+        # inject 12 byte errors into the first block
+        bad = np.asarray(enc).copy()
+        first_block = min(n, 223) + 32
+        pos = rng.choice(first_block, size=min(12, first_block), replace=False)
+        for p in pos:
+            bad[p] ^= int(rng.integers(1, 256))
+        dec2 = fec.fec_decode(fec.FEC_RS8, jnp.asarray(bad), n)
+        np.testing.assert_array_equal(np.asarray(dec2), data)
+
+
+def test_rs8_name():
+    assert fec.fec_from_name("rs8") == fec.FEC_RS8
