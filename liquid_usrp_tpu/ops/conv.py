@@ -1,22 +1,24 @@
-"""Convolutional codes (rate-1/2, K=7/9) with a vectorized Viterbi decoder.
+"""Convolutional codes (arbitrary rate 1/R, K up to 15, puncturing) with a
+vectorized Viterbi decoder.
 
-Capability parity: the reference's CLI accepts the liquid-dsp conv-code
-schemes via its FEC string parser (e.g. /root/reference/src/
-ofdmflexframe_tx.cc:90 with ``liquid_getopt_str2fec``); this module provides
-the ``v27`` / ``v29`` members behind the same scheme enum as
-:mod:`liquid_usrp_tpu.ops.fec`.
+Capability parity: the complete liquid-dsp conv-code surface the reference
+CLI accepts (``liquid_getopt_str2fec``, e.g. /root/reference/src/
+ofdmflexframe_tx.cc:90): ``v27`` (K=7 r=1/2), ``v29`` (K=9 r=1/2), ``v39``
+(K=9 r=1/3), ``v615`` (K=15 r=1/6), and the punctured K=7/K=9 variants
+``v27p23..v27p78`` / ``v29p23..v29p78``.
 
-TPU-first design: the encoder is a GF(2) FIR (binary convolution as an
-integer convolution mod 2).  The decoder is a Viterbi trellis expressed as a
-``lax.scan`` over time with *all states updated as one vector op* per step —
-the classic add-compare-select butterfly becomes a gather + minimum over a
-``[2^(K-1)]`` metric vector, and traceback is a reverse scan over the stored
-decision bits.  Terminated trellis (K-1 flush zeros).
+TPU-first design: the encoder is a GF(2) FIR per generator polynomial
+(matmul of sliding windows); puncturing is a static keep-mask.  The decoder
+is a Viterbi trellis expressed as a ``lax.scan`` over time with *all
+states* updated as one vector op per step — add-compare-select becomes a
+gather + minimum over the ``[2^(K-1)]`` metric vector; punctured positions
+contribute zero branch metric (erasures); traceback is a reverse scan over
+the stored decision bits.  Terminated trellis (K-1 flush zeros).
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,36 +31,80 @@ __all__ = ["encoded_length", "conv_encode", "conv_decode"]
 
 class _ConvCode(NamedTuple):
     K: int                 # constraint length
-    polys: tuple           # generator polynomials (binary, K taps, MSB = g[0])
+    polys: tuple           # R generator polynomials (K taps each)
+    puncture: Optional[tuple]  # flattened keep pattern over R*period bits
 
 
+# standard puncturing patterns (keep masks per R=2 output pair, row-major
+# over the pattern period)
+_PUNCTURE = {
+    "23": (1, 1, 1, 0),
+    "34": (1, 1, 1, 0, 0, 1),
+    "45": (1, 1, 1, 0, 1, 0, 1, 0),
+    "56": (1, 1, 1, 0, 0, 1, 1, 0, 0, 1),
+    "67": (1, 1, 1, 0, 1, 0, 0, 1, 1, 0, 0, 1),
+    "78": (1, 1, 1, 0, 1, 0, 1, 0, 0, 1, 1, 0, 0, 1),
+}
+
+
+@functools.lru_cache(maxsize=None)
 def _params(scheme: int) -> _ConvCode:
-    from .fec import FEC_CONV_V27, FEC_CONV_V29
-    if scheme == FEC_CONV_V27:
-        return _ConvCode(7, (0o171, 0o133))       # CCSDS / Voyager K=7
-    if scheme == FEC_CONV_V29:
-        return _ConvCode(9, (0o561, 0o753))       # K=9 rate 1/2
+    from . import fec
+    base = {
+        fec.FEC_CONV_V27: _ConvCode(7, (0o171, 0o133), None),
+        fec.FEC_CONV_V29: _ConvCode(9, (0o561, 0o753), None),
+        fec.FEC_CONV_V39: _ConvCode(9, (0o557, 0o663, 0o711), None),
+        fec.FEC_CONV_V615: _ConvCode(
+            15, (0o46321, 0o51271, 0o63667, 0o70535, 0o73277, 0o61731),
+            None),
+    }
+    if scheme in base:
+        return base[scheme]
+    for rate, pat in _PUNCTURE.items():
+        if scheme == getattr(fec, f"FEC_CONV_V27P{rate}"):
+            return _ConvCode(7, (0o171, 0o133), pat)
+        if scheme == getattr(fec, f"FEC_CONV_V29P{rate}"):
+            return _ConvCode(9, (0o561, 0o753), pat)
     raise ValueError(f"not a conv scheme: {scheme}")
+
+
+def _coded_bits(p: _ConvCode, nbits: int) -> int:
+    """Kept output bits for ``nbits`` terminated input bits."""
+    total = len(p.polys) * nbits
+    if p.puncture is None:
+        return total
+    pat = np.asarray(p.puncture)
+    period = len(pat)
+    full, rem = divmod(total, period)
+    return int(full * pat.sum() + pat[:rem].sum())
+
+
+def _keep_mask(p: _ConvCode, total: int) -> np.ndarray:
+    if p.puncture is None:
+        return np.ones(total, dtype=bool)
+    pat = np.asarray(p.puncture, dtype=bool)
+    reps = -(-total // len(pat))
+    return np.tile(pat, reps)[:total]
 
 
 def encoded_length(scheme: int, n_bytes: int) -> int:
     p = _params(scheme)
     nbits = n_bytes * 8 + (p.K - 1)               # terminated
-    return -(-(2 * nbits) // 8)
+    return -(-_coded_bits(p, nbits) // 8)
 
 
 @functools.lru_cache(maxsize=None)
 def _tables(scheme: int):
     """Per-state branch tables.
 
-    For state s (the K-1 previous input bits, newest in the LSB... we use the
-    convention: register r = [b_t, b_{t-1}, ..., b_{t-K+1}], state = r >> 1)
-    and input bit b: outputs o_j = parity(polys[j] & ((b << (K-1)) | s)).
-    Next state: ((b << (K-1)) | s) >> 1.
+    Register convention: r = [b_t, ..., b_{t-K+1}] with b_t in bit K-1;
+    state = r >> 1; outputs o_j = parity(polys[j] & r); next = r >> 1 after
+    shifting in the new bit at the top.
     """
     p = _params(scheme)
     S = 1 << (p.K - 1)
-    out = np.zeros((S, 2, 2), dtype=np.uint8)     # [state, bit, which_poly]
+    R = len(p.polys)
+    out = np.zeros((S, 2, R), dtype=np.uint8)
     nxt = np.zeros((S, 2), dtype=np.int32)
     for s in range(S):
         for b in (0, 1):
@@ -66,8 +112,7 @@ def _tables(scheme: int):
             for j, g in enumerate(p.polys):
                 out[s, b, j] = bin(reg & g).count("1") & 1
             nxt[s, b] = reg >> 1
-    # predecessor table: for each next-state, the two (prev_state, bit) pairs
-    pred = np.zeros((S, 2), dtype=np.int32)       # [next_state, which] -> prev
+    pred = np.zeros((S, 2), dtype=np.int32)
     pred_bit = np.zeros((S, 2), dtype=np.uint8)
     cnt = np.zeros(S, dtype=np.int32)
     for s in range(S):
@@ -77,66 +122,79 @@ def _tables(scheme: int):
             pred_bit[ns, cnt[ns]] = b
             cnt[ns] += 1
     assert (cnt == 2).all()
-    # expected output pair for each (next_state, which_pred)
-    pred_out = np.zeros((S, 2, 2), dtype=np.uint8)
+    pred_out = np.zeros((S, 2, R), dtype=np.uint8)
     for ns in range(S):
         for w in (0, 1):
             pred_out[ns, w] = out[pred[ns, w], pred_bit[ns, w]]
-    # NumPy in the cache (a jnp constant built under trace would leak)
-    return pred, pred_bit, pred_out, S, p.K
+    return pred, pred_bit, pred_out, S, p.K, R
 
 
 def conv_encode(scheme: int, data: jnp.ndarray) -> jnp.ndarray:
     """Encode uint8 ``[n]`` -> uint8 ``[encoded_length]`` (terminated)."""
     p = _params(scheme)
+    K, R = p.K, len(p.polys)
     bits = unpack_bits(data)
     bits = jnp.concatenate(
-        [bits, jnp.zeros(p.K - 1, dtype=jnp.uint8)], axis=-1)
-    # GF(2) FIR: y_j[i] = parity(sum_t g_j[t] * x[i-t]); implement as a
-    # correlation against the K-tap generator with zero left-padding.
-    x = jnp.concatenate([jnp.zeros(p.K - 1, dtype=jnp.uint8), bits])
-    idx = jnp.arange(bits.shape[-1])[:, None] + jnp.arange(p.K)[None, :]
-    windows = x[idx]                               # [nbits, K]; window t..t+K-1
+        [bits, jnp.zeros(K - 1, dtype=jnp.uint8)], axis=-1)
+    x = jnp.concatenate([jnp.zeros(K - 1, dtype=jnp.uint8), bits])
+    idx = jnp.arange(bits.shape[-1])[:, None] + jnp.arange(K)[None, :]
+    windows = x[idx]                               # [nbits, K]
     outs = []
     for g in p.polys:
-        # g bit (K-1-i) multiplies x[t - i]; windows[:, K-1 - i] = x[t - i]
-        taps = jnp.asarray([(g >> i) & 1 for i in range(p.K)],
-                           dtype=jnp.int32)        # taps[i] aligns windows col
-        y = (windows.astype(jnp.int32) @ taps) & 1
-        outs.append(y.astype(jnp.uint8))
-    inter = jnp.stack(outs, axis=-1).reshape(-1)   # o0,o1 interleaved
+        # windows[:, j] = x[t - (K-1-j)]; coefficient of x[t-i] is g bit
+        # (K-1-i), so taps[j] = g bit j
+        taps = jnp.asarray([(g >> j) & 1 for j in range(K)],
+                           dtype=jnp.float32)
+        y = jnp.matmul(windows.astype(jnp.float32), taps,
+                       preferred_element_type=jnp.float32)
+        outs.append((y.astype(jnp.int32) & 1).astype(jnp.uint8))
+    inter = jnp.stack(outs, axis=-1).reshape(-1)   # o0..oR-1 interleaved
+    keep = _keep_mask(p, int(inter.shape[-1]))
+    kept = inter[jnp.asarray(np.nonzero(keep)[0])]
     out_bytes = encoded_length(scheme, data.shape[-1])
-    pad = out_bytes * 8 - inter.shape[-1]
+    pad = out_bytes * 8 - kept.shape[-1]
     if pad:
-        inter = jnp.pad(inter, (0, pad))
-    return pack_bits(inter)
+        kept = jnp.pad(kept, (0, pad))
+    return pack_bits(kept)
 
 
 def conv_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
-    """Hard-decision Viterbi decode -> uint8 ``[n_bytes]``."""
-    pred_np, pred_bit_np, pred_out_np, S, K = _tables(scheme)
+    """Hard-decision Viterbi decode -> uint8 ``[n_bytes]``.
+
+    Punctured positions are treated as erasures (zero branch metric).
+    """
+    p = _params(scheme)
+    pred_np, pred_bit_np, pred_out_np, S, K, R = _tables(scheme)
     pred = jnp.asarray(pred_np)
     pred_bit = jnp.asarray(pred_bit_np)
     pred_out = jnp.asarray(pred_out_np)
     nbits = n_bytes * 8 + (K - 1)
-    pairs = unpack_bits(coded)[: 2 * nbits].reshape(nbits, 2).astype(jnp.int32)
+    total = R * nbits
+    keep = _keep_mask(p, total)
+    nkept = int(keep.sum())
+    rx_kept = unpack_bits(coded)[:nkept].astype(jnp.int32)
+    # de-puncture: scatter kept bits into the full stream; mask marks real
+    rx_full = jnp.zeros((total,), jnp.int32)
+    rx_full = rx_full.at[jnp.asarray(np.nonzero(keep)[0])].set(rx_kept)
+    mask = jnp.asarray(keep.astype(np.int32))
+    pairs = rx_full.reshape(nbits, R)
+    masks = mask.reshape(nbits, R)
 
     big = jnp.int32(1 << 20)
     pm0 = jnp.full((S,), big, dtype=jnp.int32).at[0].set(0)
 
-    def step(pm, rx):
-        # branch metric for each (next_state, which_pred): hamming distance
-        bm = jnp.sum(jnp.abs(pred_out.astype(jnp.int32) - rx[None, None, :]),
-                     axis=-1)                       # [S, 2]
-        cand = pm[pred] + bm                        # [S, 2]
-        choice = jnp.argmin(cand, axis=-1)          # [S]
+    def step(pm, xs):
+        rx, mk = xs
+        diff = jnp.abs(pred_out.astype(jnp.int32) - rx[None, None, :])
+        bm = jnp.sum(diff * mk[None, None, :], axis=-1)   # [S, 2]
+        cand = pm[pred] + bm
+        choice = jnp.argmin(cand, axis=-1)
         pm_next = jnp.take_along_axis(cand, choice[:, None], axis=-1)[:, 0]
-        pm_next = pm_next - jnp.min(pm_next)        # normalize (no overflow)
+        pm_next = pm_next - jnp.min(pm_next)
         return pm_next, choice.astype(jnp.uint8)
 
-    pm_final, choices = jax.lax.scan(step, pm0, pairs)
+    pm_final, choices = jax.lax.scan(step, pm0, (pairs, masks))
 
-    # traceback from state 0 (terminated trellis)
     def back(state, choice_t):
         w = choice_t[state]
         bit = pred_bit[state, w]
@@ -144,5 +202,4 @@ def conv_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
         return prev, bit
 
     _, bits_rev = jax.lax.scan(back, jnp.int32(0), choices, reverse=True)
-    bits = bits_rev[: n_bytes * 8]
-    return pack_bits(bits)
+    return pack_bits(bits_rev[: n_bytes * 8])

@@ -58,6 +58,20 @@ FEC_SECDED7264 = 9
 FEC_CONV_V27 = 10
 FEC_CONV_V29 = 11
 FEC_RS8 = 12
+FEC_CONV_V39 = 13
+FEC_CONV_V615 = 14
+FEC_CONV_V27P23 = 15
+FEC_CONV_V27P34 = 16
+FEC_CONV_V27P45 = 17
+FEC_CONV_V27P56 = 18
+FEC_CONV_V27P67 = 19
+FEC_CONV_V27P78 = 20
+FEC_CONV_V29P23 = 21
+FEC_CONV_V29P34 = 22
+FEC_CONV_V29P45 = 23
+FEC_CONV_V29P56 = 24
+FEC_CONV_V29P67 = 25
+FEC_CONV_V29P78 = 26
 
 _NAMES = {
     FEC_NONE: "none", FEC_REP3: "rep3", FEC_REP5: "rep5",
@@ -67,6 +81,13 @@ _NAMES = {
     FEC_SECDED7264: "secded7264",
     FEC_CONV_V27: "v27", FEC_CONV_V29: "v29",
     FEC_RS8: "rs8",
+    FEC_CONV_V39: "v39", FEC_CONV_V615: "v615",
+    FEC_CONV_V27P23: "v27p23", FEC_CONV_V27P34: "v27p34",
+    FEC_CONV_V27P45: "v27p45", FEC_CONV_V27P56: "v27p56",
+    FEC_CONV_V27P67: "v27p67", FEC_CONV_V27P78: "v27p78",
+    FEC_CONV_V29P23: "v29p23", FEC_CONV_V29P34: "v29p34",
+    FEC_CONV_V29P45: "v29p45", FEC_CONV_V29P56: "v29p56",
+    FEC_CONV_V29P67: "v29p67", FEC_CONV_V29P78: "v29p78",
 }
 _BY_NAME = {v: k for k, v in _NAMES.items()}
 # Aliases accepted by the reference CLI parser surface.
@@ -218,7 +239,8 @@ def _is_rep(scheme):
 
 
 def _is_conv(scheme):
-    return scheme in (FEC_CONV_V27, FEC_CONV_V29)
+    return FEC_CONV_V27 <= scheme <= FEC_CONV_V29 or \
+        FEC_CONV_V39 <= scheme <= FEC_CONV_V29P78
 
 
 def encoded_length(scheme: int, n_bytes: int) -> int:

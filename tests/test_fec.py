@@ -122,3 +122,36 @@ def test_rs8_roundtrip_and_correction():
 
 def test_rs8_name():
     assert fec.fec_from_name("rs8") == fec.FEC_RS8
+
+
+@pytest.mark.parametrize("scheme", [
+    fec.FEC_CONV_V39, fec.FEC_CONV_V27P23, fec.FEC_CONV_V27P34,
+    fec.FEC_CONV_V27P56, fec.FEC_CONV_V27P78, fec.FEC_CONV_V29P23,
+    fec.FEC_CONV_V29P45, fec.FEC_CONV_V29P67,
+])
+def test_conv_variants_roundtrip(scheme):
+    rng = np.random.default_rng(scheme)
+    data = rng.integers(0, 256, 24, dtype=np.uint8)
+    enc = fec.fec_encode(scheme, jnp.asarray(data))
+    assert enc.shape[-1] == fec.encoded_length(scheme, 24)
+    dec = fec.fec_decode(scheme, enc, 24)
+    np.testing.assert_array_equal(np.asarray(dec), data)
+
+
+def test_punctured_corrects_errors():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, 32, dtype=np.uint8)
+    enc = np.asarray(fec.fec_encode(fec.FEC_CONV_V27P23, jnp.asarray(data)))
+    nbits = enc.shape[0] * 8
+    bad = _flip_bits(enc, list(range(5, nbits - 16, 60)))
+    dec = fec.fec_decode(fec.FEC_CONV_V27P23, jnp.asarray(bad), 32)
+    np.testing.assert_array_equal(np.asarray(dec), data)
+
+
+def test_v615_roundtrip():
+    """K=15 rate-1/6 deep-space code (16384-state trellis)."""
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, 8, dtype=np.uint8)
+    enc = fec.fec_encode(fec.FEC_CONV_V615, jnp.asarray(data))
+    dec = fec.fec_decode(fec.FEC_CONV_V615, enc, 8)
+    np.testing.assert_array_equal(np.asarray(dec), data)
