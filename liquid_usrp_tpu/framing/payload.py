@@ -45,9 +45,10 @@ PAYLOAD_FECS = (
     fec_mod.FEC_GOLAY2412, fec_mod.FEC_SECDED2216, fec_mod.FEC_SECDED3932,
     fec_mod.FEC_SECDED7264,
 )
-# extended set incl. Viterbi branches (compile-heavier; opt-in per sync)
+# extended set incl. Viterbi + RS branches (compile-heavier; opt-in per
+# sync).  Must stay an id-ordered prefix of the scheme enum.
 PAYLOAD_FECS_FULL = PAYLOAD_FECS + (fec_mod.FEC_CONV_V27,
-                                    fec_mod.FEC_CONV_V29)
+                                    fec_mod.FEC_CONV_V29, fec_mod.FEC_RS8)
 PAYLOAD_MODS = tuple(range(17))     # every modem scheme id
 EXPANSION = 3                       # worst supported FEC expansion budget
 _MAX_CONST = 256
@@ -183,7 +184,7 @@ def fec_decode_switch(scheme_idx: jnp.ndarray, buf: jnp.ndarray,
 
     def make_branch(s):
         def branch(b):
-            n = out_bytes
+            n = out_bytes  # largest decodable size whose code fits in buf
             while fec_mod.encoded_length(s, n) > in_bytes and n > 1:
                 n -= 1
             need = fec_mod.encoded_length(s, n)
@@ -249,7 +250,7 @@ def _fec_batch(scheme_ids: jnp.ndarray, bufs: jnp.ndarray, out_bytes: int,
         while fec_mod.encoded_length(s, n) > in_bytes and n > 1:
             n -= 1
         need = fec_mod.encoded_length(s, n)
-        if s in (fec_mod.FEC_CONV_V27, fec_mod.FEC_CONV_V29):
+        if fec_mod._is_conv(s) or s == fec_mod.FEC_RS8:
             dec = jax.vmap(lambda b: fec_mod.fec_decode(s, b, n))(
                 bufs[:, :need])
         else:

@@ -220,3 +220,23 @@ def test_conv_payload_decode():
     ok = [f for f in frames if f["payload_valid"]]
     assert len(ok) == 1, frames
     np.testing.assert_array_equal(ok[0]["payload"][:48], payload)
+
+
+def test_rs8_payload_decode():
+    """Runtime RS(255,223) payload decode through the extended FEC switch."""
+    params = ofdm.make_ofdm_params(M=M, cp_len=CP, taper_len=TAPER)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=64,
+                               max_frames=2, enable_conv=True)
+    step = ofdm_sync.make_sync_step(sync)
+    props = ofdm.FrameProps(check=crc.CRC_32, fec0=fec.FEC_NONE,
+                            fec1=fec.FEC_RS8, mod=modem.MOD_QPSK)
+    header, payload, samples = _make_frame(params, props, 4, 48)
+    stream = np.zeros(2000 + len(samples), np.complex64)
+    stream[700:700 + len(samples)] = samples
+    ch = chan.Channel(snr_db=15.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(6), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, frames
+    np.testing.assert_array_equal(ok[0]["payload"][:48], payload)
