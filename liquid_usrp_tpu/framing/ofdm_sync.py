@@ -59,6 +59,7 @@ class OfdmSync(NamedTuple):
     dec_max: int               # payload + max CRC bytes
     enc_max: int               # encoded payload buffer bytes
     fecs: tuple = PAYLOAD_FECS # runtime-decodable payload FEC set
+    soft: bool = False         # soft-decision LLRs into conv FEC branches
 
 
 class OfdmSyncState(NamedTuple):
@@ -87,7 +88,7 @@ class FrameResults(NamedTuple):
 def make_sync(params: OfdmParams, block_size: int = 16384,
               max_payload: int = 2048, max_frames: int = 8,
               threshold: float = 0.5,
-              enable_conv: bool = False) -> OfdmSync:
+              enable_conv: bool = False, soft: bool = False) -> OfdmSync:
     M, cp = params.M, params.cp_len
     n_data = len(params.data_idx)
     dec_max = max_payload + 4
@@ -101,7 +102,7 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
     return OfdmSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold, overlap=overlap, max_psym=max_psym,
-                    dec_max=dec_max, enc_max=enc_max, fecs=fecs)
+                    dec_max=dec_max, enc_max=enc_max, fecs=fecs, soft=soft)
 
 
 def sync_init(sync: OfdmSync) -> OfdmSyncState:
@@ -292,7 +293,9 @@ def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
          cfo) = jax.vmap(
             lambda n0, ca: _decode_candidate(sync, ext, n0, ca),
             in_axes=(0, 0))(locs_, c_at_)
-        payload, pvalid = payload_codec.decode_payload_batch(
+        decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
+                     else payload_codec.decode_payload_batch)
+        payload, pvalid = decode_fn(
             sync.enc_max, sync.dec_max, sync.max_payload,
             points, mod, f0, f1, check, plen, hvalid, sync.fecs)
         return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,

@@ -278,3 +278,104 @@ def decode_payload_batch(sync_enc_max: int, dec_max: int, max_payload: int,
     payload = jnp.where(jnp.arange(max_payload)[None, :] < plen[:, None],
                         dec[:, :max_payload], 0).astype(jnp.uint8)
     return payload, pvalid
+
+
+# ---------------------------------------------------------------------------
+# soft-decision path (conv codes gain ~2 dB from soft Viterbi)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _bit_masks() -> np.ndarray:
+    """[n_schemes, 256, 8] bit of each constellation index, MSB-first per
+    scheme (slot k = bit (bps-1-k)); zero beyond bps."""
+    out = np.zeros((len(PAYLOAD_MODS), _MAX_CONST, 8), dtype=np.float32)
+    for s in PAYLOAD_MODS:
+        bps = modem_mod.bits_per_symbol(s)
+        M = 1 << bps
+        for c in range(M):
+            for k in range(bps):
+                out[s, c, k] = (c >> (bps - 1 - k)) & 1
+    return out
+
+
+def generic_demod_soft(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
+    """Max-log per-bit LLRs for a runtime-selected constellation.
+
+    Returns ``llr [max_bits]`` float32 laid out exactly like
+    :func:`generic_demod_bits` (positive => bit 1).  Dummy padding points
+    sit at distance ~1e12 and never win a min.
+    """
+    tabs = jnp.asarray(_stacked_tables())
+    table = tabs[mod]
+    d2 = jnp.abs(x[:, None] - table[None, :]) ** 2       # [n_pts, 256]
+    bm = jnp.asarray(_bit_masks())[mod]                  # [256, 8]
+    INF = jnp.float32(1e12)
+    d0 = jnp.min(jnp.where(bm.T[None, :, :] == 0, d2[:, None, :], INF),
+                 axis=-1)                                # [n_pts, 8]
+    d1 = jnp.min(jnp.where(bm.T[None, :, :] == 1, d2[:, None, :], INF),
+                 axis=-1)
+    llr_pts = d0 - d1                                    # >0 => bit 1
+    bps = jnp.asarray(
+        [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
+        dtype=jnp.int32)[mod]
+    j = jnp.arange(max_bits)
+    src = jnp.clip(j // bps, 0, x.shape[0] - 1)
+    k = j % bps
+    llr = llr_pts[src, k]
+    # beyond-bps slots never occur (k < bps by construction)
+    return llr
+
+
+def decode_payload_batch_soft(sync_enc_max: int, dec_max: int,
+                              max_payload: int, points: jnp.ndarray,
+                              mod, f0, f1, check, plen, hvalid,
+                              fecs=PAYLOAD_FECS):
+    """Batched payload decode with soft LLRs for conv FEC branches.
+
+    Hard path for block codes (identical to decode_payload_batch); conv
+    branches run soft Viterbi on descrambled LLRs (sign-flipped where the
+    scramble PN bit is 1).
+    """
+    from ..ops import conv as conv_mod
+    K = points.shape[0]
+    llrs = jax.vmap(
+        lambda x, m: generic_demod_soft(x, m, sync_enc_max * 8))(points, mod)
+    hard = (llrs > 0).astype(jnp.uint8)
+    enc = scramble(jax.vmap(pack_bits)(hard), salt=2)
+    pn_bits = jnp.asarray(np.unpackbits(
+        _scramble_np(sync_enc_max, 2))).astype(jnp.float32)
+    llr_desc = llrs * (1.0 - 2.0 * pn_bits)[None, :]
+
+    def fec_stage(scheme_ids, bufs, bufs_llr, out_bytes):
+        in_bytes = bufs.shape[-1]
+        out = jnp.zeros((K, out_bytes), jnp.uint8)
+        for idx, s in enumerate(fecs):
+            n = out_bytes
+            while fec_mod.encoded_length(s, n) > in_bytes and n > 1:
+                n -= 1
+            need = fec_mod.encoded_length(s, n)
+            if fec_mod._is_conv(s) and bufs_llr is not None:
+                dec = jax.vmap(
+                    lambda L: conv_mod.conv_decode_soft(s, L[:need * 8], n)
+                )(bufs_llr)
+            elif fec_mod._is_conv(s) or s == fec_mod.FEC_RS8:
+                dec = jax.vmap(lambda b: fec_mod.fec_decode(s, b, n))(
+                    bufs[:, :need])
+            else:
+                dec = fec_mod.fec_decode(s, bufs[:, :need], n)
+            if n < out_bytes:
+                dec = jnp.concatenate(
+                    [dec, jnp.zeros((K, out_bytes - n), jnp.uint8)],
+                    axis=-1)
+            out = jnp.where((scheme_ids == idx)[:, None], dec, out)
+        return out
+
+    # outer (fec1) sees channel LLRs; inner (fec0) decodes fec1's hard
+    # output (LLRs are no longer meaningful after an outer decode)
+    mid = fec_stage(f1, enc, llr_desc, sync_enc_max)
+    dec = fec_stage(f0, mid, None, dec_max)
+    crc_ok = jax.vmap(crc_check_dynamic)(check, dec, plen)
+    pvalid = hvalid & crc_ok
+    payload = jnp.where(jnp.arange(max_payload)[None, :] < plen[:, None],
+                        dec[:, :max_payload], 0).astype(jnp.uint8)
+    return payload, pvalid

@@ -203,3 +203,52 @@ def conv_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
 
     _, bits_rev = jax.lax.scan(back, jnp.int32(0), choices, reverse=True)
     return pack_bits(bits_rev[: n_bytes * 8])
+
+
+def conv_decode_soft(scheme: int, llr_bits: jnp.ndarray,
+                     n_bytes: int) -> jnp.ndarray:
+    """Soft-decision Viterbi decode from per-bit LLRs (positive => bit 1).
+
+    ``llr_bits``: float32 ``[encoded_length * 8]`` in wire order (kept bits
+    only; punctured positions are re-inserted as zero-confidence erasures).
+    Branch metric: correlation cost ``sum (1 - 2 e_j) * llr_j`` quantized
+    to int (lower = better match).
+    """
+    p = _params(scheme)
+    pred_np, pred_bit_np, pred_out_np, S, K, R = _tables(scheme)
+    pred = jnp.asarray(pred_np)
+    pred_bit = jnp.asarray(pred_bit_np)
+    pred_out = jnp.asarray(pred_out_np)
+    nbits = n_bytes * 8 + (K - 1)
+    total = R * nbits
+    keep = _keep_mask(p, total)
+    nkept = int(keep.sum())
+    # quantize LLRs to 5-bit ints (scaled by the mean magnitude)
+    L = llr_bits[:nkept]
+    scale = 7.0 / jnp.maximum(jnp.mean(jnp.abs(L)), 1e-9)
+    q = jnp.clip(jnp.round(L * scale), -15, 15).astype(jnp.int32)
+    full = jnp.zeros((total,), jnp.int32)
+    full = full.at[jnp.asarray(np.nonzero(keep)[0])].set(q)
+    trip = full.reshape(nbits, R)
+
+    big = jnp.int32(1 << 24)
+    pm0 = jnp.full((S,), big, dtype=jnp.int32).at[0].set(0)
+
+    def step(pm, rx):
+        # cost = sum_j (1 - 2*e_j) * llr_j  (erasures contribute 0)
+        sgn = 1 - 2 * pred_out.astype(jnp.int32)          # [S, 2, R]
+        bm = jnp.sum(sgn * rx[None, None, :], axis=-1)
+        cand = pm[pred] + bm
+        choice = jnp.argmin(cand, axis=-1)
+        pm_next = jnp.take_along_axis(cand, choice[:, None], axis=-1)[:, 0]
+        pm_next = pm_next - jnp.min(pm_next)
+        return pm_next, choice.astype(jnp.uint8)
+
+    _, choices = jax.lax.scan(step, pm0, trip)
+
+    def back(state, choice_t):
+        w = choice_t[state]
+        return pred[state, w], pred_bit[state, w]
+
+    _, bits_rev = jax.lax.scan(back, jnp.int32(0), choices, reverse=True)
+    return pack_bits(bits_rev[: n_bytes * 8])

@@ -155,3 +155,27 @@ def test_v615_roundtrip():
     enc = fec.fec_encode(fec.FEC_CONV_V615, jnp.asarray(data))
     dec = fec.fec_decode(fec.FEC_CONV_V615, enc, 8)
     np.testing.assert_array_equal(np.asarray(dec), data)
+
+
+def test_soft_viterbi_beats_hard():
+    """Soft-decision Viterbi decodes noise levels where hard decode fails."""
+    from liquid_usrp_tpu.ops import conv
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 256, 64, dtype=np.uint8)
+    enc = np.asarray(fec.fec_encode(fec.FEC_CONV_V27, jnp.asarray(data)))
+    bits = np.unpackbits(enc).astype(np.float32)
+    nbits = (64 * 8 + 6) * 2
+    # BPSK channel around the hard/soft crossover; deterministic trials
+    tx = 2 * bits[:nbits] - 1
+    soft_fails = hard_fails = 0
+    for _ in range(5):
+        rx = tx + rng.normal(size=nbits) * 0.7
+        soft = np.asarray(conv.conv_decode_soft(
+            fec.FEC_CONV_V27, jnp.asarray(rx, dtype=jnp.float32), 64))
+        hard_bytes = np.packbits((rx > 0).astype(np.uint8))
+        hard = np.asarray(fec.fec_decode(
+            fec.FEC_CONV_V27, jnp.asarray(hard_bytes), 64))
+        soft_fails += int((soft != data).any())
+        hard_fails += int((hard != data).any())
+    assert soft_fails == 0, soft_fails
+    assert hard_fails >= 2, hard_fails

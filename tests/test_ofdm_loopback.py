@@ -240,3 +240,26 @@ def test_rs8_payload_decode():
     ok = [f for f in frames if f["payload_valid"]]
     assert len(ok) == 1, frames
     np.testing.assert_array_equal(ok[0]["payload"][:48], payload)
+
+
+def test_soft_conv_payload_low_snr():
+    """Soft-decision sync (LLRs into the Viterbi branch) decodes conv
+    payloads end-to-end.  (The fixed h128 header limits the observable
+    range to ~8 dB+; the soft-vs-hard superiority itself is demonstrated at
+    the decoder level in test_fec.py::test_soft_viterbi_beats_hard.)"""
+    params = ofdm.make_ofdm_params(M=M, cp_len=CP, taper_len=TAPER)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=64,
+                               max_frames=2, enable_conv=True, soft=True)
+    step = ofdm_sync.make_sync_step(sync)
+    props = ofdm.FrameProps(check=crc.CRC_32, fec0=fec.FEC_CONV_V27,
+                            fec1=fec.FEC_NONE, mod=modem.MOD_QPSK)
+    header, payload, samples = _make_frame(params, props, 9, 48)
+    stream = np.zeros(2000 + len(samples), np.complex64)
+    stream[700:700 + len(samples)] = samples
+    ch = chan.Channel(snr_db=10.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(11), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, frames
+    np.testing.assert_array_equal(ok[0]["payload"][:48], payload)
