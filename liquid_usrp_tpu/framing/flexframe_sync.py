@@ -47,6 +47,8 @@ class FlexSync(NamedTuple):
     max_slots: int             # payload section slot budget
     dec_max: int
     enc_max: int
+    fecs: tuple = payload_codec.PAYLOAD_FECS
+    soft: bool = False
 
 
 class FlexSyncState(NamedTuple):
@@ -74,18 +76,22 @@ class FlexResults(NamedTuple):
 
 def make_flex_sync(params: FlexParams, block_size: int = 16384,
                    max_payload: int = 2048, max_frames: int = 8,
-                   threshold: float = 0.5) -> FlexSync:
+                   threshold: float = 0.5, enable_conv: bool = False,
+                   soft: bool = False) -> FlexSync:
     dec_max = max_payload + 4
     enc_max = _EXPANSION * dec_max
     max_data = enc_max * 8                      # bps >= 1
     max_slots = max_data + -(-max_data // (PILOT_SPACING - 1))
     n_syms = PREAMBLE_SYMS + HEADER_SYMS + max_slots
     max_frame = n_syms * params.k + 4 * params.m * params.k
+    fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
+            else payload_codec.PAYLOAD_FECS)
     return FlexSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold,
                     overlap=max_frame + 8 * params.k,
-                    max_slots=max_slots, dec_max=dec_max, enc_max=enc_max)
+                    max_slots=max_slots, dec_max=dec_max, enc_max=enc_max,
+                    fecs=fecs, soft=soft)
 
 
 def flex_sync_init(sync: FlexSync) -> FlexSyncState:
@@ -174,7 +180,7 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     hbits = modem_mod.symbols_to_bits(hdec, HEADER_BPS)
     hbytes = payload_codec.header_bits_to_bytes(hbits)
     user, plen, mod, f0, f1, check, hvalid = payload_codec.decode_header(
-        hbytes, sync.max_payload)
+        hbytes, sync.max_payload, len(sync.fecs))
     hevm = modem_mod.evm(HEADER_MOD, hsyms, hdec)
 
     # payload section with per-pilot-segment phase correction
@@ -213,9 +219,11 @@ def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
          cfo) = jax.vmap(
             lambda n0: _decode_candidate(sync, mf, metric, n0, c1[n0],
                                          c2[n0]))(locs_)
-        payload, pvalid = payload_codec.decode_payload_batch(
+        decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
+                     else payload_codec.decode_payload_batch)
+        payload, pvalid = decode_fn(
             sync.enc_max, sync.dec_max, sync.max_payload,
-            points, mod, f0, f1, check, plen, hvalid)
+            points, mod, f0, f1, check, plen, hvalid, sync.fecs)
         return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
                 rssi, hevm, cfo)
 

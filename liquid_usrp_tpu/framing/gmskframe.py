@@ -130,6 +130,8 @@ class GmskSync(NamedTuple):
     max_bits: int            # header+payload bit budget
     dec_max: int
     enc_max: int
+    fecs: tuple = payload_codec.PAYLOAD_FECS
+    soft: bool = False
 
 
 class GmskSyncState(NamedTuple):
@@ -139,15 +141,19 @@ class GmskSyncState(NamedTuple):
 
 def make_gmsk_sync(params: GmskParams, block_size: int = 16384,
                    max_payload: int = 2048, max_frames: int = 8,
-                   threshold: float = 0.5) -> GmskSync:
+                   threshold: float = 0.5, enable_conv: bool = False,
+                   soft: bool = False) -> GmskSync:
     dec_max = max_payload + 4
     enc_max = _EXPANSION * dec_max
     max_bits = (payload_codec.HEADER_ENC_BYTES + enc_max) * 8
     max_frame = (PRE_BITS + SYNC_BITS + max_bits + 4 * params.m) * params.k
+    fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
+            else payload_codec.PAYLOAD_FECS)
     return GmskSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold, overlap=max_frame + 8 * params.k,
-                    max_bits=max_bits, dec_max=dec_max, enc_max=enc_max)
+                    max_bits=max_bits, dec_max=dec_max, enc_max=enc_max,
+                    fecs=fecs, soft=soft)
 
 
 def gmsk_sync_init(sync: GmskSync) -> GmskSyncState:
@@ -221,7 +227,8 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
         hbits = hsym.astype(jnp.uint8)
         hbytes = payload_codec.header_bits_to_bytes(hbits)
         user, plen, mod_f, f0, f1, check, hvalid = \
-            payload_codec.decode_header(hbytes, sync.max_payload)
+            payload_codec.decode_header(hbytes, sync.max_payload,
+                                        len(sync.fecs))
         # payload: GMSK is 1 bit/symbol regardless of the header mod field
         ppts = data[payload_codec.HEADER_ENC_BYTES * 8:]
         snr_est = 10.0 * jnp.log10(
@@ -252,9 +259,11 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
          cfo) = jax.vmap(decode)(locs_)
         # GMSK payload is 1 bit/symbol regardless of the header mod field
         mod_bpsk = jnp.full((K,), modem_mod.MOD_BPSK, dtype=jnp.int32)
-        payload, pvalid = payload_codec.decode_payload_batch(
+        decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
+                     else payload_codec.decode_payload_batch)
+        payload, pvalid = decode_fn(
             sync.enc_max, sync.dec_max, sync.max_payload,
-            ppts, mod_bpsk, f0, f1, check, plen, hvalid)
+            ppts, mod_bpsk, f0, f1, check, plen, hvalid, sync.fecs)
         return (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid,
                 rssi, evm, cfo)
 
