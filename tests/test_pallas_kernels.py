@@ -1,0 +1,34 @@
+"""Pallas kernel validation against the jnp reference (interpret mode)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+from liquid_usrp_tpu.ops.pallas_kernels import detect_metric_fused
+
+
+def test_detect_metric_matches_reference():
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=128,
+                               max_frames=4)
+    rng = np.random.default_rng(0)
+    props = ofdm.default_props()
+    frame = np.asarray(ofdm.assemble_frame(
+        params, props,
+        jnp.asarray(rng.integers(0, 256, 8, dtype=np.uint8)),
+        jnp.asarray(rng.integers(0, 256, 64, dtype=np.uint8))))
+    ext = np.zeros(sync.overlap + 4096, np.complex64)
+    ext[2000:2000 + len(frame)] = frame
+    ext += 0.02 * (rng.normal(size=len(ext)) +
+                   1j * rng.normal(size=len(ext)))
+    ext = jnp.asarray(ext.astype(np.complex64))
+
+    want_m, want_c = ofdm_sync._detect_metric(sync, ext)
+    M = params.M
+    lag = M // 4
+    span = ofdm.NUM_S0 * M - lag
+    got_m, got_c = detect_metric_fused(ext, lag, span, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               atol=2e-3)
