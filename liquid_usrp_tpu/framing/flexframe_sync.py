@@ -53,7 +53,6 @@ class FlexSync(NamedTuple):
 
 class FlexSyncState(NamedTuple):
     tail: jnp.ndarray          # [overlap] complex64 raw samples
-    mf_state: fir_mod.FirState # matched filter carry (overlap handled via tail)
     base: jnp.ndarray          # int32
 
 
@@ -95,10 +94,8 @@ def make_flex_sync(params: FlexParams, block_size: int = 16384,
 
 
 def flex_sync_init(sync: FlexSync) -> FlexSyncState:
-    ntaps = len(sync.params.taps)
     return FlexSyncState(
         tail=jnp.zeros((sync.overlap,), dtype=jnp.complex64),
-        mf_state=fir_mod.fir_init(ntaps),
         base=jnp.int32(-sync.overlap))
 
 
@@ -252,7 +249,6 @@ def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
     )
     new_state = FlexSyncState(
         tail=ext[ext.shape[0] - sync.overlap:],
-        mf_state=state.mf_state,
         base=state.base + sync.block_size)
     return new_state, res
 

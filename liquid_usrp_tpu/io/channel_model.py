@@ -23,6 +23,7 @@ class Channel(NamedTuple):
     delay: int = 0               # integer sample delay (prepended zeros)
     gain: float = 1.0            # linear amplitude gain
     multipath: Optional[tuple] = None  # complex tap tuple, tap0 = LOS
+    sro_ppm: float = 0.0         # sample-rate offset (clock skew), ppm
 
 
 def snr_to_noise_std(snr_db: float, signal_power: float = 1.0) -> float:
@@ -42,6 +43,13 @@ def channel_apply(ch: Channel, key: jax.Array, x: jnp.ndarray,
                   signal_power: float = 1.0) -> jnp.ndarray:
     """Apply gain -> multipath -> delay -> CFO/phase -> AWGN to a block."""
     y = x * ch.gain
+    if ch.sro_ppm != 0.0:
+        from ..ops import resamp as resamp_mod
+        rs = resamp_mod.resamp_create(1.0 + ch.sro_ppm * 1e-6,
+                                      max_den=10**6)
+        st = resamp_mod.resamp_state(rs)
+        st, out, valid, count = resamp_mod.resamp_block(rs, st, y)
+        y = out  # trailing invalid slots are zeros (harmless tail)
     if ch.multipath is not None:
         taps = jnp.asarray(ch.multipath, dtype=jnp.complex64)
         y = jnp.convolve(y, taps, mode="full")[: y.shape[-1]]

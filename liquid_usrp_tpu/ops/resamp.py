@@ -149,6 +149,11 @@ def resamp_block(rs: Resamp, state: ResampState, x: jnp.ndarray):
     """
     n = x.shape[-1]
     max_out = resamp_max_out(rs, n)
+    if max_out * rs.b + rs.q >= 2 ** 31:
+        raise ValueError(
+            f"int32 timing overflow: block of {n} with rate "
+            f"{rs.rate} (b={rs.b}, q={rs.q}); use smaller blocks or a "
+            "coarser rational rate")
     ext = jnp.concatenate([state.tail, x])          # [P-1 + N]
 
     j = jnp.arange(max_out, dtype=jnp.int32)

@@ -263,3 +263,60 @@ def test_soft_conv_payload_low_snr():
     ok = [f for f in frames if f["payload_valid"]]
     assert len(ok) == 1, frames
     np.testing.assert_array_equal(ok[0]["payload"][:48], payload)
+
+
+def test_multipath_channel(setup):
+    """Two-tap multipath: the S1-based equalizer must absorb static ISI."""
+    params, sync, step = setup
+    props = ofdm.FrameProps()
+    header, payload, samples = _make_frame(params, props, 21, 200)
+    stream = np.zeros(3000 + len(samples), np.complex64)
+    stream[900:900 + len(samples)] = samples
+    ch = chan.Channel(snr_db=25.0, multipath=(1.0, 0.25 + 0.15j))
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(21), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1
+    np.testing.assert_array_equal(ok[0]["payload"][:200], payload)
+
+
+def test_sample_rate_offset(setup):
+    """50 ppm clock skew: pilot timing-slope tracking must hold the frame."""
+    params, sync, step = setup
+    props = ofdm.FrameProps()
+    header, payload, samples = _make_frame(params, props, 22, 200)
+    stream = np.zeros(3000 + len(samples), np.complex64)
+    stream[900:900 + len(samples)] = samples
+    ch = chan.Channel(snr_db=28.0, sro_ppm=50.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(22), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1
+    np.testing.assert_array_equal(ok[0]["payload"][:200], payload)
+
+
+@pytest.mark.parametrize("Mx,cpx", [(64, 8), (24, 4), (128, 16)])
+def test_alternate_dimensions(Mx, cpx):
+    """Other OFDM geometries (the fullduplex M=64/cp=8 usage point and
+    extremes) assemble and decode."""
+    params = ofdm.make_ofdm_params(M=Mx, cp_len=cpx, taper_len=min(4, cpx))
+    sync = ofdm_sync.make_sync(params, block_size=8192, max_payload=128,
+                               max_frames=4)
+    step = ofdm_sync.make_sync_step(sync)
+    props = ofdm.default_props()
+    rng = np.random.default_rng(Mx)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 96, dtype=np.uint8)
+    samples = np.asarray(ofdm.assemble_frame(
+        params, props, jnp.asarray(header), jnp.asarray(payload)))
+    stream = np.zeros(2500 + len(samples), np.complex64)
+    stream[800:800 + len(samples)] = samples
+    ch = chan.Channel(snr_db=25.0, cfo=0.002)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(Mx), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, (Mx, frames)
+    np.testing.assert_array_equal(ok[0]["payload"][:96], payload)
