@@ -23,7 +23,7 @@ import time
 BASELINE_SPS = 8e6   # reference real-time envelope (8 MS/s USRP ceiling)
 
 
-def _bench_mcrx():
+def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     """Full pipeline: NCO -> 2N-bin PFB -> vmapped N-channel OFDM sync."""
     import jax
     import jax.numpy as jnp
@@ -35,11 +35,11 @@ def _bench_mcrx():
     params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
     # large blocks amortize the per-block fixed cost (measured: 8k->32k
     # block size alone moves a single stream from ~28 to ~70 MS/s)
-    sync = ofdm_sync.make_sync(params, block_size=32768, max_payload=512,
-                               max_frames=16)
+    sync = ofdm_sync.make_sync(params, block_size=block_size,
+                               max_payload=512, max_frames=max_frames)
     init_state, step = make_mcrx_step(N, params, sync)
     g = 2 * N * sync.block_size
-    SCAN = 2
+    SCAN = scan
 
     @jax.jit
     def run(state, blocks):
@@ -123,7 +123,11 @@ def _bench_sync():
 
 
 def _child(which: str) -> int:
-    fn = {"mcrx": _bench_mcrx, "sync": _bench_sync}[which]
+    fn = {
+        "mcrx_xl": lambda: _bench_mcrx(131072, 48, 1),
+        "mcrx": _bench_mcrx,
+        "sync": _bench_sync,
+    }[which]
     metric, sps = fn()
     print(json.dumps({
         "metric": metric,
@@ -139,7 +143,7 @@ def main() -> int:
         return _child(os.environ["_BENCH_CHILD"])
     # parent: try pipelines in order, fresh subprocess per attempt (the TPU
     # tunnel backend is flaky per session)
-    attempts = [("mcrx", 2), ("sync", 3)]
+    attempts = [("mcrx_xl", 1), ("mcrx", 2), ("sync", 3)]
     for which, tries in attempts:
         for i in range(tries):
             env = dict(os.environ, _BENCH_CHILD=which)
