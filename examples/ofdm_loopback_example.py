@@ -1,4 +1,7 @@
-"""Interactive debug: OFDM TX -> channel -> sync loopback."""
+"""Example: end-to-end OFDM TX -> impaired channel -> synchronizer loopback.
+
+Run: JAX_PLATFORMS=cpu python examples/ofdm_loopback_example.py
+(or on TPU by omitting the env var)."""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax

@@ -249,3 +249,41 @@ def evm(scheme: int, x: jnp.ndarray, symbols: jnp.ndarray) -> jnp.ndarray:
     ideal = modulate(scheme, symbols)
     mse = jnp.mean(jnp.abs(x - ideal) ** 2, axis=-1)
     return 10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# differential PSK (stateful: phase reference carried between blocks)
+# ---------------------------------------------------------------------------
+
+def dpsk_modulate(scheme: int, symbols: jnp.ndarray,
+                  ref: jnp.ndarray | None = None):
+    """Differential modulate: symbol k selects a phase *increment*.
+
+    ``ref`` is the previous transmitted point (complex scalar; defaults to
+    1+0j at burst start).  Returns ``(points, new_ref)``.  The absolute
+    phase never matters to the receiver — only increments carry data.
+    """
+    if not is_differential(scheme):
+        raise ValueError(f"{mod_name(scheme)} is not a differential scheme")
+    if ref is None:
+        ref = jnp.complex64(1.0)
+    inc = modulate(scheme, symbols)              # unit phasor increments
+    rot = jnp.cumprod(inc)
+    points = ref * rot
+    return points, points[-1]
+
+
+def dpsk_demodulate(scheme: int, x: jnp.ndarray,
+                    ref: jnp.ndarray | None = None):
+    """Differential demodulate: decisions on ``x[k] * conj(x[k-1])``.
+
+    Constant phase offsets (and slow CFO) cancel without any carrier
+    recovery.  Returns ``(symbols, new_ref)``.
+    """
+    if not is_differential(scheme):
+        raise ValueError(f"{mod_name(scheme)} is not a differential scheme")
+    if ref is None:
+        ref = jnp.complex64(1.0)
+    prev = jnp.concatenate([jnp.reshape(ref, (1,)), x[:-1]])
+    d = x * jnp.conj(prev)
+    return demodulate(scheme, d / jnp.maximum(jnp.abs(d), 1e-12)), x[-1]

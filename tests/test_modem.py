@@ -76,3 +76,31 @@ def test_evm_zero_for_exact():
     x = modem.modulate(modem.MOD_QPSK, syms)
     e = float(modem.evm(modem.MOD_QPSK, x, syms))
     assert e < -100.0
+
+
+@pytest.mark.parametrize("scheme", [modem.MOD_DPSK2, modem.MOD_DPSK4,
+                                    modem.MOD_DPSK8])
+def test_dpsk_differential_roundtrip(scheme):
+    """Differential PSK survives an arbitrary constant phase rotation
+    without any carrier recovery."""
+    rng = np.random.default_rng(scheme)
+    M = 1 << modem.bits_per_symbol(scheme)
+    syms = rng.integers(0, M, 256)
+    pts, ref = modem.dpsk_modulate(scheme, jnp.asarray(syms))
+    rotated = pts * np.exp(1j * 1.234)      # unknown constant phase
+    back, _ = modem.dpsk_demodulate(scheme, jnp.asarray(rotated))
+    # symbol 0 differentiates against the (unrotated) initial reference, so
+    # only symbols 1.. are phase-invariant — real systems send a reference
+    # symbol first
+    np.testing.assert_array_equal(np.asarray(back)[1:], syms[1:])
+
+
+def test_dpsk_streaming_blocks():
+    scheme = modem.MOD_DPSK4
+    rng = np.random.default_rng(0)
+    syms = rng.integers(0, 4, 100)
+    pts_a, ref = modem.dpsk_modulate(scheme, jnp.asarray(syms[:60]))
+    pts_b, _ = modem.dpsk_modulate(scheme, jnp.asarray(syms[60:]), ref)
+    full = np.concatenate([np.asarray(pts_a), np.asarray(pts_b)])
+    back, _ = modem.dpsk_demodulate(scheme, jnp.asarray(full))
+    np.testing.assert_array_equal(np.asarray(back), syms)
