@@ -320,3 +320,44 @@ def test_alternate_dimensions(Mx, cpx):
     ok = [f for f in frames if f["payload_valid"]]
     assert len(ok) == 1, (Mx, frames)
     np.testing.assert_array_equal(ok[0]["payload"][:96], payload)
+
+
+def test_stress_mixed_props_stream(setup):
+    """Integration stress: many frames with randomized props/lengths in one
+    noisy stream — every one must decode exactly."""
+    params, sync, step = setup
+    rng = np.random.default_rng(123)
+    mods = [modem.MOD_BPSK, modem.MOD_QPSK, modem.MOD_PSK8, modem.MOD_QAM16,
+            modem.MOD_QAM64]
+    fecs = [fec.FEC_NONE, fec.FEC_HAMMING74, fec.FEC_HAMMING128,
+            fec.FEC_GOLAY2412, fec.FEC_SECDED2216]
+    sent = []
+    pos = 800
+    stream = np.zeros(120000, np.complex64)
+    while True:
+        props = ofdm.FrameProps(
+            check=int(rng.choice([crc.CRC_16, crc.CRC_32])),
+            fec0=int(rng.choice(fecs)), fec1=int(rng.choice(fecs)),
+            mod=int(rng.choice(mods)))
+        plen = int(rng.integers(8, 400))
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        payload = rng.integers(0, 256, plen, dtype=np.uint8)
+        frame = np.asarray(ofdm.assemble_frame(
+            params, props, jnp.asarray(header), jnp.asarray(payload)))
+        if pos + len(frame) + sync.overlap >= len(stream):
+            break
+        stream[pos:pos + len(frame)] = frame
+        sent.append((pos, payload))
+        pos += len(frame) + int(rng.integers(400, 1200))
+    assert len(sent) >= 8
+    ch = chan.Channel(snr_db=28.0, cfo=0.001)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(99), jnp.asarray(stream), signal_power=0.5))
+    frames = _run_stream(sync, step, stream)
+    ok = {f["t"]: f for f in frames if f["payload_valid"]}
+    assert len(ok) == len(sent), (len(ok), len(sent))
+    for pos, payload in sent:
+        match = [f for t, f in ok.items() if abs(t - pos) <= 2]
+        assert len(match) == 1, pos
+        np.testing.assert_array_equal(
+            match[0]["payload"][: len(payload)], payload)
