@@ -19,12 +19,13 @@ USAGE = """asgram_rx -i in.iq [options]
   h : usage              i : input IQ file (required)
   n : FFT size (64)      L : rows to print (20)
   o : dB offset (-65)    S : dB per character (5)
+  O : IQ ring-log dump file (.m octave, like the reference's SIGINT dump)
 """
 
 
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:n:L:o:S:")
+                          "hi:n:L:o:S:O:")
     if "h" in flags:
         print(USAGE)
         return 0
@@ -52,6 +53,19 @@ def main(argv=None) -> int:
         row = spec_mod.ascii_row(sg, psd[i])
         print("[%s] peak: %6.1f dB @ f=%+.3f" %
               (row, float(peak_db[i]), float(peak_f[i])))
+    if flags.get("O"):
+        # IQ ring-log dump (the reference writes raw IQ on SIGINT,
+        # /root/reference/src/asgram_rx.cc:233-253)
+        from ..ops import window as window_mod
+        ring = window_mod.ring_init(1024)
+        ring = window_mod.ring_push(ring, jnp.asarray(stream))
+        q = np.asarray(window_mod.ring_read(ring))
+        with open(flags["O"], "w") as f:
+            f.write("%% asgram_rx IQ capture (octave)\nclear all;\n")
+            f.write("x = [" + " ".join(
+                "(%.5g%+.5gj)" % (v.real, v.imag) for v in q) + "];\n")
+            f.write("figure; plot(real(x)); hold on; plot(imag(x));\n")
+        print(f"IQ log written to {flags['O']}")
     return 0
 
 

@@ -64,3 +64,28 @@ def test_write_symbol_drains_whole_frame():
         if last:
             break
     np.testing.assert_allclose(np.concatenate(chunks), whole, atol=1e-6)
+
+
+def test_virtual_air_frequency_mistuning():
+    """Mistuned radios: the air derives CFO from the RadioConfigs and the
+    synchronizer recovers it (the fullduplex over-the-air idiom)."""
+    from liquid_usrp_tpu.io.radio import VirtualAir
+    a = OfdmTxRx(max_payload=256)
+    b = OfdmTxRx(max_payload=256)
+    a.set_tx_freq(462.0e6 + 200.0)     # 200 Hz mistuning at 500 kS/s
+    b.set_rx_freq(462.0e6)
+    air = VirtualAir(snr_db=30.0)
+    rng = np.random.default_rng(0)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 64, dtype=np.uint8)
+    tx = a.transmit_packet(header, payload)
+    a.drain_tx()
+    rx_samples = air.propagate(a.radio, b.radio, tx)
+    b.start_rx()
+    frames = b.run_rx(rx_samples, flush=True)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1
+    np.testing.assert_array_equal(ok[0]["payload"], payload)
+    expected_cfo = 2 * np.pi * 200.0 / 500e3
+    np.testing.assert_allclose(ok[0]["stats"]["cfo"], expected_cfo,
+                               atol=5e-4)
