@@ -143,7 +143,7 @@ def main() -> int:
         return _child(os.environ["_BENCH_CHILD"])
     # parent: try pipelines in order, fresh subprocess per attempt (the TPU
     # tunnel backend is flaky per session)
-    attempts = [("mcrx_xl", 1), ("mcrx", 2), ("sync", 3)]
+    attempts = [("mcrx_xl", 2), ("mcrx", 1), ("sync", 2)]
     for which, tries in attempts:
         for i in range(tries):
             env = dict(os.environ, _BENCH_CHILD=which)
