@@ -36,7 +36,7 @@ from ..ops import nco as nco_mod
 from ..ops import pfb as pfb_mod
 
 __all__ = ["MultichannelTx", "MultichannelRx", "MultichannelTxRx",
-           "McrxState", "make_mcrx_step"]
+           "McrxState", "make_mcrx_step", "MctxState", "make_mctx_step"]
 
 
 def _center_offset(num_channels: int) -> float:
@@ -58,8 +58,8 @@ class MultichannelTx:
         self.params = ofdm.make_ofdm_params(M, cp_len, taper_len)
         self.props = [ofdm.default_props() for _ in range(num_channels)]
         self.chz = pfb_mod.pfbch_create(2 * num_channels, m=13, As=60.0)
-        self._chz_state = pfb_mod.pfbch_state(self.chz)
-        self._nco = nco_mod.nco_init(_center_offset(num_channels))
+        self._mctx_init, self._mctx_step = make_mctx_step(num_channels)
+        self._mctx_state = self._mctx_init()
         # per-channel pending baseband samples (time-domain frame streams)
         self._queues: list[np.ndarray] = [
             np.zeros(0, np.complex64) for _ in range(num_channels)]
@@ -102,10 +102,38 @@ class MultichannelTx:
             if take:
                 Y[:take, ch] = q[:take]
                 self._queues[ch] = q[take:]
-        self._chz_state, y = pfb_mod.pfb_synthesize_block(
-            self.chz, self._chz_state, jnp.asarray(Y))
-        self._nco, y = nco_mod.nco_mix_block(self._nco, y, up=True)
+        self._mctx_state, y = self._mctx_step(self._mctx_state,
+                                              jnp.asarray(Y))
         return np.asarray(y)
+
+
+class MctxState(NamedTuple):
+    nco: nco_mod.NcoState
+    chz: pfb_mod.PfbchState
+
+
+def make_mctx_step(num_channels: int):
+    """Build ``(init_state, step)`` for the fused synthesis side.
+
+    ``step(state, Y[B, 2N]) -> (state', y[2N*B])``: per-channel baseband
+    frames (channels in bins 0..N-1, rest zero) -> synthesized + centered
+    mixture.  One jitted graph per block — the device-side counterpart of
+    the host-scheduling :class:`MultichannelTx`.
+    """
+    N = num_channels
+    chz = pfb_mod.pfbch_create(2 * N, m=13, As=60.0)
+
+    def init_state() -> MctxState:
+        return MctxState(nco=nco_mod.nco_init(_center_offset(N)),
+                         chz=pfb_mod.pfbch_state(chz))
+
+    @jax.jit
+    def step(state: MctxState, Y: jnp.ndarray):
+        chz_state, y = pfb_mod.pfb_synthesize_block(chz, state.chz, Y)
+        nco_state, y = nco_mod.nco_mix_block(state.nco, y, up=True)
+        return MctxState(nco=nco_state, chz=chz_state), y
+
+    return init_state, step
 
 
 # ---------------------------------------------------------------------------
