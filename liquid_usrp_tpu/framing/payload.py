@@ -55,10 +55,12 @@ _MAX_CONST = 256
 
 HEADER_USER_BYTES = 8               # reference: p_id + 6 random bytes
 HEADER_DEC_BYTES = HEADER_USER_BYTES + 6 + 2  # + internal fields + CRC16
-HEADER_FEC = fec_mod.FEC_HAMMING128
+# Golay(24,12) + BPSK header: ~4 dB more sensitive than Hamming(12,8)+QPSK
+# for ~9% frame overhead — the header is the end-to-end waterfall limiter
+HEADER_FEC = fec_mod.FEC_GOLAY2412
 HEADER_ENC_BYTES = fec_mod.encoded_length(HEADER_FEC, HEADER_DEC_BYTES)
-HEADER_MOD = modem_mod.MOD_QPSK
-HEADER_BPS = 2
+HEADER_MOD = modem_mod.MOD_BPSK
+HEADER_BPS = 1
 HEADER_SYMS = (HEADER_ENC_BYTES * 8 + HEADER_BPS - 1) // HEADER_BPS
 
 
