@@ -123,13 +123,16 @@ def _preamble_corr(sync: FlexSync, mf: jnp.ndarray, region: int):
 
 
 def _find_candidates(sync: FlexSync, metric: jnp.ndarray):
+    # detect region inset by the NMS radius (full suppression context on
+    # both sides; see ofdm_sync._find_candidates)
     T = sync.block_size
     win = sync.params.k * PREAMBLE_SYMS // 2
     local_max = jax.lax.reduce_window(
         metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
     is_peak = (metric >= local_max) & (metric > sync.threshold)
     idx = jnp.arange(metric.shape[0])
-    score = jnp.where(is_peak & (idx < T), metric, -1.0)
+    score = jnp.where(is_peak & (idx >= win) & (idx < T + win), metric,
+                      -1.0)
     vals, locs = jax.lax.top_k(score, sync.max_frames)
     return vals > 0, locs
 
@@ -206,8 +209,9 @@ def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
     mf = jnp.convolve(ext, taps.astype(ext.dtype), mode="full")[
         len(p.taps) - 1:]
     region = sync.block_size
-    metric, c, c1, c2 = _preamble_corr(sync, mf, region + 1)
-    detected, locs = _find_candidates(sync, metric[:region])
+    win = sync.params.k * PREAMBLE_SYMS // 2
+    metric, c, c1, c2 = _preamble_corr(sync, mf, region + 2 * win + 1)
+    detected, locs = _find_candidates(sync, metric)
 
     K = sync.max_frames
 

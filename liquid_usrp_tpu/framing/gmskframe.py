@@ -180,7 +180,8 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
     n_t = PRE_BITS + SYNC_BITS
     tmpl = jnp.asarray(p.template)
     region = sync.block_size
-    idx = jnp.arange(region + 1)[:, None] + k * jnp.arange(n_t)[None, :]
+    n_metric = region + 2 * (k * 16) + 1   # region inset + NMS lookahead
+    idx = jnp.arange(n_metric)[:, None] + k * jnp.arange(n_t)[None, :]
     wins = d[idx]                                   # [region+1, 128]
     mean_w = jnp.mean(wins, axis=-1)                # CFO-ish per offset
     ac = wins - mean_w[:, None]
@@ -188,7 +189,7 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
     energy = jnp.sqrt(jnp.maximum(jnp.sum(ac * ac, axis=-1), 1e-12))
     metric = (corr / (energy * np.sqrt(n_t))) ** 2
     # silence gate: require real signal power in the raw samples
-    pwr = jnp.abs(ext[: region + 1]) ** 2
+    pwr = jnp.abs(ext[: n_metric]) ** 2
     floor = 1e-3 * (jnp.mean(jnp.abs(ext) ** 2) + 1e-12)
     metric = jnp.where(pwr > floor, metric, 0.0)
 
@@ -196,7 +197,9 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
     local_max = jax.lax.reduce_window(
         metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
     is_peak = (metric >= local_max) & (metric > sync.threshold)
-    score = jnp.where(is_peak & (jnp.arange(metric.shape[0]) < region),
+    idx = jnp.arange(metric.shape[0])
+    # detect region inset by the NMS radius (see ofdm_sync)
+    score = jnp.where(is_peak & (idx >= win) & (idx < region + win),
                       metric, -1.0)
     vals, locs = jax.lax.top_k(score, sync.max_frames)
     detected = vals > 0

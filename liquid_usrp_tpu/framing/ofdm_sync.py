@@ -143,7 +143,14 @@ def _detect_metric(sync: OfdmSync, ext: jnp.ndarray):
 
 
 def _find_candidates(sync: OfdmSync, metric: jnp.ndarray):
-    """Non-max-suppressed top-k candidate offsets within [0, block_size)."""
+    """Non-max-suppressed top-k candidate offsets.
+
+    The detect region is ``[win, block_size + win)`` — inset by one NMS
+    radius so every candidate has full suppression context on both sides
+    (a region starting at offset 0 would let the falling edge of a peak
+    owned by the *previous* block slip through as a duplicate).  The
+    region tiling across blocks stays exact, just shifted by a constant.
+    """
     M = sync.params.M
     T = sync.block_size
     win = M  # suppression radius ~ one symbol
@@ -151,7 +158,7 @@ def _find_candidates(sync: OfdmSync, metric: jnp.ndarray):
         metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
     is_peak = (metric >= local_max) & (metric > sync.threshold)
     idx = jnp.arange(metric.shape[0])
-    in_region = idx < T
+    in_region = (idx >= win) & (idx < T + win)
     score = jnp.where(is_peak & in_region, metric, -1.0)
     vals, locs = jax.lax.top_k(score, sync.max_frames)
     detected = vals > 0
