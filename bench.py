@@ -76,13 +76,15 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     s2, _ = run(state, blocks)
     jax.block_until_ready(s2)
     iters = 5
-    t0 = time.perf_counter()
+    best = float("inf")
     st = state
-    for _ in range(iters):
-        st, stats = run(st, blocks)
-    jax.block_until_ready(st)
-    dt = time.perf_counter() - t0
-    return "mcrx_iq_throughput", iters * SCAN * g / dt
+    for _ in range(3):               # best-of-3 (tunnel transport jitter)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, stats = run(st, blocks)
+        jax.block_until_ready(st)
+        best = min(best, time.perf_counter() - t0)
+    return "mcrx_iq_throughput", iters * SCAN * g / best
 
 
 def _bench_sync():
@@ -113,13 +115,15 @@ def _bench_sync():
     s2, _ = run(state, blocks)
     jax.block_until_ready(s2)
     iters = 5
-    t0 = time.perf_counter()
+    best = float("inf")
     st = state
-    for _ in range(iters):
-        st, _ = run(st, blocks)
-    jax.block_until_ready(st)
-    dt = time.perf_counter() - t0
-    return "ofdm_sync_iq_throughput", iters * SCAN * sync.block_size / dt
+    for _ in range(3):               # best-of-3 (tunnel transport jitter)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, _ = run(st, blocks)
+        jax.block_until_ready(st)
+        best = min(best, time.perf_counter() - t0)
+    return "ofdm_sync_iq_throughput", iters * SCAN * sync.block_size / best
 
 
 def _child(which: str) -> int:
