@@ -31,7 +31,7 @@ from ..ops import modem as modem_mod
 from ..utils.bits import unpack_bits
 from . import payload as payload_codec
 from .ofdm import FrameProps, default_props
-from .payload import HEADER_BPS, HEADER_MOD, HEADER_SYMS, HEADER_USER_BYTES
+from .payload import HEADER_BPS, HEADER_MOD, HEADER_SYMS
 
 __all__ = [
     "FlexParams", "make_flex_params", "flex_assemble", "flex_frame_length",

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import fir as fir_mod
 from ..ops import modem as modem_mod
 from . import payload as payload_codec
 from .flexframe import (FlexParams, PILOT_SPACING, PREAMBLE_SYMS,

@@ -31,7 +31,6 @@ detect region, so frame results are independent of the block chopping.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

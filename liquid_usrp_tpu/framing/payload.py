@@ -25,7 +25,7 @@ import numpy as np
 from ..ops import crc as crc_mod
 from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
-from ..utils.bits import pack_bits, unpack_bits
+from ..utils.bits import pack_bits
 
 __all__ = [
     "PAYLOAD_FECS", "PAYLOAD_FECS_FULL", "PAYLOAD_MODS",

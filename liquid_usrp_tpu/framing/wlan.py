@@ -20,7 +20,6 @@ slicing.  TX-only, mirroring the reference app's scope.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

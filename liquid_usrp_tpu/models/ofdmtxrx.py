@@ -23,14 +23,13 @@ TX and RX endpoints become CFO in the virtual channel).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..framing import ofdm, ofdm_sync
-from ..ops import crc as crc_mod
 from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
 

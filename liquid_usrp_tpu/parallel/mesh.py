@@ -15,7 +15,6 @@ channelizer->sync reshard, ``psum``/``all_gather`` for stats aggregation.
 from __future__ import annotations
 
 import jax
-import numpy as np
 
 __all__ = ["make_sdr_mesh", "factor_devices"]
 

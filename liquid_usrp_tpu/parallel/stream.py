@@ -19,9 +19,6 @@ time chunk (channelizer) and synchronizes its channel subset.
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
