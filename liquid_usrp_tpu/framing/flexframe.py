@@ -9,7 +9,7 @@ and the fixed ``framegen64``/``framesync64`` Frame64 variant
 Format (from scratch, engineered for batched sync):
 
 * preamble: 64 PN BPSK symbols (detection, CFO, gain/phase reference),
-* header: the shared codec header (Hamming(12,8)+CRC16, QPSK, 96 symbols),
+* header: the shared codec header (Golay(24,12)+CRC16, BPSK, 256 symbols),
 * payload: shared codec payload stream with a PN BPSK **pilot symbol every
   16th position** for phase/timing tracking across the burst,
 * pulse shaping: root-raised-cosine, ``k`` samples/symbol (k=2 default,

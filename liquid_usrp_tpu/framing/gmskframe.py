@@ -9,7 +9,7 @@ with preamble + FEC/CRC header + payload, k=2 samples/symbol
 Format (from scratch):
 
 * preamble: 64 alternating bits (clock recovery) + 64 balanced PN sync bits,
-* header: shared codec header (Hamming(12,8)+CRC16) as raw GMSK bits,
+* header: shared codec header (Golay(24,12)+CRC16) as raw GMSK bits,
 * payload: shared codec payload byte stream as raw GMSK bits (modulation is
   the constant-envelope GMSK itself — 1 bit/symbol; the header's ``mod``
   field is pinned to BPSK so the shared codec demaps signs directly),

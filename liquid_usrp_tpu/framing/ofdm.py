@@ -17,7 +17,7 @@ that format off-air, only its capabilities):
   symbol ``S1`` (full-band PN BPSK for fine timing + channel estimation);
   all preamble symbols are M samples, no CP.
 * header: 8 user bytes + [payload_len u16 | mod u8 | fec0 u8 | fec1 u8 |
-  check u8] + CRC16, Hamming(12,8) encoded, QPSK on the data subcarriers.
+  check u8] + CRC16, Golay(24,12) encoded, BPSK on the data subcarriers.
 * payload: payload -> CRC(check) -> inner FEC (fec0) -> outer FEC (fec1) ->
   modem symbols -> data subcarriers.  Pilot subcarriers carry a per-symbol
   PN-rotated BPSK sequence for common-phase/timing tracking.

@@ -6,7 +6,7 @@ properties, then a payload run through CRC -> inner FEC -> outer FEC ->
 modem (SURVEY.md §2.3).  This module holds the TPU-side codec used by all of
 them:
 
-* static header encode/decode (Hamming(12,8) + CRC16 + PN scramble),
+* static header encode/decode (Golay(24,12) + CRC16 + PN scramble),
 * runtime-property payload decode: constellation selected by a traced enum
   via a padded-table gather, FEC via ``lax.switch`` over the scheme set on
   static max-size buffers, CRC over a traced length.
