@@ -1,8 +1,18 @@
-"""Benchmark: channelizer + OFDM demod IQ throughput per chip.
+"""Benchmark + proof: channelizer + OFDM demod IQ throughput per chip.
 
-Measures the flagship RX pipeline on whatever backend JAX provides (one
-real TPU chip under the driver).  This is the BASELINE.json headline
-metric: IQ samples/s/chip for channelizer + OFDM demod.
+Measures the flagship RX pipeline (NCO -> 2N-bin PFB analyzer -> vmapped
+N-channel OFDM flexframe sync) on whatever backend JAX provides (one real
+TPU chip under the driver) and **verifies it on-chip**: the input mixture
+carries a known set of injected frames, and the measurement only counts if
+every frame decodes payload-exact on the device under test.  This is the
+BASELINE.json headline metric: IQ samples/s/chip for channelizer + OFDM
+demod.
+
+Roofline accounting: the compiled step's XLA cost analysis supplies FLOPs
+and HBM bytes-accessed; the JSON line reports achieved FLOP/s vs the chip's
+bf16 MXU peak (``mfu``) and achieved HBM traffic vs peak memory bandwidth
+(``hbm_util``) — the pipeline is bandwidth-bound (see docs/roofline.md), so
+``hbm_util`` is the roofline figure of merit.
 
 ``vs_baseline`` compares against 8 MS/s — the reference system's maximum
 real-time operating envelope (USRP single-carrier bandwidth ceiling,
@@ -21,6 +31,100 @@ import sys
 import time
 
 BASELINE_SPS = 8e6   # reference real-time envelope (8 MS/s USRP ceiling)
+
+# chip peaks: (device_kind substring, bf16 MXU FLOP/s, HBM bytes/s).
+# Public numbers from cloud.google.com/tpu/docs/system-architecture.
+_PEAKS = [
+    ("v5 lite", 197e12, 819e9),   # v5e
+    ("v5e", 197e12, 819e9),
+    ("v5p", 459e12, 2765e9),
+    ("v5", 197e12, 819e9),
+    ("v6", 918e12, 1640e9),       # Trillium
+    ("v4", 275e12, 1228e9),
+    ("v3", 123e12, 900e9),
+    ("v2", 45e12, 700e9),
+]
+
+
+def _device_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, flops, bw in _PEAKS:
+        if sub in kind:
+            return kind, flops, bw
+    return kind, None, None
+
+
+def _build_loaded_mixture(N, params, props, payload_len, total_channel_samps,
+                          margin, rng):
+    """Per-channel back-to-back frames -> synthesized centered mixture.
+
+    Returns ``(mixture[2N*total], payloads)`` where ``payloads[ch]`` is the
+    ordered list of injected payload byte arrays for channel ``ch`` — the
+    on-chip decode ground truth.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from liquid_usrp_tpu.framing import ofdm
+    from liquid_usrp_tpu.models.multichannel import make_mctx_step
+
+    flen = ofdm.frame_length(params, props, payload_len)
+    gap = 128
+    n_frames = max(1, (total_channel_samps - margin) // (flen + gap))
+    payloads = []
+    with jax.default_device(jax.devices("cpu")[0]):
+        streams = np.zeros((total_channel_samps, N), np.complex64)
+        for ch in range(N):
+            per_ch = []
+            pos = 0
+            for i in range(n_frames):
+                h = rng.integers(0, 256, 8, dtype=np.uint8)
+                p = rng.integers(0, 256, payload_len, dtype=np.uint8)
+                per_ch.append(p)
+                w = np.asarray(ofdm.assemble_frame(
+                    params, props, jnp.asarray(h), jnp.asarray(p)))
+                streams[pos:pos + flen, ch] = w
+                pos += flen + gap
+            payloads.append(per_ch)
+        init, step = make_mctx_step(N)
+        Y = np.zeros((total_channel_samps, 2 * N), np.complex64)
+        Y[:, :N] = streams
+        st = init()
+        out = []
+        for lo in range(0, total_channel_samps, 1 << 15):
+            st, y = step(st, jnp.asarray(Y[lo:lo + (1 << 15)]))
+            out.append(np.asarray(y))
+        mixture = np.concatenate(out)
+    return mixture, payloads
+
+
+def _verify(results_list, payloads, N):
+    """Assert every injected frame decoded payload-exact; returns count."""
+    import numpy as np
+    got = [[] for _ in range(N)]
+    for res in results_list:
+        det = np.asarray(res.payload_valid)   # [SCAN, N, K]
+        t = np.asarray(res.t_start)
+        pl = np.asarray(res.payload)
+        pln = np.asarray(res.payload_len)
+        for s, ch, k in zip(*np.nonzero(det)):
+            got[ch].append((int(t[s, ch, k]),
+                            pl[s, ch, k][: int(pln[s, ch, k])]))
+    total = 0
+    for ch in range(N):
+        rows = sorted(got[ch], key=lambda r: r[0])
+        exp = payloads[ch]
+        if len(rows) != len(exp):
+            raise AssertionError(
+                f"channel {ch}: decoded {len(rows)} frames, "
+                f"injected {len(exp)}")
+        for (t0, p), e in zip(rows, exp):
+            if len(p) != len(e) or not np.array_equal(p, e):
+                raise AssertionError(
+                    f"channel {ch}: payload mismatch at t={t0}")
+        total += len(rows)
+    return total
 
 
 def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
@@ -41,50 +145,68 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     g = 2 * N * sync.block_size
     SCAN = scan
 
-    @jax.jit
-    def run(state, blocks):
+    def run_fn(state, blocks):
         def body(st, x):
             st, res = step(st, x)
-            return st, (jnp.sum(res.detected), jnp.sum(res.payload_valid))
+            return st, res
         return jax.lax.scan(body, state, blocks)
 
-    # fully-loaded input: every channel carries back-to-back frames plus
-    # noise, so the measurement includes the complete detect+decode load
-    # (noise-only input would let the lax.cond decode gate idle the chip).
-    # Generated on the host CPU backend — TX generation is setup, not the
-    # thing being measured.
-    from liquid_usrp_tpu.models.multichannel import MultichannelTx
+    # fully-loaded input with KNOWN ground truth: every channel carries
+    # back-to-back frames (the complete detect+decode load; noise-only
+    # input would let the lax.cond decode gate idle the chip), and the
+    # injected payloads double as the on-chip correctness oracle.
     rng = np.random.default_rng(0)
-    with jax.default_device(jax.devices("cpu")[0]):
-        tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
-        mix = []
-        produced = 0
-        while produced < SCAN * g:
-            for ch in range(N):
-                if tx.is_channel_ready(ch):
-                    tx.update_data(
-                        ch, rng.integers(0, 256, 8, dtype=np.uint8),
-                        rng.integers(0, 256, 400, dtype=np.uint8))
-            chunk = tx.generate_samples(2048)
-            mix.append(chunk)
-            produced += len(chunk)
-    mixture = np.concatenate(mix)[: SCAN * g]
+    props = ofdm.default_props()
+    margin = sync.overlap + 8 * params.M
+    mixture, payloads = _build_loaded_mixture(
+        N, params, props, 400, SCAN * sync.block_size, margin, rng)
     noise = (rng.normal(size=mixture.shape) +
              1j * rng.normal(size=mixture.shape)).astype(np.complex64)
     blocks = jnp.asarray((mixture + 0.01 * noise).reshape(SCAN, g))
+    flush = jnp.asarray(
+        (0.01 * (rng.normal(size=(SCAN, g)) + 1j * rng.normal(size=(SCAN, g))))
+        .astype(np.complex64))
     state = init_state()
-    s2, _ = run(state, blocks)
-    jax.block_until_ready(s2)
+
+    # AOT compile once; reuse the executable for verify + timing + costs
+    exe = jax.jit(run_fn).lower(state, blocks).compile()
+    try:
+        ca = exe.cost_analysis() or {}
+    except Exception:
+        ca = {}
+    flops_per_call = float(ca.get("flops", 0.0))
+    bytes_per_call = float(ca.get("bytes accessed", 0.0))
+
+    # --- on-chip correctness: every injected frame must decode exactly ---
+    s2, res1 = exe(state, blocks)
+    _, res2 = exe(s2, flush)
+    n_ok = _verify([jax.tree.map(np.asarray, res1),
+                    jax.tree.map(np.asarray, res2)], payloads, N)
+
+    # --- timing ---
     iters = 5
     best = float("inf")
     st = state
     for _ in range(3):               # best-of-3 (tunnel transport jitter)
         t0 = time.perf_counter()
         for _ in range(iters):
-            st, stats = run(st, blocks)
+            st, _ = exe(st, blocks)
         jax.block_until_ready(st)
         best = min(best, time.perf_counter() - t0)
-    return "mcrx_iq_throughput", iters * SCAN * g / best
+    sps = iters * SCAN * g / best
+    extra = {
+        "correct": True,
+        "frames_verified": n_ok,
+        "flops_per_s": round(flops_per_call * iters / best, 1),
+        "hbm_bytes_per_s": round(bytes_per_call * iters / best, 1),
+    }
+    kind, peak_flops, peak_bw = _device_peaks()
+    extra["device"] = kind
+    if peak_flops and flops_per_call:
+        extra["mfu"] = round(extra["flops_per_s"] / peak_flops, 5)
+    if peak_bw and bytes_per_call:
+        extra["hbm_util"] = round(extra["hbm_bytes_per_s"] / peak_bw, 4)
+    return "mcrx_iq_throughput", sps, extra
 
 
 def _bench_sync():
@@ -123,7 +245,8 @@ def _bench_sync():
             st, _ = run(st, blocks)
         jax.block_until_ready(st)
         best = min(best, time.perf_counter() - t0)
-    return "ofdm_sync_iq_throughput", iters * SCAN * sync.block_size / best
+    return ("ofdm_sync_iq_throughput",
+            iters * SCAN * sync.block_size / best, {"correct": False})
 
 
 def _child(which: str) -> int:
@@ -132,13 +255,15 @@ def _child(which: str) -> int:
         "mcrx": _bench_mcrx,
         "sync": _bench_sync,
     }[which]
-    metric, sps = fn()
-    print(json.dumps({
+    metric, sps, extra = fn()
+    out = {
         "metric": metric,
         "value": round(sps, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps / BASELINE_SPS, 3),
-    }))
+    }
+    out.update(extra)
+    print(json.dumps(out))
     return 0
 
 

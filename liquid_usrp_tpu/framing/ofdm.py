@@ -117,6 +117,12 @@ def make_ofdm_params(M: int = 64, cp_len: int = 16,
                      taper_len: int = 4) -> OfdmParams:
     if M < 8:
         raise ValueError("number of subcarriers must be at least 8")
+    if M % 4:
+        # the S0 detector relies on the exact period-M/4 time structure of
+        # the short-sync symbol (energy on every 4th subcarrier); an M that
+        # is not a multiple of 4 builds frames the synchronizer cannot
+        # reliably detect.  All reference configs use multiples of 4.
+        raise ValueError("number of subcarriers must be a multiple of 4")
     if not (0 < cp_len <= M):
         raise ValueError("cyclic prefix must be in (0, M]")
     if taper_len > cp_len:

@@ -29,12 +29,17 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "iqstream.cc")
+    stale = (not os.path.exists(_LIB_PATH) or
+             (os.path.exists(src) and
+              os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
             subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -125,11 +125,11 @@ def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
         left = jax.lax.ppermute(
             tail, "time", [(i, i + 1) for i in range(n_time - 1)])
         ext = jnp.concatenate([left, x_local])   # [mix_halo + mix_B]
-        # NCO with globally consistent phase
-        g0 = (t_idx * mix_B - mix_halo).astype(jnp.float32)
-        nco0 = nco_mod.NcoState(
-            phase=jnp.mod(freq * g0, 2 * np.pi).astype(jnp.float32),
-            freq=jnp.float32(freq))
+        # NCO with globally consistent phase: exact uint32 modular index
+        # math (a float32 global index breaks past 2^24 samples)
+        g0 = (t_idx.astype(jnp.uint32) * jnp.uint32(mix_B % (1 << 32))
+              + jnp.uint32(-mix_halo % (1 << 32)))
+        nco0 = nco_mod.nco_init_at(freq, g0)
         _, mixed = nco_mod.nco_mix_block(nco0, ext, up=True)
         _, X = pfb_mod.pfb_analyze_block(chz, pfb_mod.pfbch_state(chz),
                                          mixed)
@@ -214,10 +214,9 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
             [(i, i + 1) for i in range(n_dev - 1)])
         ext = jnp.concatenate([left, x_local])
 
-        g0 = (flat * mix_sub - 2 * N * ana_halo).astype(jnp.float32)
-        nco0 = nco_mod.NcoState(
-            phase=jnp.mod(freq * g0, 2 * np.pi).astype(jnp.float32),
-            freq=jnp.float32(freq))
+        g0 = (flat.astype(jnp.uint32) * jnp.uint32(mix_sub % (1 << 32))
+              + jnp.uint32(-(2 * N * ana_halo) % (1 << 32)))
+        nco0 = nco_mod.nco_init_at(freq, g0)
         _, mixed = nco_mod.nco_mix_block(nco0, ext, up=True)
         _, X = pfb_mod.pfb_analyze_block(chz, pfb_mod.pfbch_state(chz),
                                          mixed)

@@ -19,19 +19,24 @@ import numpy as np
 __all__ = ["save_state", "load_state"]
 
 
+def _norm(path: str) -> str:
+    """np.savez appends '.npz' to bare paths; normalize so save/load agree."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state) -> None:
     """Serialize a pytree of arrays to ``path`` (.npz + structure JSON)."""
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         json.dumps(str(treedef)).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    np.savez(_norm(path), **arrays)
 
 
 def load_state(path: str, like):
     """Load a checkpoint into the structure of ``like`` (same pipeline
     config); returns the restored pytree."""
-    data = np.load(path)
+    data = np.load(_norm(path))
     leaves_like, treedef = jax.tree.flatten(like)
     n = len(leaves_like)
     leaves = []
@@ -42,5 +47,10 @@ def load_state(path: str, like):
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != pipeline "
                 f"state shape {np.shape(ref)} — config mismatch")
+        ref_dtype = np.asarray(ref).dtype
+        if arr.dtype != ref_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} dtype {arr.dtype} != pipeline "
+                f"state dtype {ref_dtype} — config mismatch")
         leaves.append(jnp.asarray(arr))
     return jax.tree.unflatten(treedef, leaves)

@@ -48,13 +48,18 @@ struct Reader {
   std::condition_variable cv_fill, cv_read;
   std::thread worker;
   std::atomic<bool> stop{false};
+  std::atomic<bool> done{false};  // fill_loop has returned
 
   void fill_loop() {
     std::vector<int16_t> tmp;
     for (;;) {
       std::unique_lock<std::mutex> lk(mu);
       cv_fill.wait(lk, [&] { return filled.load() < 2 || stop.load(); });
-      if (stop.load()) return;
+      if (stop.load()) {
+        done.store(true);
+        cv_read.notify_all();
+        return;
+      }
       Block& b = slots[next_fill];
       lk.unlock();
 
@@ -76,7 +81,11 @@ struct Reader {
       next_fill ^= 1;
       filled.fetch_add(1);
       cv_read.notify_one();
-      if (b.eof) return;
+      if (b.eof) {
+        done.store(true);
+        cv_read.notify_all();
+        return;
+      }
     }
   }
 };
@@ -103,7 +112,11 @@ void* iq_reader_open(const char* path, int format, size_t block_samples) {
 size_t iq_reader_next(void* h, float* out) {
   auto* r = static_cast<Reader*>(h);
   std::unique_lock<std::mutex> lk(r->mu);
-  r->cv_read.wait(lk, [&] { return r->filled.load() > 0; });
+  // Also wake when the fill thread has exited (post-EOF or racing a
+  // close): without the done escape a call after the EOF block was
+  // consumed would block forever.
+  r->cv_read.wait(lk, [&] { return r->filled.load() > 0 || r->done.load(); });
+  if (r->filled.load() == 0) return 0;
   Block& b = r->slots[r->next_read];
   size_t n = b.n_samples;
   memcpy(out, b.data.data(), 2 * n * sizeof(float));
