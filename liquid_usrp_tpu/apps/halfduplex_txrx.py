@@ -3,7 +3,10 @@
 CLI re-creation of /root/reference/src/halfduplex_txrx.cc: transmit a
 packet, listen for the echoed/acked frame with a timeout, retry on miss
 (:196-206; 50 ms ACK timeout :107 becomes a retry budget here).  Two
-OfdmTxRx endpoints share a virtual air with optional impairments.
+OfdmTxRx endpoints share one carrier through a :class:`VirtualAir` whose
+CFO is *derived* from the endpoints' radio configs (``--ppm`` mistunes
+node B's oscillator), exactly like over-the-air operation — no
+hand-specified ``--cfo`` flag.
 """
 from __future__ import annotations
 
@@ -11,21 +14,22 @@ import sys
 
 import numpy as np
 
+from ..io.radio import VirtualAir
 from ..models.ofdmtxrx import OfdmTxRx
-from .common import apply_channel, parse_args
+from .common import parse_args
 
 USAGE = """halfduplex_txrx [options]
   h : usage                     N : packets (5)
   P : payload bytes (64)        M : subcarriers (48)
   C : cyclic prefix (6)         R : max retries per packet (3)
   q : quiet
-  --snr/--cfo : virtual air impairments
+  --snr : link SNR dB (25)      --ppm : node-B LO error, ppm (0.5)
 """
 
 
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hN:P:M:C:R:q")
+                          "hN:P:M:C:R:q", ["snr=", "ppm=", "seed="])
     if "h" in flags:
         print(USAGE)
         return 0
@@ -34,6 +38,8 @@ def main(argv=None) -> int:
     M = int(flags.get("M", 48))
     cp = int(flags.get("C", 6))
     retries = int(flags.get("R", 3))
+    snr = float(flags.get("snr", 25.0))
+    ppm = float(flags.get("ppm", 0.5))
     verbose = "q" not in flags
     rng = np.random.default_rng(11)
 
@@ -41,6 +47,7 @@ def main(argv=None) -> int:
                       max_payload=max(P, 64))
     node_b = OfdmTxRx(M=M, cp_len=cp, taper_len=min(4, cp),
                       max_payload=max(P, 64))
+    air = VirtualAir(snr_db=snr, seed=int(flags.get("seed", 7)))
     node_b.start_rx()
     node_a.start_rx()
 
@@ -55,21 +62,19 @@ def main(argv=None) -> int:
         got_ack = False
         for attempt in range(retries + 1):
             attempts += 1
-            air = node_a.transmit_packet(header, payload)
-            node_a.drain_tx()
-            air = apply_channel(air, flags, seed=pid * 10 + attempt,
-                                signal_power=float(
-                                    np.mean(np.abs(air) ** 2)) or 1.0)
-            frames = node_b.run_rx(air, flush=True)
+            node_a.transmit_packet(header, payload)
+            # B's oscillator runs `ppm` fast relative to A: the A->B and
+            # B->A hops see the derived CFO with opposite signs
+            rx = air.propagate(node_a.radio, node_b.radio,
+                               node_a.drain_tx(), ppm_error=-ppm)
+            frames = node_b.run_rx(rx, flush=True)
             rx_ok = any(f["header_valid"] for f in frames)
             if not rx_ok:
                 continue
             # B acks by echoing the header back to A
-            ack = node_b.transmit_packet(header, np.zeros(1, np.uint8))
-            node_b.drain_tx()
-            ack = apply_channel(ack, flags, seed=pid * 10 + attempt + 5000,
-                                signal_power=float(
-                                    np.mean(np.abs(ack) ** 2)) or 1.0)
+            node_b.transmit_packet(header, np.zeros(1, np.uint8))
+            ack = air.propagate(node_b.radio, node_a.radio,
+                                node_b.drain_tx(), ppm_error=+ppm)
             acks = node_a.run_rx(ack, flush=True)
             if any(f["header_valid"] and
                    (int(f["header"][0]) << 8 | int(f["header"][1])) == pid

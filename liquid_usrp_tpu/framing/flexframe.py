@@ -71,6 +71,8 @@ def n_payload_slots(props: FrameProps, payload_len: int) -> int:
     bps = modem_mod.bits_per_symbol(props.mod)
     n_data = -(-payload_codec.payload_enc_bytes(props, payload_len) * 8
                // bps)
+    if modem_mod.is_differential(props.mod):
+        n_data += 1           # leading DPSK phase-reference point
     # insert a pilot at every PILOT_SPACING-th slot
     n_full = n_data + -(-n_data // (PILOT_SPACING - 1))
     # round up so the section ends on a slot boundary
@@ -120,6 +122,8 @@ def flex_assemble(params: FlexParams, props: FrameProps,
         pbits = jnp.concatenate([pbits, jnp.zeros(pad, dtype=pbits.dtype)])
     psyms = modem_mod.modulate(props.mod,
                                modem_mod.bits_to_symbols(pbits, bps))
+    if modem_mod.is_differential(props.mod):
+        psyms = payload_codec.diff_encode_points(psyms)
     n_slots = n_payload_slots(props, payload_len)
     data_pos, pilot_pos = slots_layout(n_slots)
     section = jnp.zeros((n_slots,), dtype=jnp.complex64)

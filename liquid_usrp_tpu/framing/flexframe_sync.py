@@ -78,7 +78,8 @@ def make_flex_sync(params: FlexParams, block_size: int = 16384,
                    soft: bool = False) -> FlexSync:
     dec_max = max_payload + 4
     enc_max = _EXPANSION * dec_max
-    max_data = enc_max * 8                      # bps >= 1
+    # +1 point: DPSK payloads lead with a phase-reference point
+    max_data = enc_max * 8 + 1                  # bps >= 1
     max_slots = max_data + -(-max_data // (PILOT_SPACING - 1))
     n_syms = PREAMBLE_SYMS + HEADER_SYMS + max_slots
     max_frame = n_syms * params.k + 4 * params.m * params.k

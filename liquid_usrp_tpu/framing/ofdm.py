@@ -178,6 +178,8 @@ def payload_symbol_count(params: OfdmParams, props: FrameProps,
     n_data = len(params.data_idx)
     bps = modem_mod.bits_per_symbol(props.mod)
     n_mod = -(-payload_enc_bytes(props, payload_len) * 8 // bps)
+    if modem_mod.is_differential(props.mod):
+        n_mod += 1            # leading DPSK phase-reference point
     return -(-n_mod // n_data)
 
 
@@ -270,6 +272,10 @@ def assemble_frame(params: OfdmParams, props: FrameProps,
         pbits = jnp.concatenate([pbits, jnp.zeros(pad, dtype=pbits.dtype)])
     psyms = modem_mod.modulate(props.mod,
                                modem_mod.bits_to_symbols(pbits, bps))
+    if modem_mod.is_differential(props.mod):
+        # DPSK: symbols are phase increments on a cumulative rotation led
+        # by a unit reference point (liquid modem semantics)
+        psyms = payload_codec.diff_encode_points(psyms)
     n_psym = payload_symbol_count(params, props, payload_len)
     # --- grids & time-domain ---
     hgrid = _symbols_to_grid(params, hsyms, n_hsym, 0)

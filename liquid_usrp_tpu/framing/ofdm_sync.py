@@ -92,7 +92,8 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
     n_data = len(params.data_idx)
     dec_max = max_payload + 4
     enc_max = _EXPANSION * dec_max
-    max_psym = -(-enc_max * 8 // n_data)     # bps >= 1
+    # +1 point: DPSK payloads lead with a phase-reference point
+    max_psym = -(-(enc_max * 8 + 1) // n_data)   # bps >= 1
     n_hsym = header_symbol_count(params)
     max_frame = (NUM_S0 + 1) * M + (n_hsym + max_psym) * (M + cp)
     overlap = max_frame + 4 * M

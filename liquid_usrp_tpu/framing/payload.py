@@ -52,6 +52,10 @@ PAYLOAD_FECS_FULL = PAYLOAD_FECS + (fec_mod.FEC_CONV_V27,
 PAYLOAD_MODS = tuple(range(17))     # every modem scheme id
 EXPANSION = 3                       # worst supported FEC expansion budget
 _MAX_CONST = 256
+# differential schemes (dpsk2/4/8): symbols ride phase *increments*, with
+# one known reference point leading the payload stream (liquid modem
+# semantics, /root/reference/src/narrowband_tx.cc:153-154)
+_IS_DIFF = np.array([modem_mod.is_differential(s) for s in PAYLOAD_MODS])
 
 HEADER_USER_BYTES = 8               # reference: p_id + 6 random bytes
 HEADER_DEC_BYTES = HEADER_USER_BYTES + 6 + 2  # + internal fields + CRC16
@@ -158,12 +162,41 @@ def encode_payload(props, payload: jnp.ndarray) -> jnp.ndarray:
     return scramble(enc, salt=2)
 
 
+def diff_encode_points(increments: jnp.ndarray) -> jnp.ndarray:
+    """TX side of DPSK: phase-increment points -> transmitted points.
+
+    Prepends the unit reference point, so the stream is one point longer
+    than the increment stream; the receiver's first differential product
+    recovers ``increments[0]`` regardless of any static channel phase.
+    """
+    return jnp.concatenate([
+        jnp.ones((1,), increments.dtype), jnp.cumprod(increments)])
+
+
+def _diff_effective(x: jnp.ndarray, mod: jnp.ndarray):
+    """(x_eff, src_offset): differential lag products for DPSK schemes.
+
+    For differential ``mod`` the demap operates on the normalized products
+    ``x[k] conj(x[k-1])`` (static phase and slow CFO cancel with no
+    equalizer help) and data starts after the reference point; coherent
+    schemes pass through untouched.
+    """
+    is_diff = jnp.asarray(_IS_DIFF)[mod]
+    prev = jnp.concatenate([jnp.ones((1,), x.dtype), x[:-1]])
+    d = x * jnp.conj(prev)
+    d = d / jnp.maximum(jnp.abs(d), 1e-12)
+    x_eff = jnp.where(is_diff, d, x)
+    return x_eff, is_diff.astype(jnp.int32)
+
+
 def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
     """Demap with a runtime-selected constellation -> bit stream [max_bits].
 
     ``x``: flat received points [n_pts]; bits laid out bps-per-point
     (MSB-first), where bps is the traced bits/symbol of ``mod``.
+    DPSK schemes demap differentially (see :func:`_diff_effective`).
     """
+    x, off = _diff_effective(x, mod)
     tabs = jnp.asarray(_stacked_tables())
     table = tabs[mod]                                    # [256]
     d2 = jnp.abs(x[:, None] - table[None, :]) ** 2
@@ -172,7 +205,7 @@ def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
         [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
         dtype=jnp.int32)[mod]
     j = jnp.arange(max_bits)
-    src = jnp.clip(j // bps, 0, x.shape[0] - 1)
+    src = jnp.clip(j // bps + off, 0, x.shape[0] - 1)
     k = j % bps
     bits = (sym[src] >> (bps - 1 - k)) & 1
     return bits.astype(jnp.uint8), bps
@@ -307,6 +340,7 @@ def generic_demod_soft(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
     :func:`generic_demod_bits` (positive => bit 1).  Dummy padding points
     sit at distance ~1e12 and never win a min.
     """
+    x, off = _diff_effective(x, mod)
     tabs = jnp.asarray(_stacked_tables())
     table = tabs[mod]
     d2 = jnp.abs(x[:, None] - table[None, :]) ** 2       # [n_pts, 256]
@@ -321,7 +355,7 @@ def generic_demod_soft(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
         [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
         dtype=jnp.int32)[mod]
     j = jnp.arange(max_bits)
-    src = jnp.clip(j // bps, 0, x.shape[0] - 1)
+    src = jnp.clip(j // bps + off, 0, x.shape[0] - 1)
     k = j % bps
     llr = llr_pts[src, k]
     # beyond-bps slots never occur (k < bps by construction)

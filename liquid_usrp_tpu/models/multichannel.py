@@ -271,6 +271,20 @@ class MultichannelTxRx:
                 return ch
         return None
 
+    def wait_for_channel(self, ch: int) -> np.ndarray:
+        """Drain samples until channel ``ch`` is ready for data.
+
+        The reference blocks in a usleep-poll loop while its TX worker
+        drains (lib/multichanneltxrx.cc:270-281); here draining *is* the
+        sample generation, so the generated air is returned to the caller
+        (empty when the channel was already free).
+        """
+        out = []
+        while not self.tx.is_channel_ready(ch):
+            out.append(self.tx.generate_samples(256))
+        return (np.concatenate(out) if out
+                else np.zeros(0, np.complex64))
+
     def wait_for_tx_to_complete(self) -> np.ndarray:
         """Drain all queued frames to samples (the worker-thread drain,
         lib/multichanneltxrx.cc:478-494)."""
