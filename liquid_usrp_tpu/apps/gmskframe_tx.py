@@ -67,7 +67,22 @@ def main(argv=None) -> int:
         chunks.append(frame * gain)
         chunks.append(gap)
     baseband = np.concatenate(chunks)
-    if rate != 1.0:
+    if rate != 1.0 and 0.5 < rate <= 2.0:
+        # the reference chain: half-band interp-by-2 FIRST (so the
+        # arbitrary stage never filters a full-band signal), then the
+        # arbitrary resampler created and immediately rate-mutated to <= 1
+        # (resamp2 at :160, resamp_crcf_create + _set_rate at :156-157,
+        # interp forced so the arb rate <= 1.0 at :131)
+        hb = resamp_mod.resamp2_create(7, 60.0)
+        st2 = resamp_mod.resamp2_state(hb)
+        st2, up = resamp_mod.resamp2_interp_block(
+            hb, st2, jnp.asarray(baseband))
+        rs = resamp_mod.resamp_create(1.0)
+        rs = resamp_mod.resamp_set_rate(rs, rate / 2.0)
+        st = resamp_mod.resamp_state(rs)
+        st, y, valid, count = resamp_mod.resamp_block(rs, st, up)
+        baseband = np.asarray(y)[: int(count)]
+    elif rate != 1.0:
         ms = resamp_mod.msresamp_create(rate)
         st = resamp_mod.msresamp_state(ms)
         st, y, valid, count = resamp_mod.msresamp_block(

