@@ -225,7 +225,15 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
 
     cfo = -jnp.angle(c_at) / (M // 4)
     t = jnp.arange(W, dtype=jnp.float32)
-    w = _window_gather(ext, n0, W) * jnp.exp(-1j * cfo * t)
+    wraw = _window_gather(ext, n0, W)
+    w1 = wraw * jnp.exp(-1j * cfo * t)
+    # fine CFO: the two S0 symbols repeat with period M, giving 4x the
+    # discriminator lag of the coarse lag-M/4 estimate (Schmidl-Cox-style
+    # second stage); the coarse residual is well inside the +-pi/M
+    # unambiguous range, so the composition is unconditionally valid
+    c_fine = jnp.sum(w1[:M] * jnp.conj(w1[M:2 * M]))
+    cfo = cfo - jnp.angle(c_fine) / M
+    w = wraw * jnp.exp(-1j * cfo * t)
 
     # fine timing: S1 matched filter over [0, (NUM_S0+2)*M)
     search = (NUM_S0 + 2) * M
@@ -349,3 +357,83 @@ def make_sync_step(sync: OfdmSync):
     def step(state, block):
         return sync_block(sync, state, block)
     return step
+
+
+def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
+                        blocks: jnp.ndarray):
+    """Multi-block batched dispatch: ``blocks [n_blocks, block_size]`` ->
+    ``(state', FrameResults with leading [n_blocks, max_frames])``.
+
+    The detect front-end has no true sequential dependence — each block's
+    extended window is just a strided slice of ``tail ++ blocks`` — so the
+    ``lax.scan`` of repeated :func:`sync_block` calls is replaced by a
+    ``vmap`` over the block axis (bit-identical per-ext computation), and
+    the candidates of ALL blocks decode in one flat batch against the full
+    stream buffer.  One device dispatch per multi-block chunk amortizes the
+    per-block fixed cost that dominates at small block sizes (ROUND1_NOTES
+    idea 6).
+    """
+    n_blocks, bs = blocks.shape
+    assert bs == sync.block_size
+    K = sync.max_frames
+    full = jnp.concatenate([state.tail, blocks.reshape(-1)])
+    # per-block extended windows (same arrays the sequential path sees)
+    w_idx = (jnp.arange(n_blocks) * bs)[:, None] + \
+        jnp.arange(sync.overlap + bs)[None, :]
+    exts = full[w_idx]                              # [n_blocks, overlap+bs]
+
+    def det(ext):
+        metric, c = _detect_metric(sync, ext)
+        d, locs = _find_candidates(sync, metric)
+        return d, locs, c[jnp.clip(locs, 0, c.shape[0] - 1)]
+
+    detected, locs, c_at = jax.vmap(det)(exts)      # [n_blocks, K]
+    g0 = jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * bs + locs
+
+    def do_decode(args):
+        g0f, c_atf = args                            # [n_blocks*K]
+        (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
+         cfo) = jax.vmap(
+            lambda n0, ca: _decode_candidate(sync, full, n0, ca),
+            in_axes=(0, 0))(g0f, c_atf)
+        decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
+                     else payload_codec.decode_payload_batch)
+        payload, pvalid = decode_fn(
+            sync.enc_max, sync.dec_max, sync.max_payload,
+            points, mod, f0, f1, check, plen, hvalid, sync.fecs)
+        return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
+                rssi, hevm, cfo)
+
+    def skip_decode(args):
+        f32 = jnp.float32
+        NK = n_blocks * K
+        return (jnp.zeros((NK, 8), jnp.uint8),
+                jnp.zeros((NK, sync.max_payload), jnp.uint8),
+                jnp.zeros((NK,), jnp.int32), jnp.zeros((NK,), jnp.int32),
+                jnp.zeros((NK,), jnp.int32), jnp.zeros((NK,), jnp.int32),
+                jnp.zeros((NK,), jnp.int32), jnp.zeros((NK,), bool),
+                jnp.zeros((NK,), bool), jnp.zeros((NK,), f32),
+                jnp.zeros((NK,), f32), jnp.zeros((NK,), f32))
+
+    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
+     cfo) = jax.lax.cond(jnp.any(detected), do_decode, skip_decode,
+                         (g0.reshape(-1), c_at.reshape(-1)))
+
+    def rs(v):
+        return v.reshape((n_blocks, K) + v.shape[1:])
+
+    res = FrameResults(
+        detected=detected,
+        header_valid=detected & rs(hvalid),
+        payload_valid=detected & rs(pvalid),
+        header=rs(user), payload=rs(payload),
+        payload_len=jnp.where(detected, rs(plen), 0),
+        mod=rs(mod), fec0=rs(f0), fec1=rs(f1), check=rs(check),
+        rssi=rs(rssi), evm=rs(hevm), cfo=rs(cfo),
+        t_start=(state.base + jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
+                 * bs + locs.astype(jnp.int32)),
+    )
+    new_state = OfdmSyncState(
+        tail=full[full.shape[0] - sync.overlap:],
+        base=state.base + jnp.int32(n_blocks * bs))
+    return new_state, res

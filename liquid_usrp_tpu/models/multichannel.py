@@ -36,7 +36,8 @@ from ..ops import nco as nco_mod
 from ..ops import pfb as pfb_mod
 
 __all__ = ["MultichannelTx", "MultichannelRx", "MultichannelTxRx",
-           "McrxState", "make_mcrx_step", "MctxState", "make_mctx_step"]
+           "McrxState", "make_mcrx_step", "make_mcrx_batched_step",
+           "MctxState", "make_mctx_step"]
 
 
 def _center_offset(num_channels: int) -> float:
@@ -172,6 +173,46 @@ def make_mcrx_step(num_channels: int, params: ofdm.OfdmParams,
         chans = X[:, :N].T                      # [N, B] per-channel streams
         sync_states, results = jax.vmap(
             lambda st, blk: ofdm_sync.sync_block(sync, st, blk)
+        )(state.syncs, chans)
+        return McrxState(nco=nco_state, chz=chz_state,
+                         syncs=sync_states), results
+
+    return init_state, step
+
+
+def make_mcrx_batched_step(num_channels: int, params: ofdm.OfdmParams,
+                           sync: ofdm_sync.OfdmSync, n_blocks: int):
+    """Multi-block batched multichannel RX step (one dispatch, no scan).
+
+    ``step(state, x[2N * block_size * n_blocks]) -> (state',
+    FrameResults[N, n_blocks, max_frames])``: the whole chunk is mixed and
+    channelized in one pass, then each channel runs the vmapped multi-block
+    synchronizer (:func:`ofdm_sync.sync_blocks_batched`) — the detect
+    front-end parallelizes over blocks AND channels, and all candidates
+    decode in one flat batch.  This amortizes the per-block fixed cost that
+    dominates small-block throughput.
+    """
+    N = num_channels
+    chz = pfb_mod.pfbch_create(2 * N, m=7, As=60.0)
+    bs = sync.block_size
+
+    def init_state() -> McrxState:
+        one = ofdm_sync.sync_init(sync)
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (N,) + x.shape), one)
+        return McrxState(
+            nco=nco_mod.nco_init(-_center_offset(N)),
+            chz=pfb_mod.pfbch_state(chz),
+            syncs=stacked)
+
+    @jax.jit
+    def step(state: McrxState, x: jnp.ndarray):
+        nco_state, y = nco_mod.nco_mix_block(state.nco, x, up=True)
+        chz_state, X = pfb_mod.pfb_analyze_block(chz, state.chz, y)
+        chans = X[:, :N].T                      # [N, bs*n_blocks]
+        sync_states, results = jax.vmap(
+            lambda st, s: ofdm_sync.sync_blocks_batched(
+                sync, st, s.reshape(n_blocks, bs))
         )(state.syncs, chans)
         return McrxState(nco=nco_state, chz=chz_state,
                          syncs=sync_states), results

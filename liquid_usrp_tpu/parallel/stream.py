@@ -29,7 +29,8 @@ from ..models.multichannel import _center_offset
 from ..ops import nco as nco_mod
 from ..ops import pfb as pfb_mod
 
-__all__ = ["make_time_sharded_sync", "make_sharded_mcrx"]
+__all__ = ["make_time_sharded_sync", "make_sharded_mcrx",
+           "make_sharded_mcrx_a2a", "sharded_mcrx"]
 
 
 def _scan_sync(sync, tail, base, stream, n_blocks):
@@ -264,3 +265,11 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
         return jax.tree.map(fix, res)        # leaves [N, rows, ...]
 
     return run
+
+
+# The all-to-all variant is the DEFAULT sharded multichannel receiver: it
+# is the only one whose per-device channelizer work shrinks as the mesh
+# grows (make_sharded_mcrx replicates the full-mixture channelization on
+# every channel shard and exists as the simpler fallback / equivalence
+# oracle).  See docs/scaling.md for the efficiency argument.
+sharded_mcrx = make_sharded_mcrx_a2a

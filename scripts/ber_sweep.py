@@ -84,7 +84,10 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
         stream[pos:pos + len(f)] = f
         positions.append(pos)
         pos += len(f) + gap
-    sig_pwr = float(np.mean(np.abs(stream) ** 2))
+    # SNR is defined on the occupied (frame) samples, not the whole stream
+    # incl. idle gaps — required for an honest theory-curve comparison
+    sig_pwr = float(np.mean(np.concatenate(
+        [np.abs(f) ** 2 for f in frames])))
 
     bs = sync.block_size
     flush = int(np.ceil(sync.overlap / bs)) + 1
@@ -134,6 +137,81 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
     return results
 
 
+def _qfunc(x):
+    from scipy.special import erfc
+    return 0.5 * erfc(np.asarray(x) / np.sqrt(2.0))
+
+
+def _block_code_ok(p, n, t):
+    """P(codeword decodes) for an (n, .) code correcting t errors, raw
+    bit-error prob p."""
+    from scipy.special import comb
+    return float(sum(comb(n, i) * p ** i * (1 - p) ** (n - i)
+                     for i in range(t + 1)))
+
+
+def theory_per(family: str, snr_db: float, payload_len: int) -> float:
+    """Analytic coded PER for the sweep's default configs — the oracle the
+    measured waterfall is compared against (implementation loss = measured
+    SNR at a PER level minus this curve's SNR at the same level).
+
+    Raw BER uses the coherent matched-filter bound for the payload
+    modulation; FEC/CRC structure matches the family defaults (gmsk: CRC16
+    + Hamming(7,4); ofdm/flex: CRC32 + Hamming(12,8) on QPSK).  Header:
+    Golay(24,12) BPSK.  Frame-detection loss is not modeled (≈0 above the
+    waterfall).
+    """
+    g = 10.0 ** (snr_db / 10.0)          # SNR per complex sample
+    if family == "gmsk":
+        # k=2 samples/symbol, 1 bit/symbol => Eb/N0 = 2 * per-sample SNR;
+        # coherent MSK bound
+        p_raw = _qfunc(np.sqrt(2 * 2 * g))
+        p_hdr = p_raw
+        n_pay_blocks = 2 * (payload_len + 2)         # (7,4): 2 blocks/byte
+        pay_ok = _block_code_ok(p_raw, 7, 1) ** n_pay_blocks
+    elif family in ("ofdm", "flex"):
+        if family == "flex":
+            # k=2 samples/symbol QPSK: 1 sample/bit at matched filter
+            gb = g
+        else:
+            from liquid_usrp_tpu.framing import ofdm as ofdm_mod
+            params = ofdm_mod.make_ofdm_params(48, 6, 4)
+            M, cp = params.M, params.cp_len
+            n_act = len(params.data_idx) + len(params.pilot_idx)
+            # per-subcarrier symbol energy: (M+cp) time samples of unit
+            # power spread over n_act active carriers; QPSK: /2 per bit
+            gb = g * (M + cp) / n_act / 2.0
+        p_raw = _qfunc(np.sqrt(2 * gb))
+        p_hdr = _qfunc(np.sqrt(2 * gb * 2.0))        # header is BPSK
+        n_pay_blocks = payload_len + 4               # (12,8): 1 block/byte
+        pay_ok = _block_code_ok(p_raw, 12, 1) ** n_pay_blocks
+    else:
+        raise ValueError(family)
+    from liquid_usrp_tpu.framing import payload as pc
+    n_hdr_blocks = pc.HEADER_ENC_BYTES * 8 // 24
+    hdr_ok = _block_code_ok(p_hdr, 24, 3) ** n_hdr_blocks
+    return float(1.0 - hdr_ok * pay_ok)
+
+
+def implementation_loss_db(results, family, payload_len,
+                           per_level=0.01):
+    """SNR gap (dB) between measured and theory waterfalls at a PER level."""
+    snrs = np.array([r["snr_db"] for r in results])
+    per = np.array([r["packet_error_rate"] for r in results])
+    fine = np.arange(snrs.min(), snrs.max() + 0.01, 0.05)
+    th = np.array([theory_per(family, s, payload_len) for s in fine])
+
+    def cross(x, y):
+        idx = np.where(y <= per_level)[0]
+        return float(x[idx[0]]) if len(idx) else None
+
+    m = cross(snrs, per)
+    t = cross(fine, th)
+    if m is None or t is None:
+        return None
+    return round(m - t, 2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("family", choices=["ofdm", "flex", "gmsk"])
@@ -145,9 +223,17 @@ def main():
     args = ap.parse_args()
     snrs = [float(s) for s in args.snrs.split(",")]
     res = run_sweep(args.family, snrs, args.frames, args.payload, args.cfo)
+    for r in res:
+        r["theory_per"] = round(
+            theory_per(args.family, r["snr_db"], args.payload), 6)
+    loss = implementation_loss_db(res, args.family, args.payload)
+    print("implementation loss at 1% PER: "
+          f"{loss} dB" if loss is not None else
+          "implementation loss at 1% PER: not bracketed by sweep range")
     if args.json:
+        out = {"rows": res, "impl_loss_db_at_1pct_per": loss}
         with open(args.json, "w") as f:
-            json.dump(res, f, indent=1)
+            json.dump(out, f, indent=1)
         print("wrote", args.json)
 
 

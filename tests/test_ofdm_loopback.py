@@ -361,3 +361,60 @@ def test_stress_mixed_props_stream(setup):
         assert len(match) == 1, pos
         np.testing.assert_array_equal(
             match[0]["payload"][: len(payload)], payload)
+
+
+def test_batched_blocks_equal_sequential(setup):
+    """sync_blocks_batched == scan of sync_block: same detections, same
+    payloads, same stats, on a loaded multi-frame stream (ROUND1 idea 6 /
+    VERDICT next-8: multi-block batched dispatch)."""
+    params, sync, step = setup
+    props = ofdm.FrameProps()
+    rng = np.random.default_rng(17)
+    pieces = []
+    truth = []
+    for i in range(5):
+        h, p, s = _make_frame(params, props, 100 + i, 128 + 32 * i)
+        pieces.append(np.zeros(int(rng.integers(300, 1200)), np.complex64))
+        pieces.append(s)
+        truth.append((h, p))
+    stream = np.concatenate(pieces)
+    n_blocks = -(-len(stream) // sync.block_size) + \
+        int(np.ceil(sync.overlap / sync.block_size)) + 1
+    stream = np.concatenate(
+        [stream, np.zeros(n_blocks * sync.block_size - len(stream),
+                          np.complex64)])
+    noise = (0.01 * (rng.normal(size=stream.shape) +
+                     1j * rng.normal(size=stream.shape))).astype(np.complex64)
+    stream = stream + noise
+
+    seq = _run_stream(sync, step, stream[: n_blocks * sync.block_size])
+
+    import jax
+    state = ofdm_sync.sync_init(sync)
+    blocks = jnp.asarray(stream.reshape(n_blocks, sync.block_size))
+    state2, res = ofdm_sync.sync_blocks_batched(sync, state, blocks)
+    res = jax.tree.map(np.asarray, res)
+    bat = []
+    for b, k in zip(*np.nonzero(res.detected)):
+        bat.append({
+            "t": int(res.t_start[b, k]),
+            "header_valid": bool(res.header_valid[b, k]),
+            "payload_valid": bool(res.payload_valid[b, k]),
+            "payload": np.asarray(res.payload[b, k]),
+            "payload_len": int(res.payload_len[b, k]),
+        })
+    bat = sorted(bat, key=lambda f: f["t"])
+    assert len(bat) == len(seq) == 5
+    for fb, fs in zip(bat, seq):
+        assert fb["t"] == fs["t"]
+        assert fb["header_valid"] == fs["header_valid"] is True
+        assert fb["payload_valid"] == fs["payload_valid"] is True
+        assert fb["payload_len"] == fs["payload_len"]
+        assert np.array_equal(fb["payload"], fs["payload"])
+    # carried state identical to the sequential run's final state
+    st_seq = ofdm_sync.sync_init(sync)
+    for b in range(n_blocks):
+        st_seq, _ = step(st_seq, blocks[b])
+    np.testing.assert_array_equal(np.asarray(state2.tail),
+                                  np.asarray(st_seq.tail))
+    assert int(state2.base) == int(st_seq.base)
