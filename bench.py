@@ -99,32 +99,22 @@ def _build_loaded_mixture(N, params, props, payload_len, total_channel_samps,
     return mixture, payloads
 
 
-def _verify(results_list, payloads, N):
-    """Assert every injected frame decoded payload-exact; returns count."""
+def _expected_fingerprints(payloads, weights, max_payload):
+    """Host-side order-independent uint32 fingerprints per channel."""
     import numpy as np
-    got = [[] for _ in range(N)]
-    for res in results_list:
-        det = np.asarray(res.payload_valid)   # [SCAN, N, K]
-        t = np.asarray(res.t_start)
-        pl = np.asarray(res.payload)
-        pln = np.asarray(res.payload_len)
-        for s, ch, k in zip(*np.nonzero(det)):
-            got[ch].append((int(t[s, ch, k]),
-                            pl[s, ch, k][: int(pln[s, ch, k])]))
-    total = 0
-    for ch in range(N):
-        rows = sorted(got[ch], key=lambda r: r[0])
-        exp = payloads[ch]
-        if len(rows) != len(exp):
-            raise AssertionError(
-                f"channel {ch}: decoded {len(rows)} frames, "
-                f"injected {len(exp)}")
-        for (t0, p), e in zip(rows, exp):
-            if len(p) != len(e) or not np.array_equal(p, e):
-                raise AssertionError(
-                    f"channel {ch}: payload mismatch at t={t0}")
-        total += len(rows)
-    return total
+    fps, counts = [], []
+    for per_ch in payloads:
+        acc = np.uint32(0)
+        for p in per_ch:
+            pad = np.zeros(max_payload, np.uint32)
+            pad[: len(p)] = p
+            with np.errstate(over="ignore"):
+                acc = np.uint32(
+                    (int(acc) + int((pad * weights).astype(np.uint64).sum()))
+                    & 0xFFFFFFFF)
+        fps.append(int(acc))
+        counts.append(len(per_ch))
+    return counts, fps
 
 
 def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
@@ -144,11 +134,25 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     init_state, step = make_mcrx_step(N, params, sync)
     g = 2 * N * sync.block_size
     SCAN = scan
+    # order-independent device-side payload fingerprints: the correctness
+    # check reduces to [N] uint32 sums ON CHIP, so the flaky tunnel only
+    # ever moves a handful of scalars (large-array fetches are the
+    # transport's least reliable path)
+    wrng = np.random.default_rng(0xF1B5)
+    weights = wrng.integers(0, 1 << 32, sync.max_payload, dtype=np.uint32)
 
     def run_fn(state, blocks):
+        w = jnp.asarray(weights)
+
         def body(st, x):
             st, res = step(st, x)
-            return st, res
+            ok = res.payload_valid                       # [N, K]
+            row_fp = jnp.sum(
+                res.payload.astype(jnp.uint32) * w[None, None, :],
+                axis=-1)                                 # [N, K] (wraps)
+            fp = jnp.sum(jnp.where(ok, row_fp, 0), axis=-1)
+            cnt = jnp.sum(ok, axis=-1).astype(jnp.int32)
+            return st, (cnt, fp)
         return jax.lax.scan(body, state, blocks)
 
     # fully-loaded input with KNOWN ground truth: every channel carries
@@ -178,10 +182,28 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     bytes_per_call = float(ca.get("bytes accessed", 0.0))
 
     # --- on-chip correctness: every injected frame must decode exactly ---
-    s2, res1 = exe(state, blocks)
-    _, res2 = exe(s2, flush)
-    n_ok = _verify([jax.tree.map(np.asarray, res1),
-                    jax.tree.map(np.asarray, res2)], payloads, N)
+    s2, (cnt1, fp1) = exe(state, blocks)
+    cnt = np.asarray(cnt1).sum(0)                               # [N]
+    fp64 = np.asarray(fp1).astype(np.uint64).sum(0)
+    # flush until the carried overlap has fully drained (frames near the
+    # stream end decode up to overlap/block_size blocks late)
+    n_flush = -(-(sync.overlap // sync.block_size + 1) // SCAN)
+    for _ in range(n_flush):
+        s2, (cnt2, fp2) = exe(s2, flush)
+        cnt = cnt + np.asarray(cnt2).sum(0)
+        fp64 = fp64 + np.asarray(fp2).astype(np.uint64).sum(0)
+    fp = fp64 & 0xFFFFFFFF
+    exp_cnt, exp_fp = _expected_fingerprints(payloads, weights,
+                                             sync.max_payload)
+    for ch in range(N):
+        if int(cnt[ch]) != exp_cnt[ch]:
+            raise AssertionError(
+                f"channel {ch}: decoded {int(cnt[ch])} frames, "
+                f"injected {exp_cnt[ch]}")
+        if int(fp[ch]) != exp_fp[ch]:
+            raise AssertionError(
+                f"channel {ch}: payload fingerprint mismatch")
+    n_ok = int(cnt.sum())
 
     # --- timing ---
     iters = 5
@@ -271,15 +293,16 @@ def main() -> int:
     if os.environ.get("_BENCH_CHILD"):
         return _child(os.environ["_BENCH_CHILD"])
     # parent: try pipelines in order, fresh subprocess per attempt (the TPU
-    # tunnel backend is flaky per session)
-    attempts = [("mcrx_xl", 2), ("mcrx", 1), ("sync", 2)]
+    # tunnel backend is flaky per session: whole sessions fail UNIMPLEMENTED
+    # or hang, independent of transfer size — retry until a healthy one)
+    attempts = [("mcrx_xl", 4), ("mcrx", 2), ("sync", 2)]
     for which, tries in attempts:
         for i in range(tries):
             env = dict(os.environ, _BENCH_CHILD=which)
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
-                    env=env, capture_output=True, text=True, timeout=900)
+                    env=env, capture_output=True, text=True, timeout=700)
             except subprocess.TimeoutExpired:
                 continue
             for line in out.stdout.splitlines():
@@ -287,6 +310,7 @@ def main() -> int:
                 if line.startswith("{") and '"metric"' in line:
                     print(line)
                     return 0
+            time.sleep(20)   # give the tunnel a beat before the next session
     print(json.dumps({"metric": "mcrx_iq_throughput", "value": 0.0,
                       "unit": "samples/s/chip", "vs_baseline": 0.0}))
     return 1

@@ -64,7 +64,47 @@ class GmskParams(NamedTuple):
     bt: float
     pulse: np.ndarray      # [2*k*m+1] float32, sums to 1 (phase pulse)
     template: np.ndarray   # [PRE_BITS + SYNC_BITS] float32 NRZ +-1
-    eq: np.ndarray         # [5] float32 symbol-lattice MMSE equalizer
+    c0: np.ndarray         # [Lc] complex64 empirical linear (Laurent) pulse
+    a_ref: np.ndarray      # [PRE_BITS+SYNC_BITS] complex64 template symbols
+    sgn: np.ndarray        # [PRE_BITS+SYNC_BITS] float32 derotated signs
+    mf_lag: int            # sample lag: detector offset -> MF symbol center
+
+
+def _gmsk_waveform_np(nrz: np.ndarray, k: int, pulse: np.ndarray):
+    """Host-side reference modulator (mirrors gmsk_assemble)."""
+    imp = np.zeros(len(nrz) * k)
+    imp[::k] = nrz
+    freq = np.convolve(imp, pulse, mode="same")
+    phase = (np.pi / 2) * np.cumsum(freq)
+    return np.exp(1j * phase)
+
+
+def _fit_c0(k: int, m: int, pulse: np.ndarray) -> np.ndarray:
+    """Empirical linearization: least-squares fit of the GMSK waveform as
+    a linear PAM ``x[n] ~= sum_m a_m c0[n - m k]`` with the known CPM
+    symbols ``a_m = exp(j pi/2 cumsum(nrz))``.
+
+    For h=1/2 CPM the Laurent decomposition guarantees the main pulse
+    carries ~99% of the energy at BT >= 0.3; fitting it numerically (once,
+    host-side) sidesteps closed-form Laurent bookkeeping AND absorbs this
+    modulator's exact pulse alignment conventions.
+    """
+    rng = np.random.default_rng(0xC0FEE)
+    nb = 1024
+    nrz = rng.choice(np.array([-1.0, 1.0]), nb)
+    x = _gmsk_waveform_np(nrz, k, pulse)
+    a = np.exp(1j * (np.pi / 2) * np.cumsum(nrz))
+    a_up = np.zeros(nb * k, np.complex128)
+    a_up[::k] = a
+    Lc = (4 * m + 3) * k + 1
+    off = Lc // 2
+    cols = []
+    for j in range(Lc):
+        cols.append(np.roll(a_up, j - off))
+    A = np.stack(cols, axis=1)
+    rows = slice(Lc, nb * k - Lc)
+    c0, *_ = np.linalg.lstsq(A[rows], x[rows], rcond=None)
+    return c0
 
 
 @functools.lru_cache(maxsize=None)
@@ -76,24 +116,48 @@ def make_gmsk_params(k: int = 2, m: int = 3, bt: float = 0.5) -> GmskParams:
     sw = np.concatenate([np.ones(SYNC_BITS // 2), -np.ones(SYNC_BITS // 2)])
     rng.shuffle(sw)
     template = np.concatenate([pre, sw]).astype(np.float32)
-    pulse = gaussian_pulse(k, bt=bt, m=m)
-    # post-detection matched filtering (decode path) colors the symbol
-    # lattice with the pulse autocorrelation; this small MMSE equalizer
-    # undoes that ISI.  r[l] = (pulse (*) pulse)[center + l*k].
-    g = np.correlate(pulse, pulse, "full")
-    c = len(g) // 2
-    lags = np.arange(-4, 5)
-    r = np.array([g[c + int(l) * k] if 0 <= c + l * k < len(g) else 0.0
-                  for l in lags]) / g[c]
-    from scipy.linalg import toeplitz
-    R = toeplitz(np.concatenate([r[4:], np.zeros(0)])[:5])
-    e = np.zeros(5)
-    e[2] = 1.0
-    eq = np.linalg.solve(R + 0.02 * np.eye(5), e)
+    pulse = gaussian_pulse(k, m, bt)
+    c0 = _fit_c0(k, m, pulse)
+    n_t = PRE_BITS + SYNC_BITS
+    S = np.cumsum(template.astype(np.float64))
+    a_ref = np.exp(1j * (np.pi / 2) * S)
+    # (S_n - n) is even for +-1 increments => a_ref * (-j)^n is +-1 real
+    sgn = np.real(a_ref * (-1j) ** (np.arange(1, n_t + 1))).round()
+
+    # calibrate the constant lag between the discriminator-domain detector
+    # offset and the MF symbol centers (absorbs every alignment convention):
+    # run the detector's own template correlation on a clean frame to find
+    # n0_det, then find the MF sampling lag that best matches a_ref
+    pad = 16 * k
+    frame_nrz = np.concatenate([template, rng.choice([-1.0, 1.0], 64)])
+    x = np.concatenate([
+        np.ones(pad, np.complex128),
+        _gmsk_waveform_np(np.concatenate([frame_nrz, np.zeros(2 * m)]),
+                          k, pulse)])
+    dphi = np.angle(x[1:] * np.conj(x[:-1]))
+    dphi = np.concatenate([[0.0], dphi])
+    offs = np.arange(pad + 4 * k)
+    wins = dphi[offs[:, None] + k * np.arange(n_t)[None, :]]
+    ac = wins - wins.mean(axis=-1, keepdims=True)
+    corr = ac @ template
+    n0_det = int(np.argmax(
+        corr ** 2 / np.maximum((ac * ac).sum(-1), 1e-12)))
+    mf = np.convolve(x, np.conj(c0[::-1]), mode="same")
+    best, mf_lag = -1.0, 0
+    for lag in range(-4 * k, 4 * k + 1):
+        idx = n0_det + lag + k * np.arange(n_t)
+        if idx[0] < 0 or idx[-1] >= len(mf):
+            continue
+        v = abs(np.vdot(a_ref, mf[idx]))
+        if v > best:
+            best, mf_lag = v, lag
     return GmskParams(k=k, m=m, bt=bt,
                       pulse=pulse.astype(np.float32),
                       template=template,
-                      eq=eq.astype(np.float32))
+                      c0=c0.astype(np.complex64),
+                      a_ref=a_ref.astype(np.complex64),
+                      sgn=sgn.astype(np.float32),
+                      mf_lag=int(mf_lag))
 
 
 def _frame_bits(props: FrameProps, header: jnp.ndarray,
@@ -118,6 +182,12 @@ def gmsk_assemble(params: GmskParams, props: FrameProps,
                   header: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:
     """Assemble one GMSK burst -> complex64 ``[gmsk_frame_length]``."""
     bits = _frame_bits(props, header, payload)
+    # differential precoding (GSM-style): the coherent receiver's
+    # derotated decision j^(S_q - q) then equals (-1)^bit directly, so
+    # BPSK decisions recover the original bits with no differential
+    # error doubling
+    bits = bits ^ jnp.concatenate(
+        [jnp.zeros((1,), bits.dtype), bits[:-1]])
     nrz = (1.0 - 2.0 * bits.astype(jnp.float32))
     tmpl = jnp.asarray(params.template)
     sym = jnp.concatenate([tmpl, nrz,
@@ -192,13 +262,12 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
     k = p.k
     ext = jnp.concatenate([state.tail, block])
     d = _diff_phase(ext)
-    # decode-path post-detection matched filter: d is (pi/2 *) the pulse-
-    # shaped NRZ train plus discriminator noise, so correlating with the
-    # known Gaussian pulse collects the full symbol energy instead of the
-    # single center sample (the classic limiter-discriminator + MF chain;
-    # worth ~2 dB over the 1-sample detector).  Detection keeps raw d.
-    d_mf = jnp.convolve(d, jnp.asarray(p.pulse), mode="same") * \
-        jnp.float32(1.0 / np.sum(p.pulse ** 2))
+    # coherent decode path: matched-filter the complex samples with the
+    # empirical Laurent main pulse (the detection front-end stays on the
+    # robust differential-phase metric).  z sampled at symbol centers is
+    # ~ G * j^cumsum(nrz) per the linear PAM model fitted in _fit_c0.
+    c0r = jnp.asarray(np.conj(p.c0[::-1]))
+    z = jnp.convolve(ext, c0r, mode="same")
 
     n_t = PRE_BITS + SYNC_BITS
     tmpl = jnp.asarray(p.template)
@@ -228,7 +297,6 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
     detected = vals > 0
 
     def decode(n0):
-        cfo = mean_w[n0]
         # fractional timing via parabolic fit
         m_m1 = metric[jnp.clip(n0 - 1, 0, metric.shape[0] - 1)]
         m_0 = metric[n0]
@@ -238,18 +306,55 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
                           0.5 * (m_m1 - m_p1) / den, 0.0)
         delta = jnp.clip(delta, -0.5, 0.5)
         n_all = n_t + sync.max_bits
-        pos = n0.astype(jnp.float32) + delta + k * jnp.arange(
+        pos = n0.astype(jnp.float32) + delta + p.mf_lag + k * jnp.arange(
             n_all, dtype=jnp.float32)
-        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, d.shape[0] - 2)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, z.shape[0] - 2)
         frac = pos - i0.astype(jnp.float32)
-        # sample the matched-filtered discriminator stream; the CFO rides
-        # through the MF with its DC gain
-        dc_gain = jnp.float32(np.sum(p.pulse) / np.sum(p.pulse ** 2))
-        samp = d_mf[i0] * (1 - frac) + d_mf[i0 + 1] * frac - cfo * dc_gain
-        # undo the pulse-autocorrelation ISI on the symbol lattice
-        samp = jnp.convolve(samp, jnp.asarray(p.eq), mode="same")
-        # amplitude reference from the known template region
-        amp = jnp.sum(samp[:n_t] * tmpl) / n_t
+        zs = z[i0] * (1 - frac) + z[i0 + 1] * frac   # [n_all] complex
+        rel = pos - pos[n_t // 2]
+        # CFO from the MF-domain template (the discriminator-DC estimate is
+        # far too noisy to derotate with: std ~0.03 rad/sample at 8 dB).
+        # Stage 1: adjacent-symbol products of u = zs conj(a_ref), range
+        # +-pi/k; stage 2: split-half phase slope for precision.
+        aref = jnp.asarray(p.a_ref)
+        u = zs[:n_t] * jnp.conj(aref)
+        dw1 = jnp.angle(jnp.sum(u[1:] * jnp.conj(u[:-1]))) / k
+        zs = zs * jnp.exp(-1j * dw1 * rel)
+        u = zs[:n_t] * jnp.conj(aref)
+        G1 = jnp.mean(u[: n_t // 2])
+        G2 = jnp.mean(u[n_t // 2:])
+        dw2 = jnp.angle(G2 * jnp.conj(G1)) / ((n_t // 2) * k)
+        zs = zs * jnp.exp(-1j * dw2 * rel)
+        dw = dw1 + dw2
+        G = jnp.mean(zs[:n_t] * jnp.conj(aref))
+        Gm = jnp.maximum(jnp.abs(G), 1e-9)
+        # derotate the pi/2-per-symbol CPM rotation: j^(S_q - q) is real
+        # (+-1) for the precoded stream.  (-j)^q via an exact 4-cycle table.
+        q = jnp.arange(1, n_all + 1)
+        rot = jnp.asarray(np.array([1, -1j, -1, 1j], np.complex64))[q % 4]
+        y = zs * (jnp.conj(G) / Gm) * rot
+        # Viterbi&Viterbi blockwise phase tracking: the template-only
+        # carrier estimate leaves a residual CFO whose phase walks off over
+        # a long frame; squaring y removes the +-1 data signs, so each
+        # 32-symbol segment yields a phase estimate, unwrapped across
+        # segments (the global pi ambiguity flips every sign at once and is
+        # absorbed by the amp reference's sign below).
+        SEG = 32
+        n_seg = -(-n_all // SEG)
+        ypad = jnp.concatenate(
+            [y, jnp.zeros((n_seg * SEG - n_all,), y.dtype)])
+        y2 = jnp.sum((ypad * ypad).reshape(n_seg, SEG), axis=-1)
+        ph = 0.5 * jnp.angle(y2)
+        dph = ph[1:] - ph[:-1]
+        dph = jnp.mod(dph + np.pi / 2, np.pi) - np.pi / 2
+        phu = jnp.concatenate(
+            [ph[:1], ph[0] + jnp.cumsum(dph)])
+        corr_ph = jnp.repeat(phu, SEG)[:n_all]
+        y = y * jnp.exp(-1j * corr_ph)
+        samp = jnp.real(y) / Gm
+        # amplitude/noise reference against the known template signs
+        sgn = jnp.asarray(p.sgn)
+        amp = jnp.sum(samp[:n_t] * sgn) / n_t
         amp = jnp.where(jnp.abs(amp) > 1e-9, amp, 1.0)
         pts = (samp / amp).astype(jnp.complex64)    # pseudo-BPSK points
         data = pts[n_t:]
@@ -264,12 +369,12 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
         ppts = data[payload_codec.HEADER_ENC_BYTES * 8:]
         snr_est = 10.0 * jnp.log10(
             jnp.maximum(amp ** 2 / jnp.maximum(
-                jnp.mean((samp[:n_t] - amp * tmpl) ** 2), 1e-9), 1e-9))
+                jnp.mean((samp[:n_t] - amp * sgn) ** 2), 1e-9), 1e-9))
         rssi = 10.0 * jnp.log10(jnp.maximum(
             jnp.mean(jnp.abs(ext[jnp.clip(n0, 0, ext.shape[0] - 1)]) ** 2),
             1e-12))
         evm = -snr_est
-        cfo_rad = cfo  # rad/sample (differential-phase DC)
+        cfo_rad = dw  # rad/sample (MF-domain template estimate)
         return (user, ppts, plen, mod_f, f0, f1, check, hvalid,
                 rssi, evm, cfo_rad)
 

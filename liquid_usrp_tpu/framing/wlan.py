@@ -24,7 +24,8 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["WLAN_RATES", "wlan_frame_length", "wlan_assemble"]
+__all__ = ["WLAN_RATES", "wlan_frame_length", "wlan_assemble",
+           "wlan_decode"]
 
 # rate Mb/s -> (bits/subcarrier BPSC, coding rate (num, den),
 #               coded bits/symbol NCBPS, data bits/symbol NDBPS)
@@ -85,27 +86,41 @@ def _tables():
         np.array(pn, dtype=np.float32)
 
 
-def _scramble_bits(bits: np.ndarray, seed: int = 0x5D) -> np.ndarray:
-    """Frame-synchronous scrambler x^7 + x^4 + 1."""
+@functools.lru_cache(maxsize=None)
+def _scramble_seq(seed: int) -> np.ndarray:
+    """One period (127 bits) of the x^7 + x^4 + 1 scrambler output."""
     state = seed & 0x7F
-    out = np.empty_like(bits)
-    for i, b in enumerate(bits):
+    seq = np.empty(127, np.uint8)
+    for i in range(127):
         s = ((state >> 6) ^ (state >> 3)) & 1
-        out[i] = b ^ s
+        seq[i] = s
         state = ((state << 1) | s) & 0x7F
-    return out
+    return seq
+
+
+def _scramble_bits(bits: np.ndarray, seed: int = 0x5D) -> np.ndarray:
+    """Frame-synchronous scrambler x^7 + x^4 + 1 (vectorized: the output
+    sequence is data-independent and 127-periodic)."""
+    seq = _scramble_seq(seed)
+    reps = -(-len(bits) // 127)
+    return bits ^ np.tile(seq, reps)[: len(bits)]
+
+
+# taps[j] multiplies b[i-j]: the shift register keeps the newest bit in
+# the LSB, so tap j is polynomial bit j (not reversed)
+_G0_TAPS = np.array([(0o133 >> j) & 1 for j in range(7)], np.uint8)
+_G1_TAPS = np.array([(0o171 >> j) & 1 for j in range(7)], np.uint8)
 
 
 def _conv_encode_bits(bits: np.ndarray) -> np.ndarray:
     """K=7 (133, 171) rate-1/2; zero-state start (tail bits included by
-    the caller)."""
-    g0, g1 = 0o133, 0o171
-    reg = 0
-    out = np.empty(2 * len(bits), dtype=np.uint8)
-    for i, b in enumerate(bits):
-        reg = ((reg << 1) | int(b)) & 0x7F
-        out[2 * i] = bin(reg & g0).count("1") & 1
-        out[2 * i + 1] = bin(reg & g1).count("1") & 1
+    the caller).  Vectorized: each output is a GF(2) convolution."""
+    b = np.asarray(bits, np.uint8)
+    o0 = np.convolve(b, _G0_TAPS)[: len(b)] & 1
+    o1 = np.convolve(b, _G1_TAPS)[: len(b)] & 1
+    out = np.empty(2 * len(b), np.uint8)
+    out[0::2] = o0
+    out[1::2] = o1
     return out
 
 
@@ -123,16 +138,29 @@ def _puncture(bits: np.ndarray, num: int, den: int) -> np.ndarray:
     return bits[keep.astype(bool)]
 
 
-def _interleave(bits: np.ndarray, ncbps: int, bpsc: int) -> np.ndarray:
-    """Per-symbol two-permutation block interleaver (17-17)."""
-    out = np.empty_like(bits)
+@functools.lru_cache(maxsize=None)
+def _interleave_perm(ncbps: int, bpsc: int) -> np.ndarray:
+    """perm[k] = output position of input bit k (17.3.5.6 two-step)."""
     s = max(bpsc // 2, 1)
-    for base in range(0, len(bits), ncbps):
-        for k in range(ncbps):
-            i = (ncbps // 16) * (k % 16) + k // 16
-            j = s * (i // s) + (i + ncbps - (16 * i // ncbps)) % s
-            out[base + j] = bits[base + k]
-    return out
+    k = np.arange(ncbps)
+    i = (ncbps // 16) * (k % 16) + k // 16
+    j = s * (i // s) + (i + ncbps - (16 * i // ncbps)) % s
+    return j
+
+
+def _interleave(bits: np.ndarray, ncbps: int, bpsc: int) -> np.ndarray:
+    """Per-symbol two-permutation block interleaver (vectorized scatter)."""
+    perm = _interleave_perm(ncbps, bpsc)
+    sym = bits.reshape(-1, ncbps)
+    out = np.empty_like(sym)
+    out[:, perm] = sym
+    return out.reshape(-1)
+
+
+def _deinterleave(bits: np.ndarray, ncbps: int, bpsc: int) -> np.ndarray:
+    perm = _interleave_perm(ncbps, bpsc)
+    sym = bits.reshape(-1, ncbps)
+    return sym[:, perm].reshape(-1)
 
 
 def _map_bits(bits: np.ndarray, bpsc: int) -> np.ndarray:
@@ -232,3 +260,207 @@ def wlan_assemble(rate: int, psdu: np.ndarray,
     body = _symbols_to_time(grids)
 
     return jnp.asarray(np.concatenate([short_pre, long_pre, body]))
+
+
+# ---------------------------------------------------------------------------
+# RX (offline, known frame start) — SIGNAL + DATA decode
+# ---------------------------------------------------------------------------
+
+def _axis_llr(x: np.ndarray, levels: np.ndarray, nbits: int) -> np.ndarray:
+    """Max-log per-bit soft metrics for one gray-coded PAM axis.
+
+    ``levels[idx]`` is the amplitude for axis-bit index ``idx`` (as used by
+    ``_map_bits``).  Returns ``[len(x), nbits]``; positive => bit 1.
+    """
+    d = (x[:, None] - levels[None, :]) ** 2        # [n, L]
+    idx = np.arange(len(levels))
+    out = np.empty((len(x), nbits))
+    for t in range(nbits):
+        bit = (idx >> (nbits - 1 - t)) & 1
+        d0 = np.min(np.where(bit == 0, d, np.inf), axis=-1)
+        d1 = np.min(np.where(bit == 1, d, np.inf), axis=-1)
+        out[:, t] = d0 - d1
+    return out
+
+
+def _demap_soft(pts: np.ndarray, bpsc: int) -> np.ndarray:
+    """Equalized constellation points -> per-bit LLRs (positive => 1),
+    inverting ``_map_bits``'s axis layout."""
+    if bpsc == 1:
+        return 2.0 * pts.real.reshape(-1, 1)
+    if bpsc == 2:
+        s = np.sqrt(2)
+        return np.stack([pts.real * s, pts.imag * s], axis=-1)
+    if bpsc == 4:
+        lut = np.array([-3, -1, 3, 1]) / np.sqrt(10)
+        re = _axis_llr(pts.real, lut, 2)
+        im = _axis_llr(pts.imag, lut, 2)
+        return np.concatenate([re, im], axis=-1)
+    if bpsc == 6:
+        lut = np.array([-7, -5, -1, -3, 7, 5, 1, 3]) / np.sqrt(42)
+        re = _axis_llr(pts.real, lut, 3)
+        im = _axis_llr(pts.imag, lut, 3)
+        return np.concatenate([re, im], axis=-1)
+    raise ValueError(bpsc)
+
+
+def _depuncture(llr: np.ndarray, num: int, den: int,
+                n_coded: int) -> np.ndarray:
+    """Re-insert zeros (erasures) at punctured positions -> [n_coded]."""
+    if (num, den) == (1, 2):
+        return llr[:n_coded]
+    pattern = {(2, 3): [1, 1, 1, 0],
+               (3, 4): [1, 1, 1, 0, 0, 1]}[(num, den)]
+    keep = np.tile(pattern, n_coded // len(pattern) + 1)[:n_coded]
+    out = np.zeros(n_coded)
+    out[keep.astype(bool)] = llr[: int(keep.sum())]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _viterbi_tables():
+    """(next_state[64,2], out0[64,2], out1[64,2]) for K=7 (133,171)."""
+    ns = np.empty((64, 2), np.int32)
+    o0 = np.empty((64, 2), np.float64)
+    o1 = np.empty((64, 2), np.float64)
+    for s in range(64):
+        for b in range(2):
+            reg = ((s << 1) | b) & 0x7F
+            ns[s, b] = reg & 0x3F
+            o0[s, b] = 2.0 * (bin(reg & 0o133).count("1") & 1) - 1.0
+            o1[s, b] = 2.0 * (bin(reg & 0o171).count("1") & 1) - 1.0
+    return ns, o0, o1
+
+
+def _viterbi_decode(llr: np.ndarray) -> np.ndarray:
+    """Soft Viterbi for the zero-state-started K=7 (133,171) code.
+
+    ``llr``: coded-bit metrics (positive => bit 1, 0 = erasure), length
+    even; returns the decoded bits.  Vectorized over the 64 states.
+    """
+    ns, o0, o1 = _viterbi_tables()
+    n = len(llr) // 2
+    pm = np.full(64, -np.inf)
+    pm[0] = 0.0
+    choices = np.empty((n, 64), np.int8)
+    # transition gather: for each destination state, its two predecessors
+    pred = np.empty((64, 2), np.int32)
+    pred_b = np.empty((64, 2), np.int32)
+    fill = np.zeros(64, np.int32)
+    for s in range(64):
+        for b in range(2):
+            d = ns[s, b]
+            pred[d, fill[d]] = s
+            pred_b[d, fill[d]] = b
+            fill[d] += 1
+    bm_out0 = o0[pred, pred_b]                    # [64, 2]
+    bm_out1 = o1[pred, pred_b]
+    for t in range(n):
+        m = (pm[pred] + llr[2 * t] * bm_out0 + llr[2 * t + 1] * bm_out1)
+        choices[t] = np.argmax(m, axis=-1)
+        pm = m[np.arange(64), choices[t]]
+    state = int(np.argmax(pm))
+    bits = np.empty(n, np.uint8)
+    for t in range(n - 1, -1, -1):
+        c = choices[t, state]
+        bits[t] = pred_b[state, c]
+        state = pred[state, c]
+    return bits
+
+
+def _descramble(bits: np.ndarray) -> np.ndarray:
+    """Self-synchronizing descramble: the SERVICE field's first 7 bits are
+    transmitted zero, so the received scrambled bits ARE the scrambler
+    output and seed the LFSR directly (17.3.5.5)."""
+    state = 0
+    for i in range(7):
+        state = ((state << 1) | int(bits[i])) & 0x7F
+    out = bits.copy()
+    out[:7] = 0
+    seq = np.empty(len(bits) - 7, np.uint8)
+    for i in range(len(seq)):
+        s = ((state >> 6) ^ (state >> 3)) & 1
+        seq[i] = s
+        state = ((state << 1) | s) & 0x7F
+    out[7:] = bits[7:] ^ seq
+    return out
+
+
+def wlan_decode(samples: np.ndarray) -> dict:
+    """Decode one 802.11a frame whose preamble starts at ``samples[0]``.
+
+    Channel estimation from the long training symbols, pilot common-phase
+    tracking, soft demap, depuncture-with-erasures, soft Viterbi, and
+    self-synchronizing descramble.  Returns rate/length/psdu + validity
+    flags.  (The reference's liquid-wlan is TX-only, like wlanframe_tx —
+    this receive path exists for loopback verification and completeness.)
+    """
+    samples = np.asarray(samples)
+    short, long_t, pilot_pn = _tables()
+    scale = _N_FFT / np.sqrt(52)
+    didx = [_fftshift_index(k) for k in _DATA_IDX]
+    pidx = [_fftshift_index(k) for k in _PILOT_IDX]
+    ppol = np.array([1, 1, 1, -1], np.float64)
+
+    # channel estimate from the two long-training symbols
+    L_ref = np.fft.fft(long_t) / scale
+    act = np.abs(L_ref) > 0.1
+    L1 = np.fft.fft(samples[192:256]) / scale
+    L2 = np.fft.fft(samples[256:320]) / scale
+    H = np.where(act, (L1 + L2) / 2.0 * np.conj(L_ref) /
+                 np.maximum(np.abs(L_ref) ** 2, 1e-12), 1.0)
+
+    def eq_symbol(sym_samples):
+        Y = np.fft.fft(sym_samples) / scale
+        Yeq = Y / np.where(np.abs(H) > 1e-6, H, 1.0)
+        return Yeq
+
+    def pilot_corr(Yeq, sym_index):
+        ref = ppol * pilot_pn[sym_index % 127]
+        rot = np.mean(Yeq[pidx] * ref)          # ref is +-1 real
+        rot = rot / max(abs(rot), 1e-12)
+        return Yeq * np.conj(rot)
+
+    # SIGNAL
+    Ys = pilot_corr(eq_symbol(samples[336:400]), 0)
+    sig_llr = _demap_soft(Ys[didx], 1).reshape(-1)
+    sig_bits = _viterbi_decode(_deinterleave(sig_llr, 48, 1))
+    rate_code = tuple(int(b) for b in sig_bits[:4])
+    rate_map = {(1, 1, 0, 1): 6, (1, 1, 1, 1): 9, (0, 1, 0, 1): 12,
+                (0, 1, 1, 1): 18, (1, 0, 0, 1): 24, (1, 0, 1, 1): 36,
+                (0, 0, 0, 1): 48, (0, 0, 1, 1): 54}
+    rate = rate_map.get(rate_code)
+    length = int(sum(int(sig_bits[5 + i]) << i for i in range(12)))
+    parity_ok = (int(sig_bits[:17].sum()) & 1) == int(sig_bits[17])
+    sig_ok = (rate is not None and parity_ok and
+              0 < length <= 4095 and not sig_bits[18:24].any())
+    out = {"rate": rate, "length": length, "signal_valid": bool(sig_ok),
+           "psdu": None, "psdu_valid": False}
+    if not sig_ok:
+        return out
+
+    bpsc, (num, den), ncbps, ndbps = WLAN_RATES[rate]
+    n_sym = wlan_n_symbols(rate, length)
+    if len(samples) < 400 + n_sym * 80:
+        return out
+    llrs = []
+    for s in range(n_sym):
+        base = 400 + s * 80 + 16
+        Y = pilot_corr(eq_symbol(samples[base:base + 64]), 1 + s)
+        llr = _demap_soft(Y[didx], bpsc).reshape(-1)
+        llrs.append(_deinterleave(llr, ncbps, bpsc))
+    llr = np.concatenate(llrs)
+    n_data_bits = n_sym * ndbps
+    coded = _depuncture(llr, num, den, 2 * n_data_bits)
+    scrambled = _viterbi_decode(coded)
+    data = _descramble(scrambled)
+    psdu_bits = data[16:16 + 8 * length]
+    psdu = np.packbits(psdu_bits.reshape(-1, 8), axis=-1,
+                       bitorder="little").reshape(-1)
+    out["psdu"] = psdu
+    # the tail bits are zeroed post-scramble by the transmitter
+    # (17.3.5.2), so the Viterbi output must be zero there — the only
+    # structural validity check the DATA field offers
+    tail_at = 16 + 8 * length
+    out["psdu_valid"] = bool(not scrambled[tail_at:tail_at + 6].any())
+    return out

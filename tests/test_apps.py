@@ -103,3 +103,33 @@ def test_usage_screens():
         rc, out = _capture(mod.main, ["-h"])
         assert rc == 0, mod.__name__
         assert "usage" in out or "options" in out, mod.__name__
+
+
+def test_fullduplex_behavior():
+    """Both directions decode over the derived-CFO duplex links, and -R
+    measurably swaps the carrier-role plan (VERDICT round-1 item 4)."""
+    from liquid_usrp_tpu.apps import fullduplex_txrx
+    rc, out = _capture(fullduplex_txrx.main,
+                       ["-N", "2", "-P", "64", "-q"])
+    assert rc == 0
+    assert "A tx 462.0 MHz / rx 562.0 MHz" in out
+    rc_r, out_r = _capture(fullduplex_txrx.main,
+                           ["-N", "2", "-P", "64", "-q", "-R"])
+    assert rc_r == 0
+    assert "A tx 562.0 MHz / rx 462.0 MHz" in out_r
+    # derived CFO signs/magnitudes swap with the role plan
+    import re
+    cfos = re.findall(r"derived cfo\s+: ([+-]\d\.\d+)", out)
+    cfos_r = re.findall(r"derived cfo\s+: ([+-]\d\.\d+)", out_r)
+    assert len(cfos) == 2 and len(cfos_r) == 2
+    assert cfos != cfos_r
+
+
+def test_multichannel_txrx_two_endpoint_tdd():
+    """Two-endpoint TDD: every packet payload-exact at the far endpoint
+    across alternating rounds (rc enforces the payload-exact count)."""
+    from liquid_usrp_tpu.apps import multichannel_txrx
+    rc, out = _capture(multichannel_txrx.main,
+                       ["-n", "2", "-R", "2", "-P", "80", "-q"])
+    assert rc == 0
+    assert "payload-exact       :      8 / 8 sent" in out

@@ -72,3 +72,66 @@ def test_app(tmp_path):
     assert wlanframe_tx.main(["-o", f, "-N", "2", "-r", "12"]) == 0
     from liquid_usrp_tpu.io.streams import read_iq
     assert len(read_iq(f)) > 1000
+
+
+def test_wlan_loopback_all_rates():
+    """TX -> gain/phase channel + noise -> wlan_decode, PSDU-exact, every
+    rate (the receive path exists for loopback verification; liquid-wlan
+    and the reference app are TX-only)."""
+    rng = np.random.default_rng(1)
+    for rate in sorted(wlan.WLAN_RATES):
+        psdu = rng.integers(0, 256, 100, dtype=np.uint8)
+        f = np.asarray(wlan.wlan_assemble(rate, psdu))
+        noise = 0.02 * (rng.normal(size=f.shape) +
+                        1j * rng.normal(size=f.shape))
+        d = wlan.wlan_decode(0.8 * np.exp(1j * 0.7) * f +
+                             noise.astype(np.complex64))
+        assert d["signal_valid"] and d["rate"] == rate
+        assert d["length"] == 100 and d["psdu_valid"]
+        assert np.array_equal(d["psdu"], psdu)
+
+
+def test_wlan_signal_field_rejects_corruption():
+    """Flipping the SIGNAL symbol hard enough must clear signal_valid
+    (parity/structure check), not return garbage rate/length silently."""
+    rng = np.random.default_rng(2)
+    f = np.asarray(wlan.wlan_assemble(12, rng.integers(
+        0, 256, 60, dtype=np.uint8)))
+    bad = f.copy()
+    bad[336:400] = 0.3 * (rng.normal(size=64) + 1j * rng.normal(size=64))
+    d = wlan.wlan_decode(bad)
+    assert not d["signal_valid"]
+
+
+def test_wlan_conv_encoder_vectorized_matches_serial():
+    def conv_ref(bits):
+        g0, g1 = 0o133, 0o171
+        reg = 0
+        out = np.empty(2 * len(bits), np.uint8)
+        for i, b in enumerate(bits):
+            reg = ((reg << 1) | int(b)) & 0x7F
+            out[2 * i] = bin(reg & g0).count("1") & 1
+            out[2 * i + 1] = bin(reg & g1).count("1") & 1
+        return out
+    rng = np.random.default_rng(0)
+    b = rng.integers(0, 2, 500).astype(np.uint8)
+    assert np.array_equal(conv_ref(b), wlan._conv_encode_bits(b))
+
+
+def test_wlanframe_tx_output_decodes(tmp_path):
+    """The app's IQ file round-trips through wlan_decode PSDU-exact."""
+    from liquid_usrp_tpu.apps import wlanframe_tx
+    from liquid_usrp_tpu.io.streams import read_iq
+    f = str(tmp_path / "wlan.iq")
+    assert wlanframe_tx.main(["-o", f, "-N", "2", "-r", "24", "-P", "80",
+                              "-s", "5"]) == 0
+    stream = read_iq(f)
+    rng = np.random.default_rng(5)
+    flen = wlan.wlan_frame_length(24, 80)
+    pos = 200
+    for _ in range(2):
+        want = rng.integers(0, 256, 80, dtype=np.uint8)
+        d = wlan.wlan_decode(stream[pos:pos + flen])
+        assert d["signal_valid"] and d["rate"] == 24 and d["psdu_valid"]
+        assert np.array_equal(d["psdu"], want)
+        pos += flen + 200
