@@ -19,6 +19,7 @@ Same block architecture as the OFDM sync (overlap region, detect ->
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -99,6 +100,23 @@ def flex_sync_init(sync: FlexSync) -> FlexSyncState:
         base=jnp.int32(-sync.overlap))
 
 
+_FD_NPFB = 64      # fractional-delay phases
+_FD_SEMI = 4       # taps = 2*semi
+
+
+@functools.lru_cache(maxsize=None)
+def _fd_bank() -> np.ndarray:
+    """Windowed-sinc fractional-delay bank ``[npfb+1, 8]``: row p delays
+    by ``p/npfb`` samples (row npfb duplicates row 0 shifted, for lerp)."""
+    t = np.arange(-_FD_SEMI, _FD_SEMI, dtype=np.float64)  # 8 taps
+    rows = []
+    for p in range(_FD_NPFB + 1):
+        mu = p / _FD_NPFB
+        h = np.sinc(t + 1 - mu) * np.kaiser(2 * _FD_SEMI, 7.0)
+        rows.append(h / h.sum())
+    return np.asarray(rows, dtype=np.float32)
+
+
 def _preamble_corr(sync: FlexSync, mf: jnp.ndarray, region: int):
     """Normalized preamble correlation for offsets [0, region).
 
@@ -161,8 +179,17 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
         n_syms, dtype=jnp.float32)
     i0 = jnp.floor(pos).astype(jnp.int32)
     frac = pos - i0.astype(jnp.float32)
-    i0 = jnp.clip(i0, 0, mf.shape[0] - 2)
-    raw = mf[i0] * (1 - frac) + mf[i0 + 1] * frac   # linear interp sampling
+    i0 = jnp.clip(i0, _FD_SEMI, mf.shape[0] - _FD_SEMI - 1)
+    # polyphase fractional-delay sampling (windowed-sinc bank, lerped
+    # between adjacent phases) — linear interpolation costs ~0.5-1 dB of
+    # effective SNR at beta=0.3 band edges
+    bank = jnp.asarray(_fd_bank())
+    ph = frac * _FD_NPFB
+    p_lo = jnp.floor(ph).astype(jnp.int32)
+    w = (ph - p_lo)[:, None]
+    taps = bank[p_lo] * (1 - w) + bank[p_lo + 1] * w    # [n_syms, 8]
+    wins = mf[i0[:, None] + jnp.arange(-_FD_SEMI + 1, _FD_SEMI + 1)[None, :]]
+    raw = jnp.sum(wins * taps.astype(mf.dtype), axis=-1)
 
     # derotate CFO (phase referenced to n0)
     t = pos - n0.astype(jnp.float32)
@@ -188,6 +215,11 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     data_pos, pilot_pos = slots_layout(sync.max_slots)
     pil_ref = jnp.asarray(p.pilot_pn[: len(pilot_pos)], dtype=jnp.complex64)
     rot = section[jnp.asarray(pilot_pos)] * jnp.conj(pil_ref)
+    # a single pilot per segment is decision-noise limited; averaging the
+    # complex rotations of 3 adjacent pilots recovers ~2 dB (phase drift
+    # across 3*16 symbols is small after CFO derotation)
+    rpad = jnp.concatenate([rot[:1], rot, rot[-1:]])
+    rot = 0.25 * rpad[:-2] + 0.5 * rpad[1:-1] + 0.25 * rpad[2:]
     ph = jnp.angle(rot)                               # [n_pilots]
     # piecewise-constant segment phase (segment s covers slots
     # [pilot_pos[s], pilot_pos[s+1]))

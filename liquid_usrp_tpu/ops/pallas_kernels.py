@@ -23,9 +23,111 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["detect_metric_fused"]
+__all__ = ["detect_metric_fused", "detect_metric_fused_2d"]
 
 _TILE = 1024
+_LANES = 128
+_ROWS = 8                       # output rows per grid step (8x128 tile)
+
+
+def _shift_flat(block, s: int):
+    """Flat-order shift by ``s`` (< _LANES) elements on a (_ROWS+1, 128)
+    raster block -> (_ROWS, 128): out[r, l] = block_flat[r*128 + l + s]."""
+    if s == 0:
+        return block[:_ROWS, :]
+    top = block[:_ROWS, s:]
+    bot = block[1:_ROWS + 1, :s]
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def _detect2d_kernel(lag: int, span: int, floor_ref, cre_ref, cim_ref,
+                     cp_ref, metric_ref, outre_ref, outim_ref):
+    """Grid step i: outputs rows [i*8, i*8+8) of the (R, 128) metric.
+
+    All cumsum inputs live whole in VMEM as (R+1, 128) rasters; the
+    windowed sums are flat-order shifted differences implemented with
+    static lane slicing (TPU-friendly 2-D layout — the 1-D formulation is
+    rejected by Mosaic).
+    """
+    i = pl.program_id(0)
+    floor = floor_ref[0, 0]
+    blk = lambda ref: ref[pl.ds(i * _ROWS, _ROWS + 1), :]  # noqa: E731
+    cre = blk(cre_ref)
+    cim = blk(cim_ref)
+    cp_ = blk(cp_ref)
+    dre = _shift_flat(cre, span) - cre[:_ROWS, :]
+    dim = _shift_flat(cim, span) - cim[:_ROWS, :]
+    e1 = _shift_flat(cp_, span) - cp_[:_ROWS, :]
+    e2 = _shift_flat(cp_, span + lag) - _shift_flat(cp_, lag)
+    c2 = dre * dre + dim * dim
+    denom = jnp.maximum(e1 * e2, 1e-12)
+    metric = jnp.where(jnp.minimum(e1, e2) > floor, c2 / denom, 0.0)
+    metric_ref[pl.ds(i * _ROWS, _ROWS), :] = metric
+    outre_ref[pl.ds(i * _ROWS, _ROWS), :] = dre
+    outim_ref[pl.ds(i * _ROWS, _ROWS), :] = dim
+
+
+def detect_metric_fused_2d(ext: jnp.ndarray, lag: int, span: int,
+                           floor_scale: float = 1e-4,
+                           interpret: bool = False):
+    """S0 periodicity metric, 2-D Mosaic layout: returns ``(metric, c)``
+    matching ``ofdm_sync._detect_metric`` for ``len(ext) - span - lag + 1``
+    offsets.
+
+    Stage 1 (XLA): lag product + log-depth cumsums.  Stage 2 (Pallas):
+    one fused pass computing every windowed sum + the normalized metric,
+    with the cumsum arrays resident in VMEM as (rows, 128) rasters.
+    Requires ``span + lag <= 128``.
+    """
+    if span + lag > _LANES:
+        raise ValueError("2-D detect kernel requires span + lag <= 128")
+    n_out = ext.shape[-1] - span - lag + 1
+    n_tiles = -(-n_out // _TILE)
+    R = n_tiles * _ROWS
+
+    prod = ext[:-lag] * jnp.conj(ext[lag:])
+    p = jnp.abs(ext) ** 2
+    zero = jnp.zeros((1,), jnp.float32)
+    cre = jnp.concatenate([zero, jnp.cumsum(prod.real)])
+    cim = jnp.concatenate([zero, jnp.cumsum(prod.imag)])
+    cp_ = jnp.concatenate([zero, jnp.cumsum(p)])
+    # (R+1) rows of 128: row r starts at flat r*128; +1 row so the last
+    # tile's flat shifts stay in range
+    need = (R + 1) * _LANES
+    cre = jnp.pad(cre, (0, need - cre.shape[0]), mode="edge")
+    cim = jnp.pad(cim, (0, need - cim.shape[0]), mode="edge")
+    cp_ = jnp.pad(cp_, (0, max(0, need - cp_.shape[0])), mode="edge")
+    cp_ = cp_[:need]
+    floor = (floor_scale * span * (jnp.mean(p) + 1e-12)).reshape(1, 1)
+
+    kernel = functools.partial(_detect2d_kernel, lag, span)
+    metric, out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(floor.astype(jnp.float32),
+      cre.astype(jnp.float32).reshape(R + 1, _LANES),
+      cim.astype(jnp.float32).reshape(R + 1, _LANES),
+      cp_.astype(jnp.float32).reshape(R + 1, _LANES))
+    flat = lambda v: v.reshape(-1)[:n_out]  # noqa: E731
+    c = (flat(out_re) + 1j * flat(out_im)).astype(jnp.complex64)
+    return flat(metric), c
 
 
 def _detect_kernel(lag: int, span: int, floor_ref, re_ref, im_ref, p_ref,

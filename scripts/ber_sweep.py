@@ -178,9 +178,10 @@ def theory_per(family: str, snr_db: float, payload_len: int) -> float:
             params = ofdm_mod.make_ofdm_params(48, 6, 4)
             M, cp = params.M, params.cp_len
             n_act = len(params.data_idx) + len(params.pilot_idx)
-            # per-subcarrier symbol energy: (M+cp) time samples of unit
-            # power spread over n_act active carriers; QPSK: /2 per bit
-            gb = g * (M + cp) / n_act / 2.0
+            # per-subcarrier symbol energy: only the M FFT-window samples
+            # are usable (CP energy is discarded), spread over n_act
+            # active carriers; QPSK: /2 per bit
+            gb = g * M / n_act / 2.0
         p_raw = _qfunc(np.sqrt(2 * gb))
         p_hdr = _qfunc(np.sqrt(2 * gb * 2.0))        # header is BPSK
         n_pay_blocks = payload_len + 4               # (12,8): 1 block/byte
