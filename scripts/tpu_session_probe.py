@@ -1,0 +1,83 @@
+"""One-session TPU probe: Pallas 2-D kernel compile check + granular
+fixed-cost attribution + batched-vs-scan dispatch comparison.
+
+Bundled into one process because healthy tunnel sessions are a scarce
+resource (see ROUND2_NOTES.md) — run everything while we have one.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def pallas_check():
+    import jax
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    from liquid_usrp_tpu.ops import pallas_kernels as pk
+
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    bs = 131072
+    sync = ofdm_sync.make_sync(params, block_size=bs, max_payload=512,
+                               max_frames=48)
+    rng = np.random.default_rng(0)
+    ext = jnp.asarray((rng.normal(size=bs + sync.overlap) +
+                       1j * rng.normal(size=bs + sync.overlap))
+                      .astype(np.complex64))
+    M = params.M
+    d = M // 4
+    L = 2 * M - d
+
+    @jax.jit
+    def xla_ref(ext):
+        return ofdm_sync._detect_metric(sync, ext)
+
+    @jax.jit
+    def pallas_ver(ext):
+        return pk.detect_metric_fused_2d(ext, d, L)
+
+    m0, c0 = xla_ref(ext)
+    jax.block_until_ready(m0)
+    try:
+        m1, c1 = pallas_ver(ext)
+        jax.block_until_ready(m1)
+    except Exception as e:
+        print("PALLAS COMPILE FAILED:", type(e).__name__, str(e)[:300])
+        return False
+    err_m = float(jnp.max(jnp.abs(m0 - m1[: m0.shape[0]])))
+    err_c = float(jnp.max(jnp.abs(c0 - c1[: c0.shape[0]])))
+    print(f"pallas on-TPU validate: metric err {err_m:.2e}  c err {err_c:.2e}")
+
+    def timeit(fn, n=20):
+        r = fn(ext)
+        jax.block_until_ready(r)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn(ext)
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best
+
+    t_x = timeit(xla_ref)
+    t_p = timeit(pallas_ver)
+    print(f"  XLA detect-metric   : {t_x*1e6:8.1f} us")
+    print(f"  Pallas detect-metric: {t_p*1e6:8.1f} us   "
+          f"({t_x/t_p:.2f}x)")
+    return err_m < 1e-3 and err_c < 1e-2
+
+
+if __name__ == "__main__":
+    import jax
+    print("devices:", jax.devices())
+    ok = pallas_check()
+    print("pallas ok:", ok)
+    import stage_probe
+    print("--- granular ---")
+    stage_probe.granular()
+    print("--- batched vs scan ---")
+    stage_probe.batched_vs_scan()

@@ -69,3 +69,62 @@ def test_txrx_availability_polling():
     valid = [f for f in frames if f["payload_valid"] and f["channel"] == 0]
     assert len(valid) == 1
     np.testing.assert_array_equal(valid[0]["payload"], payload)
+
+
+def test_mcrx_batched_step_equals_scan():
+    """make_mcrx_batched_step == scan of make_mcrx_step on a loaded
+    mixture (multi-block dispatch, VERDICT next-8)."""
+    import jax
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    from liquid_usrp_tpu.models.multichannel import (
+        MultichannelTx, make_mcrx_step, make_mcrx_batched_step)
+
+    N = 2
+    params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=128,
+                               max_frames=4)
+    rng = np.random.default_rng(4)
+    tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
+    n_blocks = 3
+    g = 2 * N * sync.block_size
+    mix, produced = [], 0
+    while produced < n_blocks * g:
+        for ch in range(N):
+            if tx.is_channel_ready(ch):
+                tx.update_data(ch, rng.integers(0, 256, 8, dtype=np.uint8),
+                               rng.integers(0, 256, 64, dtype=np.uint8))
+        chunk = tx.generate_samples(1024)
+        mix.append(chunk)
+        produced += len(chunk)
+    x = np.concatenate(mix)[: n_blocks * g]
+    x = (x + 0.01 * (rng.normal(size=x.shape) +
+                     1j * rng.normal(size=x.shape))).astype(np.complex64)
+
+    init_s, step = make_mcrx_step(N, params, sync)
+    init_b, bstep = make_mcrx_batched_step(N, params, sync, n_blocks)
+    st = init_s()
+    seq = []
+    for b in range(n_blocks):
+        st, r = step(st, jnp.asarray(x[b * g:(b + 1) * g]))
+        seq.append(jax.tree.map(np.asarray, r))
+    st_b, rb = bstep(init_b(), jnp.asarray(x))
+    rb = jax.tree.map(np.asarray, rb)          # leaves [N, n_blocks, K,...]
+    tot_seq = sum(int(r.payload_valid.sum()) for r in seq)
+    assert tot_seq > 0
+    assert int(rb.payload_valid.sum()) == tot_seq
+    for b in range(n_blocks):
+        r = seq[b]
+        np.testing.assert_array_equal(rb.detected[:, b], r.detected)
+        np.testing.assert_array_equal(rb.t_start[:, b], r.t_start)
+        np.testing.assert_array_equal(rb.payload_valid[:, b],
+                                      r.payload_valid)
+        # payload content contract covers valid rows (invalid rows carry
+        # decode garbage that legitimately differs between the per-block
+        # and whole-stream window clipping)
+        mask = r.payload_valid[..., None]
+        np.testing.assert_array_equal(rb.payload[:, b] * mask,
+                                      r.payload * mask)
+    # carried sync state matches
+    np.testing.assert_array_equal(np.asarray(st_b.syncs.tail),
+                                  np.asarray(st.syncs.tail))
