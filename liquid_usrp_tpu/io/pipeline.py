@@ -16,7 +16,7 @@ from typing import Callable, Iterable, Iterator
 
 import numpy as np
 
-__all__ = ["BlockPrefetcher", "run_pipelined"]
+__all__ = ["BlockPrefetcher", "run_pipelined", "AsyncTxProducer"]
 
 
 class BlockPrefetcher:
@@ -79,3 +79,92 @@ def run_pipelined(source: Iterable[np.ndarray], step: Callable, state,
     if pending is not None and on_results is not None:
         on_results(pending)
     return state
+
+
+class AsyncTxProducer:
+    """TX worker thread: packet submission decoupled from sample production.
+
+    The reference's multichanneltxrx spawns a TX pthread that keeps
+    generating samples ahead of the radio while ``transmit_packet`` merely
+    stamps data into an idle framegen (lib/multichanneltxrx.cc:217-240,
+    403-501).  Same shape here: :meth:`transmit_packet` enqueues work
+    without blocking, and a worker thread keeps a bounded queue of
+    generated sample blocks filled **ahead of the consumer's stream
+    cursor** (idle channels produce zeros, exactly like the reference's
+    worker).  All tx-object access happens on the worker thread.
+    """
+
+    _DONE = object()
+
+    def __init__(self, tx, block_channel_samples: int = 256,
+                 depth: int = 8):
+        self._tx = tx
+        self._block = block_channel_samples
+        self._work: queue.Queue = queue.Queue()
+        self._out: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._pending: list = []       # submitted but not yet stamped
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    # -- producer side (any thread) ---------------------------------------
+    def transmit_packet(self, ch: int, header, payload, **props) -> None:
+        """Non-blocking submit (the reference's transmit_packet)."""
+        self._work.put((int(ch), np.asarray(header, np.uint8),
+                        np.asarray(payload, np.uint8), props))
+
+    def close(self) -> None:
+        self._work.put(self._DONE)
+
+    # -- worker ------------------------------------------------------------
+    def _worker(self):
+        tx = self._tx
+        open_ = True
+        while not self._stop.is_set():
+            # pull new submissions (non-blocking once producing)
+            while open_:
+                try:
+                    item = self._work.get_nowait()
+                except queue.Empty:
+                    break
+                if item is self._DONE:
+                    open_ = False
+                    break
+                self._pending.append(item)
+            # stamp work onto ready channels
+            still = []
+            for ch, header, payload, props in self._pending:
+                if tx.is_channel_ready(ch):
+                    tx.update_data(ch, header, payload, **props)
+                else:
+                    still.append((ch, header, payload, props))
+            self._pending = still
+            idle = (not self._pending and
+                    all(tx.is_channel_ready(c)
+                        for c in range(tx.num_channels)))
+            if not open_ and idle:
+                # flush the synthesis filter memory (the reference's
+                # end-of-burst drain, lib/multichanneltxrx.cc:478-494)
+                taps = getattr(getattr(tx, "chz", None), "P", 0)
+                if taps:
+                    self._out.put(tx.generate_samples(2 * taps))
+                self._out.put(self._DONE)
+                return
+            # generate ahead of the cursor (blocks when the queue is full)
+            self._out.put(tx.generate_samples(self._block))
+
+    # -- consumer side ------------------------------------------------------
+    def blocks(self) -> Iterator[np.ndarray]:
+        """Yield generated sample blocks until the producer drains."""
+        while True:
+            item = self._out.get()
+            if item is self._DONE:
+                return
+            yield item
+
+    def queued_blocks(self) -> int:
+        """Blocks currently generated ahead of the consumer."""
+        return self._out.qsize()
+
+    def stop(self):
+        self._stop.set()

@@ -37,3 +37,44 @@ def test_pipelined_file_rx(tmp_path):
                   block_size=sync.block_size)
     assert len(got) == 1
     np.testing.assert_array_equal(got[0], payload)
+
+
+def test_async_tx_producer():
+    """The TX worker generates ahead of the consumer cursor and every
+    submitted packet decodes at the receiver (SURVEY §2.2 async TX)."""
+    import time as _time
+    from liquid_usrp_tpu.io.pipeline import AsyncTxProducer
+    from liquid_usrp_tpu.models.multichannel import (MultichannelTx,
+                                                     MultichannelRx)
+
+    N = 2
+    rng = np.random.default_rng(9)
+    tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
+    prod = AsyncTxProducer(tx, block_channel_samples=256, depth=6)
+    sent = {}
+    pid = 0
+    for rep in range(2):
+        for ch in range(N):
+            header = np.zeros(8, np.uint8)
+            header[0], header[1], header[2] = pid >> 8, pid & 0xFF, ch
+            payload = rng.integers(0, 256, 96, dtype=np.uint8)
+            prod.transmit_packet(ch, header, payload)
+            sent[pid] = (ch, payload)
+            pid += 1
+    prod.close()
+    # ahead-of-cursor: the worker fills its queue without any consumption
+    # (first block pays the jit compile, so poll with a generous budget)
+    deadline = _time.time() + 90
+    while prod.queued_blocks() < 2 and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert prod.queued_blocks() >= 2
+    stream = np.concatenate(list(prod.blocks()))
+    rx = MultichannelRx(N, M=48, cp_len=6, taper_len=4, block_size=4096,
+                        max_payload=128)
+    frames = rx.execute(stream) + rx.flush()
+    got = {((int(f["header"][0]) << 8) | int(f["header"][1])): f
+           for f in frames if f["payload_valid"]}
+    assert set(got) == set(sent)
+    for p, (ch, payload) in sent.items():
+        assert got[p]["channel"] == ch
+        assert np.array_equal(got[p]["payload"], payload)
