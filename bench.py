@@ -271,7 +271,35 @@ def _bench_sync():
             iters * SCAN * sync.block_size / best, {"correct": False})
 
 
+def _healthy(timeout_s: float = 60.0) -> bool:
+    """Fast tunnel-session health check: a tiny compute + fetch.
+
+    Bad sessions fail UNIMPLEMENTED or hang on ANY fetch (ROUND2_NOTES);
+    detecting that in seconds lets the parent sample many more sessions
+    within its budget than burning the full per-child timeout.
+    """
+    import threading
+
+    import numpy as np
+    ok = []
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+            v = np.asarray(jnp.ones(16) * 2.0)
+            ok.append(bool(v.sum() == 32.0))
+        except Exception:
+            ok.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok and ok[0])
+
+
 def _child(which: str) -> int:
+    if not _healthy():
+        os._exit(3)                    # bad session: fail fast, retry
     fn = {
         "mcrx_xl": lambda: _bench_mcrx(131072, 48, 1),
         "mcrx": _bench_mcrx,
@@ -295,7 +323,7 @@ def main() -> int:
     # parent: try pipelines in order, fresh subprocess per attempt (the TPU
     # tunnel backend is flaky per session: whole sessions fail UNIMPLEMENTED
     # or hang, independent of transfer size — retry until a healthy one)
-    attempts = [("mcrx_xl", 4), ("mcrx", 2), ("sync", 2)]
+    attempts = [("mcrx_xl", 8), ("mcrx", 3), ("sync", 2)]
     for which, tries in attempts:
         for i in range(tries):
             env = dict(os.environ, _BENCH_CHILD=which)
@@ -310,7 +338,10 @@ def main() -> int:
                 if line.startswith("{") and '"metric"' in line:
                     print(line)
                     return 0
-            time.sleep(20)   # give the tunnel a beat before the next session
+            if out.returncode == 3:
+                time.sleep(10)   # bad session detected fast: quick resample
+            else:
+                time.sleep(20)   # give the tunnel a beat
     print(json.dumps({"metric": "mcrx_iq_throughput", "value": 0.0,
                       "unit": "samples/s/chip", "vs_baseline": 0.0}))
     return 1

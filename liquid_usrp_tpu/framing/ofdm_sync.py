@@ -281,10 +281,30 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     # header EVM (uses decided symbols as reference)
     hevm = modem_mod.evm(_HEADER_MOD, hflat, hsym)
 
+    # decision-directed channel refinement: the header's BPSK decisions
+    # give n_hsym extra observations per data carrier on top of the single
+    # S1 symbol, shrinking the EQ-noise penalty before payload demod
+    n_data = len(p.data_idx)
+    dec_pts = modem_mod.modulate(_HEADER_MOD, hsym)
+    pad = n_hsym * n_data - HEADER_SYMS
+    dec_grid = jnp.concatenate(
+        [dec_pts, jnp.zeros((pad,), dec_pts.dtype)]).reshape(n_hsym, n_data)
+    used = jnp.concatenate(
+        [jnp.ones((HEADER_SYMS,), jnp.float32),
+         jnp.zeros((pad,), jnp.float32)]).reshape(n_hsym, n_data)
+    r = jnp.sum(hdata * jnp.conj(dec_grid) * used, axis=0) / \
+        jnp.maximum(jnp.sum(used, axis=0), 1.0)
+    # blend with the unit prior (S1 estimate) in proportion to the number
+    # of header observations per carrier, and guard degenerate magnitudes
+    nobs = jnp.sum(used, axis=0)
+    r = (nobs * r + 1.0) / (nobs + 1.0)
+    r = jnp.where(jnp.abs(r) > 0.2, r, 1.0)
+
     # payload constellation points (FEC decode happens batched outside
     # the candidate vmap — see decode_payload_batch)
     pdata = _equalized_symbols(
         sync, w, body + n_hsym * (M + cp), H, sync.max_psym, n_hsym)
+    pdata = pdata / r[None, :]
 
     # stats
     pre = _window_gather(ext, n0, NUM_S0 * M)
