@@ -257,8 +257,15 @@ def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
         payload, pvalid = decode_fn(
             sync.enc_max, sync.dec_max, sync.max_payload,
             points, mod, f0, f1, check, plen, hvalid, sync.fecs)
+        # frame EVM = header + payload symbols (framesyncstats parity)
+        used = payload_codec.payload_points_used(
+            sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1,
+            check)
+        evm = payload_codec.frame_evm_db(
+            hevm, payload_codec.payload_evm_mse(points, mod, used), used)
+        evm = jnp.where(hvalid, evm, hevm)
         return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
-                rssi, hevm, cfo)
+                rssi, evm, cfo)
 
     def skip_decode(locs_):
         f32 = jnp.float32

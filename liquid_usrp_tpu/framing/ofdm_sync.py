@@ -59,6 +59,7 @@ class OfdmSync(NamedTuple):
     enc_max: int               # encoded payload buffer bytes
     fecs: tuple = PAYLOAD_FECS # runtime-decodable payload FEC set
     soft: bool = False         # soft-decision LLRs into conv FEC branches
+    use_pallas: bool = False   # fused Mosaic detect front-end (TPU)
 
 
 class OfdmSyncState(NamedTuple):
@@ -87,7 +88,8 @@ class FrameResults(NamedTuple):
 def make_sync(params: OfdmParams, block_size: int = 16384,
               max_payload: int = 2048, max_frames: int = 8,
               threshold: float = 0.5,
-              enable_conv: bool = False, soft: bool = False) -> OfdmSync:
+              enable_conv: bool = False, soft: bool = False,
+              use_pallas="auto") -> OfdmSync:
     M, cp = params.M, params.cp_len
     n_data = len(params.data_idx)
     dec_max = max_payload + 4
@@ -99,10 +101,16 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
     overlap = max_frame + 4 * M
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
             else payload_codec.PAYLOAD_FECS)
+    if use_pallas == "auto":
+        # the fused Mosaic detect front-end is the default TPU path; its
+        # 2-D layout needs span + lag (= 2M - M/4) within one lane row
+        import jax
+        use_pallas = (jax.default_backend() == "tpu" and 2 * M <= 128)
     return OfdmSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold, overlap=overlap, max_psym=max_psym,
-                    dec_max=dec_max, enc_max=enc_max, fecs=fecs, soft=soft)
+                    dec_max=dec_max, enc_max=enc_max, fecs=fecs, soft=soft,
+                    use_pallas=bool(use_pallas))
 
 
 def sync_init(sync: OfdmSync) -> OfdmSyncState:
@@ -129,6 +137,9 @@ def _detect_metric(sync: OfdmSync, ext: jnp.ndarray):
     M = sync.params.M
     d = M // 4
     L = NUM_S0 * M - d
+    if sync.use_pallas:
+        from ..ops.pallas_kernels import detect_metric_fused_2d
+        return detect_metric_fused_2d(ext, d, L)
     prod = ext[:-d] * jnp.conj(ext[d:])
     c = _moving_sum(prod, L)
     p = jnp.abs(ext) ** 2
@@ -347,8 +358,15 @@ def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
         payload, pvalid = decode_fn(
             sync.enc_max, sync.dec_max, sync.max_payload,
             points, mod, f0, f1, check, plen, hvalid, sync.fecs)
+        # frame EVM = header + payload symbols (framesyncstats parity)
+        used = payload_codec.payload_points_used(
+            sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1,
+            check)
+        evm = payload_codec.frame_evm_db(
+            hevm, payload_codec.payload_evm_mse(points, mod, used), used)
+        evm = jnp.where(hvalid, evm, hevm)
         return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
-                rssi, hevm, cfo)
+                rssi, evm, cfo)
 
     def skip_decode(args):
         f32 = jnp.float32
@@ -435,8 +453,14 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
         payload, pvalid = decode_fn(
             sync.enc_max, sync.dec_max, sync.max_payload,
             points, mod, f0, f1, check, plen, hvalid, sync.fecs)
+        used = payload_codec.payload_points_used(
+            sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1,
+            check)
+        evm = payload_codec.frame_evm_db(
+            hevm, payload_codec.payload_evm_mse(points, mod, used), used)
+        evm = jnp.where(hvalid, evm, hevm)
         return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
-                rssi, hevm, cfo)
+                rssi, evm, cfo)
 
     def skip_decode(args):
         f32 = jnp.float32

@@ -256,6 +256,59 @@ def crc_check_dynamic(check: jnp.ndarray, buf: jnp.ndarray,
         check, [none_fn, make(crc_mod.CRC_16), make(crc_mod.CRC_32)], buf)
 
 
+@functools.lru_cache(maxsize=None)
+def _enc_len_table(fecs: tuple, max_n: int) -> np.ndarray:
+    """[len(fecs), max_n+1] encoded-length lookup — makes the per-frame
+    encoded size a traced gather (for payload-EVM point counting)."""
+    t = np.zeros((len(fecs), max_n + 1), np.int32)
+    for i, s in enumerate(fecs):
+        for n in range(max_n + 1):
+            t[i, n] = fec_mod.encoded_length(s, n)
+    return t
+
+
+def payload_points_used(fecs: tuple, dec_max: int, enc_max: int,
+                        plen, mod, f0, f1, check):
+    """Traced count of constellation points the payload actually occupies
+    (incl. the DPSK reference point)."""
+    tab = jnp.asarray(_enc_len_table(fecs, enc_max))
+    crc_w = jnp.asarray([0, 2, 4], jnp.int32)[check]
+    n1 = jnp.clip(plen + crc_w, 0, dec_max)
+    n2 = tab[f0, n1]
+    n3 = tab[f1, jnp.clip(n2, 0, enc_max)]
+    bps = jnp.asarray(
+        [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
+        dtype=jnp.int32)[mod]
+    used = (n3 * 8 + bps - 1) // bps
+    return used + jnp.asarray(_IS_DIFF)[mod].astype(jnp.int32)
+
+
+def payload_evm_mse(points: jnp.ndarray, mod, used):
+    """Per-row payload MSE vs nearest constellation point: ``points [K,
+    n_pts]``, traced scheme ids, ``used [K]`` point counts -> ``[K]``.
+
+    XLA CSEs the distance matrix with the demap's inside one jit, so this
+    costs one masked reduction.
+    """
+    x, off = jax.vmap(_diff_effective)(points, mod)
+    tabs = jnp.asarray(_stacked_tables())
+    d2 = jnp.abs(x[:, :, None] - tabs[mod][:, None, :]) ** 2
+    dmin = jnp.min(d2, axis=-1)                       # [K, n_pts]
+    idx = jnp.arange(points.shape[-1])[None, :]
+    mask = (idx >= off[:, None]) & (idx < (used + off)[:, None])
+    tot = jnp.sum(jnp.where(mask, dmin, 0.0), axis=-1)
+    return tot / jnp.maximum(used.astype(jnp.float32), 1.0)
+
+
+def frame_evm_db(hevm_db, pay_mse, used):
+    """Combine header EVM (dB) with payload MSE into the frame EVM the
+    reference's framesyncstats reports (energy-weighted over symbols)."""
+    hmse = 10.0 ** (hevm_db / 10.0)
+    n = HEADER_SYMS + used.astype(jnp.float32)
+    tot = (hmse * HEADER_SYMS + pay_mse * used.astype(jnp.float32)) / n
+    return 10.0 * jnp.log10(jnp.maximum(tot, 1e-12))
+
+
 def decode_payload(sync_enc_max: int, dec_max: int, max_payload: int,
                    points: jnp.ndarray, mod, f0, f1, check, plen, hvalid,
                    fecs=PAYLOAD_FECS):
