@@ -129,8 +129,11 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
     # large blocks amortize the per-block fixed cost (measured: 8k->32k
     # block size alone moves a single stream from ~28 to ~70 MS/s)
+    # pinned to the XLA detect path until the Mosaic kernel is validated
+    # on real hardware (scripts/tpu_session_probe.py flips this story)
     sync = ofdm_sync.make_sync(params, block_size=block_size,
-                               max_payload=512, max_frames=max_frames)
+                               max_payload=512, max_frames=max_frames,
+                               use_pallas=False)
     init_state, step = make_mcrx_step(N, params, sync)
     g = 2 * N * sync.block_size
     SCAN = scan
@@ -240,7 +243,7 @@ def _bench_sync():
 
     params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
     sync = ofdm_sync.make_sync(params, block_size=32768, max_payload=512,
-                               max_frames=16)
+                               max_frames=16, use_pallas=False)
     SCAN = 4
 
     @jax.jit
