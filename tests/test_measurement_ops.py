@@ -56,3 +56,35 @@ def test_ring_log():
     r = window.ring_push(r, jnp.arange(100).astype(jnp.complex64))
     np.testing.assert_array_equal(
         np.asarray(window.ring_read(r)).real, np.arange(84, 100))
+
+
+def test_frame_evm_tracks_channel_snr():
+    """The reported per-frame EVM covers header+payload symbols and must
+    track the channel SNR within ~2 dB (framesyncstats parity)."""
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    sync = ofdm_sync.make_sync(params, block_size=8192, max_payload=256,
+                               max_frames=4)
+    step = ofdm_sync.make_sync_step(sync)
+    rng = np.random.default_rng(0)
+    props = ofdm.default_props()
+    h = rng.integers(0, 256, 8, dtype=np.uint8)
+    p = rng.integers(0, 256, 200, dtype=np.uint8)
+    f = np.asarray(ofdm.assemble_frame(params, props, jnp.asarray(h),
+                                       jnp.asarray(p)))
+    for snr in (30.0, 15.0):
+        s = np.zeros(4 * 8192, np.complex64)
+        s[1000:1000 + len(f)] = f
+        std = (10 ** (-snr / 10)) ** 0.5 / np.sqrt(2)
+        s = (s + std * (rng.normal(size=s.shape) +
+                        1j * rng.normal(size=s.shape))).astype(np.complex64)
+        st = ofdm_sync.sync_init(sync)
+        evms = []
+        for b in range(4):
+            st, res = step(st, jnp.asarray(s[b * 8192:(b + 1) * 8192]))
+            for i in np.nonzero(np.asarray(res.detected))[0]:
+                if bool(res.payload_valid[i]):
+                    evms.append(float(res.evm[i]))
+        assert evms, f"frame not decoded at {snr} dB"
+        assert abs(evms[0] - (-snr)) < 2.5, (snr, evms)
