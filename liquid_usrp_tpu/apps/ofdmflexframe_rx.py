@@ -22,10 +22,14 @@ USAGE = """ofdmflexframe_rx -i in.iq [options]
   M     : number of subcarriers, default 48
   C     : cyclic prefix length, default 6
   T     : taper length, default 4
+  p     : max payload budget in bytes, default 2048 (smaller = lower
+          detection latency: the carried overlap scales with it)
   d     : debug dump prefix (writes <prefix>_framesync_debug.m, the
           ofdmflexframesync_debug_print parity surface)
   q/v   : quiet / verbose
   --snr/--cfo/--delay : virtual channel impairments
+  --save-state/--load-state : checkpoint/resume the synchronizer state
+          (bit-exact across invocations; split a stream anywhere)
 """
 
 
@@ -55,7 +59,9 @@ def _dump_debug(prefix: str, txrx, stream):
 
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:M:C:T:d:qv")
+                          "hi:M:C:T:p:d:qv",
+                          ["snr=", "cfo=", "delay=", "seed=",
+                           "save-state=", "load-state="])
     if "h" in flags:
         print(USAGE)
         return 0
@@ -66,6 +72,7 @@ def main(argv=None) -> int:
     M = int(flags.get("M", 48))
     cp = int(flags.get("C", 6))
     taper = int(flags.get("T", 4))
+    max_payload = int(flags.get("p", 2048))
     verbose = "q" not in flags
 
     stats = RxStats()
@@ -85,14 +92,38 @@ def main(argv=None) -> int:
                    "ok" if header_valid else "FAIL",
                    "ok" if payload_valid else "FAIL"))
 
-    txrx = OfdmTxRx(M=M, cp_len=cp, taper_len=taper, callback=callback)
+    txrx = OfdmTxRx(M=M, cp_len=cp, taper_len=taper,
+                    max_payload=max_payload, callback=callback)
     stream = read_iq(path)
     stream = apply_channel(stream, flags,
                            signal_power=float(np.mean(np.abs(stream) ** 2)))
+    bs = txrx._sync.block_size
+    if "load-state" in flags:
+        from ..utils.checkpoint import load_state
+        import jax.numpy as jnp
+        like = {"sync": txrx._rx_state,
+                "pending": jnp.zeros((bs,), jnp.complex64),
+                "pending_len": jnp.int32(0)}
+        data = load_state(flags["load-state"], like)
+        txrx._rx_state = data["sync"]
+        txrx._pending = np.asarray(data["pending"])[
+            : int(data["pending_len"])]
     t0 = time.time()
     txrx.start_rx()
-    txrx.run_rx(stream, flush=True)
+    # a resumed run continues mid-stream: only flush when not saving
+    txrx.run_rx(stream, flush="save-state" not in flags)
     runtime = time.time() - t0
+    if "save-state" in flags:
+        from ..utils.checkpoint import save_state
+        import jax.numpy as jnp
+        pend = getattr(txrx, "_pending", np.zeros(0, np.complex64))
+        padded = np.zeros(bs, np.complex64)
+        padded[: len(pend)] = pend
+        save_state(flags["save-state"],
+                   {"sync": txrx._rx_state,
+                    "pending": jnp.asarray(padded),
+                    "pending_len": jnp.int32(len(pend))})
+        print("synchronizer state saved to %s" % flags["save-state"])
     if "d" in flags:
         _dump_debug(flags["d"], txrx, stream)
     print("ofdmflexframe_rx results:")

@@ -63,3 +63,41 @@ def test_config_validation():
     assert props.mod == 1  # qpsk
     with pytest.raises(ValueError):
         parse_crc("bogus")
+
+
+def test_app_checkpoint_resume_split_stream(tmp_path):
+    """ofdmflexframe_rx --save-state/--load-state: a stream split at an
+    arbitrary mid-frame sample decodes the same packet total as one run
+    (synchronizer tail, stream base, and partial-block pending all carry)."""
+    import re
+    from liquid_usrp_tpu.apps import ofdmflexframe_rx, ofdmflexframe_tx
+    from liquid_usrp_tpu.io.streams import read_iq, write_iq
+    from test_apps import _capture
+
+    iq = str(tmp_path / "ck.iq")
+    rc, _ = _capture(ofdmflexframe_tx.main,
+                     ["-o", iq, "-N", "8", "-P", "512"])
+    assert rc == 0
+    s = read_iq(iq)
+    assert len(s) > 55000           # several sync blocks in each part
+    cut = 55001                     # arbitrary, mid-frame, off block grid
+    a_iq, b_iq = str(tmp_path / "a.iq"), str(tmp_path / "b.iq")
+    write_iq(a_iq, s[:cut])
+    write_iq(b_iq, s[cut:])
+    st = str(tmp_path / "st")
+
+    def packets(out):
+        return int(re.search(r"valid packets\s+:\s+(\d+)", out).group(1))
+
+    rc, full = _capture(ofdmflexframe_rx.main,
+                    ["-i", iq, "-q", "-p", "600"])
+    assert rc == 0
+    rc, a = _capture(ofdmflexframe_rx.main,
+                     ["-i", a_iq, "-q", "-p", "600", "--save-state", st])
+    assert rc == 0
+    rc, b = _capture(ofdmflexframe_rx.main,
+                     ["-i", b_iq, "-q", "-p", "600", "--load-state", st])
+    assert rc == 0
+    assert packets(full) == 8
+    assert packets(a) + packets(b) == 8
+    assert packets(a) > 0           # the split lands mid-stream, not at 0
