@@ -151,7 +151,8 @@ def _find_candidates(sync: FlexSync, metric: jnp.ndarray):
     idx = jnp.arange(metric.shape[0])
     score = jnp.where(is_peak & (idx >= win) & (idx < T + win), metric,
                       -1.0)
-    vals, locs = jax.lax.top_k(score, sync.max_frames)
+    from .ofdm_sync import topk_peaks
+    vals, locs = topk_peaks(score, sync.max_frames, 2 * win + 1)
     return vals > 0, locs
 
 

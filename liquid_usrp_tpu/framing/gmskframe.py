@@ -293,7 +293,8 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
     # detect region inset by the NMS radius (see ofdm_sync)
     score = jnp.where(is_peak & (idx >= win) & (idx < region + win),
                       metric, -1.0)
-    vals, locs = jax.lax.top_k(score, sync.max_frames)
+    from .ofdm_sync import topk_peaks
+    vals, locs = topk_peaks(score, sync.max_frames, 2 * win + 1)
     detected = vals > 0
 
     def decode(n0):
