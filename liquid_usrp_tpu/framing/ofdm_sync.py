@@ -102,10 +102,13 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
             else payload_codec.PAYLOAD_FECS)
     if use_pallas == "auto":
-        # the fused Mosaic detect front-end is the default TPU path; its
-        # 2-D layout needs span + lag (= 2M - M/4) within one lane row
-        import jax
-        use_pallas = (jax.default_backend() == "tpu" and 2 * M <= 128)
+        # The fused Mosaic detect front-end (detect_metric_fused_2d) is
+        # interpret-validated and intended as the default TPU path, but
+        # Mosaic remote-compilation has not yet been confirmed on this
+        # image's tunnel backend (ROUND2_NOTES), so auto resolves to off;
+        # scripts/tpu_session_probe.py is the validation gate that flips
+        # this to `jax.default_backend() == "tpu" and 2 * M <= 128`.
+        use_pallas = False
     return OfdmSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold, overlap=overlap, max_psym=max_psym,
@@ -352,29 +355,21 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
 # top-level block step
 # ---------------------------------------------------------------------------
 
-def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
-    """Process one block of ``block_size`` samples.
+def _gated_decode(sync: OfdmSync, source: jnp.ndarray, gate, locs, c_at):
+    """``lax.cond``-gated batched candidate decode against ``source``.
 
-    Returns ``(state', FrameResults)``; results are fixed-shape with
-    ``detected`` masks.  For a jitted closure over a fixed config use
-    :func:`make_sync_step`.
+    RX streams are mostly idle noise, so the expensive refine/EQ/FEC graph
+    only runs when anything was detected.  ``locs``/``c_at`` are flat
+    ``[R]`` offsets into ``source``; returns the 12-tuple of per-candidate
+    results (zeros when gated off).
     """
-    assert block.shape[-1] == sync.block_size
-    ext = jnp.concatenate([state.tail, block])
-    metric, c = _detect_metric(sync, ext)
-    detected, locs = _find_candidates(sync, metric)
-    c_at = c[jnp.clip(locs, 0, c.shape[0] - 1)]
-
-    # Gate the whole candidate-decode graph on "anything detected": RX
-    # streams are mostly idle noise, and lax.cond skips the expensive
-    # refine/EQ/FEC work entirely for empty blocks.
-    K = sync.max_frames
+    R = locs.shape[0]
 
     def do_decode(args):
         locs_, c_at_ = args
         (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
          cfo) = jax.vmap(
-            lambda n0, ca: _decode_candidate(sync, ext, n0, ca),
+            lambda n0, ca: _decode_candidate(sync, source, n0, ca),
             in_axes=(0, 0))(locs_, c_at_)
         decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
                      else payload_codec.decode_payload_batch)
@@ -393,17 +388,32 @@ def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
 
     def skip_decode(args):
         f32 = jnp.float32
-        return (jnp.zeros((K, 8), jnp.uint8),
-                jnp.zeros((K, sync.max_payload), jnp.uint8),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), bool),
-                jnp.zeros((K,), bool), jnp.zeros((K,), f32),
-                jnp.zeros((K,), f32), jnp.zeros((K,), f32))
+        return (jnp.zeros((R, 8), jnp.uint8),
+                jnp.zeros((R, sync.max_payload), jnp.uint8),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool),
+                jnp.zeros((R,), bool), jnp.zeros((R,), f32),
+                jnp.zeros((R,), f32), jnp.zeros((R,), f32))
 
-    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
-     cfo) = jax.lax.cond(jnp.any(detected), do_decode, skip_decode,
-                         (locs, c_at))
+    return jax.lax.cond(gate, do_decode, skip_decode, (locs, c_at))
+
+
+def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
+    """Process one block of ``block_size`` samples.
+
+    Returns ``(state', FrameResults)``; results are fixed-shape with
+    ``detected`` masks.  For a jitted closure over a fixed config use
+    :func:`make_sync_step`.
+    """
+    assert block.shape[-1] == sync.block_size
+    ext = jnp.concatenate([state.tail, block])
+    metric, c = _detect_metric(sync, ext)
+    detected, locs = _find_candidates(sync, metric)
+    c_at = c[jnp.clip(locs, 0, c.shape[0] - 1)]
+
+    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, evm,
+     cfo) = _gated_decode(sync, ext, jnp.any(detected), locs, c_at)
 
     res = FrameResults(
         detected=detected,
@@ -412,7 +422,7 @@ def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
         header=user, payload=payload,
         payload_len=jnp.where(detected, plen, 0),
         mod=mod, fec0=f0, fec1=f1, check=check,
-        rssi=rssi, evm=hevm, cfo=cfo,
+        rssi=rssi, evm=evm, cfo=cfo,
         t_start=state.base + locs.astype(jnp.int32),
     )
     new_state = OfdmSyncState(
@@ -465,40 +475,9 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
     detected, locs, c_at = jax.vmap(det)(exts)      # [n_blocks, K]
     g0 = jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * bs + locs
 
-    def do_decode(args):
-        g0f, c_atf = args                            # [n_blocks*K]
-        (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
-         cfo) = jax.vmap(
-            lambda n0, ca: _decode_candidate(sync, full, n0, ca),
-            in_axes=(0, 0))(g0f, c_atf)
-        decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
-                     else payload_codec.decode_payload_batch)
-        payload, pvalid = decode_fn(
-            sync.enc_max, sync.dec_max, sync.max_payload,
-            points, mod, f0, f1, check, plen, hvalid, sync.fecs)
-        used = payload_codec.payload_points_used(
-            sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1,
-            check)
-        evm = payload_codec.frame_evm_db(
-            hevm, payload_codec.payload_evm_mse(points, mod, used), used)
-        evm = jnp.where(hvalid, evm, hevm)
-        return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
-                rssi, evm, cfo)
-
-    def skip_decode(args):
-        f32 = jnp.float32
-        NK = n_blocks * K
-        return (jnp.zeros((NK, 8), jnp.uint8),
-                jnp.zeros((NK, sync.max_payload), jnp.uint8),
-                jnp.zeros((NK,), jnp.int32), jnp.zeros((NK,), jnp.int32),
-                jnp.zeros((NK,), jnp.int32), jnp.zeros((NK,), jnp.int32),
-                jnp.zeros((NK,), jnp.int32), jnp.zeros((NK,), bool),
-                jnp.zeros((NK,), bool), jnp.zeros((NK,), f32),
-                jnp.zeros((NK,), f32), jnp.zeros((NK,), f32))
-
-    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
-     cfo) = jax.lax.cond(jnp.any(detected), do_decode, skip_decode,
-                         (g0.reshape(-1), c_at.reshape(-1)))
+    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, evm,
+     cfo) = _gated_decode(sync, full, jnp.any(detected),
+                          g0.reshape(-1), c_at.reshape(-1))
 
     def rs(v):
         return v.reshape((n_blocks, K) + v.shape[1:])
@@ -510,7 +489,7 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
         header=rs(user), payload=rs(payload),
         payload_len=jnp.where(detected, rs(plen), 0),
         mod=rs(mod), fec0=rs(f0), fec1=rs(f1), check=rs(check),
-        rssi=rs(rssi), evm=rs(hevm), cfo=rs(cfo),
+        rssi=rs(rssi), evm=rs(evm), cfo=rs(cfo),
         t_start=(state.base + jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
                  * bs + locs.astype(jnp.int32)),
     )
