@@ -43,11 +43,8 @@ from ..ops import modem as modem_mod
 from ..utils.bits import pack_bits, unpack_bits
 from . import payload as payload_codec
 from .payload import (HEADER_BPS as _HEADER_BPS,
-                      HEADER_DEC_BYTES as _HEADER_DEC_BYTES,
-                      HEADER_ENC_BYTES as _HEADER_ENC_BYTES,
-                      HEADER_FEC as _HEADER_FEC,
                       HEADER_MOD as _HEADER_MOD,
-                      HEADER_SYMS, HEADER_USER_BYTES, scramble)
+                      HEADER_SYMS, HEADER_USER_BYTES)
 
 __all__ = [
     "OfdmParams", "FrameProps", "make_ofdm_params", "default_props",
