@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 __all__ = ["available", "read_file", "write_file", "NativeReader",
-           "FORMAT_CF32", "FORMAT_SC16"]
+           "NativeWriter", "FORMAT_CF32", "FORMAT_SC16"]
 
 FORMAT_CF32 = 0
 FORMAT_SC16 = 1
@@ -58,6 +58,14 @@ def _load():
     lib.iq_write_file.restype = ctypes.c_int
     lib.iq_write_file.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                   ctypes.c_void_p, ctypes.c_size_t]
+    lib.iq_writer_open.restype = ctypes.c_void_p
+    lib.iq_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                   ctypes.c_size_t]
+    lib.iq_writer_push.restype = ctypes.c_int
+    lib.iq_writer_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_size_t]
+    lib.iq_writer_close.restype = ctypes.c_int
+    lib.iq_writer_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -135,3 +143,45 @@ class NativeReader:
         if self._h is not None:
             self._lib.iq_reader_close(self._h)
             self._h = None
+
+
+class NativeWriter:
+    """Background-thread block writer (the TX-side mirror of NativeReader).
+
+    ``push`` enqueues a block and returns immediately; a C++ worker thread
+    drains the bounded queue to disk (backpressure when full) — the
+    reference's TX-worker streaming decoupling at the file boundary."""
+
+    def __init__(self, path: str, fmt: int = FORMAT_CF32, depth: int = 8):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native iqstream library unavailable")
+        self._lib = lib
+        self._h = lib.iq_writer_open(path.encode(), fmt, depth)
+        if not self._h:
+            raise IOError(f"cannot open {path} for writing")
+
+    def push(self, samples: np.ndarray) -> None:
+        if self._h is None:
+            raise RuntimeError("writer closed")
+        samples = np.asarray(samples, dtype=np.complex64)
+        inter = np.empty(2 * samples.size, dtype=np.float32)
+        inter[0::2] = samples.real
+        inter[1::2] = samples.imag
+        rc = self._lib.iq_writer_push(
+            self._h, inter.ctypes.data_as(ctypes.c_void_p), samples.size)
+        if rc != 0:
+            raise IOError("iq_writer_push failed")
+
+    def close(self) -> None:
+        if self._h is not None:
+            rc = self._lib.iq_writer_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise IOError("write error on close")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -139,6 +140,96 @@ void iq_reader_close(void* h) {
   if (r->worker.joinable()) r->worker.join();
   fclose(r->f);
   delete r;
+}
+
+// ---- streaming double-buffered writer (TX-side mirror) ----
+
+namespace {
+
+struct Writer {
+  FILE* f = nullptr;
+  int format = 0;
+  std::deque<std::vector<float>> q;  // interleaved I/Q blocks
+  size_t depth = 8;
+  std::mutex mu;
+  std::condition_variable cv_space, cv_data;
+  std::thread worker;
+  bool closing = false;
+  bool error = false;
+
+  void drain_loop() {
+    std::vector<int16_t> tmp;
+    for (;;) {
+      std::vector<float> blk;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_data.wait(lk, [&] { return !q.empty() || closing; });
+        if (q.empty()) return;  // closing and drained
+        blk = std::move(q.front());
+        q.pop_front();
+        cv_space.notify_one();
+      }
+      size_t n = blk.size() / 2;
+      size_t put;
+      if (format == 0) {
+        put = fwrite(blk.data(), 2 * sizeof(float), n, f);
+      } else {
+        tmp.resize(blk.size());
+        for (size_t i = 0; i < blk.size(); i++) {
+          float v = blk[i] * kSc16Scale;
+          if (v > 32767.0f) v = 32767.0f;
+          if (v < -32768.0f) v = -32768.0f;
+          tmp[i] = static_cast<int16_t>(v);
+        }
+        put = fwrite(tmp.data(), 2 * sizeof(int16_t), n, f);
+      }
+      if (put != n) {
+        std::lock_guard<std::mutex> lk(mu);
+        error = true;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+// Background writer: push() enqueues a block and returns immediately (the
+// TX worker decoupling of the reference's sample streaming, bounded queue
+// applies backpressure); close() drains and reports any write error.
+void* iq_writer_open(const char* path, int format, size_t depth) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return nullptr;
+  auto* w = new Writer();
+  w->f = f;
+  w->format = format;
+  if (depth) w->depth = depth;
+  w->worker = std::thread([w] { w->drain_loop(); });
+  return w;
+}
+
+int iq_writer_push(void* h, const float* data, size_t n_samples) {
+  auto* w = static_cast<Writer*>(h);
+  std::unique_lock<std::mutex> lk(w->mu);
+  w->cv_space.wait(lk, [&] { return w->q.size() < w->depth || w->closing; });
+  if (w->closing) return -1;
+  w->q.emplace_back(data, data + 2 * n_samples);
+  w->cv_data.notify_one();
+  return w->error ? -1 : 0;
+}
+
+int iq_writer_close(void* h) {
+  auto* w = static_cast<Writer*>(h);
+  {
+    std::lock_guard<std::mutex> lk(w->mu);
+    w->closing = true;
+    w->cv_data.notify_all();
+    w->cv_space.notify_all();
+  }
+  if (w->worker.joinable()) w->worker.join();
+  fclose(w->f);
+  int rc = w->error ? -1 : 0;
+  delete w;
+  return rc;
 }
 
 // ---- one-shot bulk conversion / file I/O ----

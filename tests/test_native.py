@@ -47,3 +47,26 @@ def test_block_reader(tmp_path, lib_ok):
         got.append(blk)
     out = np.concatenate(got)
     np.testing.assert_array_equal(out, x)
+
+
+def test_native_writer_roundtrip(tmp_path):
+    """NativeWriter blocks drain through the background thread and the file
+    round-trips exactly (CF32) / within quantization (SC16)."""
+    from liquid_usrp_tpu.io import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-0.9, 0.9, 5000) +
+         1j * rng.uniform(-0.9, 0.9, 5000)).astype(np.complex64)
+    f32 = str(tmp_path / "w.cf32")
+    with native.NativeWriter(f32) as w:
+        for lo in range(0, len(x), 700):
+            w.push(x[lo:lo + 700])
+    back = native.read_file(f32)
+    np.testing.assert_array_equal(back, x)
+    s16 = str(tmp_path / "w.sc16")
+    with native.NativeWriter(s16, fmt=native.FORMAT_SC16) as w:
+        w.push(x)
+    back = native.read_file(s16, native.FORMAT_SC16)
+    np.testing.assert_allclose(back, x, atol=2.0 / 32767)
