@@ -274,7 +274,7 @@ def _bench_sync():
             iters * SCAN * sync.block_size / best, {"correct": False})
 
 
-def _healthy(timeout_s: float = 60.0) -> bool:
+def _healthy(timeout_s: float = 150.0) -> bool:
     """Fast tunnel-session health check: a tiny compute + fetch.
 
     Bad sessions fail UNIMPLEMENTED or hang on ANY fetch (ROUND2_NOTES);
