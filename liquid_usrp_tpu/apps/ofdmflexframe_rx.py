@@ -30,6 +30,9 @@ USAGE = """ofdmflexframe_rx -i in.iq [options]
   --snr/--cfo/--delay : virtual channel impairments
   --save-state/--load-state : checkpoint/resume the synchronizer state
           (bit-exact across invocations; split a stream anywhere)
+  --stream : block-streamed input via the native double-buffered reader
+          (constant memory for arbitrarily large files; virtual-channel
+          impairment flags are unsupported in this mode)
 """
 
 
@@ -61,7 +64,7 @@ def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
                           "hi:M:C:T:p:d:qv",
                           ["snr=", "cfo=", "delay=", "seed=",
-                           "save-state=", "load-state="])
+                           "save-state=", "load-state=", "stream"])
     if "h" in flags:
         print(USAGE)
         return 0
@@ -94,9 +97,15 @@ def main(argv=None) -> int:
 
     txrx = OfdmTxRx(M=M, cp_len=cp, taper_len=taper,
                     max_payload=max_payload, callback=callback)
-    stream = read_iq(path)
-    stream = apply_channel(stream, flags,
-                           signal_power=float(np.mean(np.abs(stream) ** 2)))
+    streaming = "stream" in flags
+    if streaming and any(k in flags for k in ("snr", "cfo", "delay")):
+        print("--stream does not compose with impairment flags")
+        return 1
+    if not streaming:
+        stream = read_iq(path)
+        stream = apply_channel(
+            stream, flags,
+            signal_power=float(np.mean(np.abs(stream) ** 2)))
     bs = txrx._sync.block_size
     if "load-state" in flags:
         from ..utils.checkpoint import load_state
@@ -110,8 +119,25 @@ def main(argv=None) -> int:
             : int(data["pending_len"])]
     t0 = time.time()
     txrx.start_rx()
-    # a resumed run continues mid-stream: only flush when not saving
-    txrx.run_rx(stream, flush="save-state" not in flags)
+    if streaming:
+        # native double-buffered reader + host prefetch thread: constant
+        # memory, device decode overlapped with file IO (the reference's
+        # RX-worker pipelining at the file boundary)
+        from ..io.native import available, NativeReader
+        from ..io.pipeline import BlockPrefetcher
+        bs = txrx._sync.block_size
+        if available():
+            source = NativeReader(path, bs)
+        else:
+            source = iter(np.array_split(
+                read_iq(path), max(1, len(read_iq(path)) // bs)))
+        for blk in BlockPrefetcher(source):
+            txrx.run_rx(blk)
+        if "save-state" not in flags:
+            txrx.run_rx(np.zeros(0, np.complex64), flush=True)
+    else:
+        # a resumed run continues mid-stream: only flush when not saving
+        txrx.run_rx(stream, flush="save-state" not in flags)
     runtime = time.time() - t0
     if "save-state" in flags:
         from ..utils.checkpoint import save_state
@@ -124,7 +150,7 @@ def main(argv=None) -> int:
                     "pending": jnp.asarray(padded),
                     "pending_len": jnp.int32(len(pend))})
         print("synchronizer state saved to %s" % flags["save-state"])
-    if "d" in flags:
+    if "d" in flags and not streaming:
         _dump_debug(flags["d"], txrx, stream)
     print("ofdmflexframe_rx results:")
     stats.report(runtime)
