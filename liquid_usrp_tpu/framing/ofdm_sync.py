@@ -212,11 +212,15 @@ def _window_gather(ext: jnp.ndarray, start: jnp.ndarray, length: int):
 
 
 def _equalized_symbols(sync: OfdmSync, w: jnp.ndarray, body_start: jnp.ndarray,
-                       H: jnp.ndarray, n_sym: int, first_abs_sym: int):
+                       H: jnp.ndarray, n_sym: int, first_abs_sym: int,
+                       n_valid_sym=None):
     """Demodulate ``n_sym`` OFDM symbols from derotated window ``w``.
 
     Returns equalized data-carrier values ``[n_sym, n_data]`` after pilot
-    common-phase and timing-slope correction.
+    common-phase and timing-slope correction.  ``n_valid_sym`` (traced)
+    marks how many leading symbols belong to THIS frame — the static
+    max-budget window may extend into the next burst, whose full-strength
+    pilots must not feed this frame's phase-trend fit.
     """
     p = sync.params
     M, cp = p.M, p.cp_len
@@ -234,8 +238,28 @@ def _equalized_symbols(sync: OfdmSync, w: jnp.ndarray, body_start: jnp.ndarray,
     sym_abs = first_abs_sym + jnp.arange(n_sym)
     pref = _pilot_values(p, sym_abs).astype(jnp.complex64)  # [n_sym, n_pilot]
     rot = Yeq[:, pil_idx] * jnp.conj(pref)               # ~ e^{j err}
-    # common phase
-    cpe = jnp.angle(jnp.sum(rot, axis=-1))               # [n_sym]
+    # common phase: the per-symbol estimate from ~6 pilots is noise
+    # limited (std ~ 1/sqrt(n_pilot*SNR)); the true CPE trend is linear in
+    # the symbol index (residual CFO), so fit a weighted line over the
+    # unwrapped per-symbol phases — ~sqrt(n_sym) lower phase noise
+    rsum = jnp.sum(rot, axis=-1)
+    cpe_raw = jnp.angle(rsum)                            # [n_sym]
+    dphi = jnp.mod(jnp.diff(cpe_raw) + np.pi, 2 * np.pi) - np.pi
+    cpe_u = jnp.concatenate([cpe_raw[:1],
+                             cpe_raw[0] + jnp.cumsum(dphi)])
+    wgt_s = jnp.abs(rsum)
+    t_i = jnp.arange(n_sym, dtype=jnp.float32)
+    if n_valid_sym is not None:
+        # hard-gate symbols beyond this frame out of the fit: the window
+        # tail may hold the NEXT burst's pilots (full strength, different
+        # phase reference) or clipped garbage
+        wgt_s = jnp.where(t_i < n_valid_sym, wgt_s, 0.0)
+    wgt_s = wgt_s + 1e-9
+    tbar = jnp.sum(wgt_s * t_i) / jnp.sum(wgt_s)
+    cbar = jnp.sum(wgt_s * cpe_u) / jnp.sum(wgt_s)
+    bnum = jnp.sum(wgt_s * (t_i - tbar) * (cpe_u - cbar))
+    bden = jnp.maximum(jnp.sum(wgt_s * (t_i - tbar) ** 2), 1e-6)
+    cpe = cbar + (bnum / bden) * (t_i - tbar)            # [n_sym]
     # timing slope across frequency (pilot freq positions, centered)
     f = jnp.asarray(np.where(p.pilot_idx > p.M // 2,
                              p.pilot_idx - p.M, p.pilot_idx),
@@ -338,9 +362,15 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     r = jnp.where(jnp.abs(r) > 0.2, r, 1.0)
 
     # payload constellation points (FEC decode happens batched outside
-    # the candidate vmap — see decode_payload_batch)
+    # the candidate vmap — see decode_payload_batch); the phase-trend fit
+    # must only see THIS frame's symbols, whose count follows from the
+    # decoded header
+    used_pts = payload_codec.payload_points_used(
+        sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1, check)
+    n_valid = jnp.clip(-(-used_pts // n_data), 1, sync.max_psym)
     pdata = _equalized_symbols(
-        sync, w, body + n_hsym * (M + cp), H, sync.max_psym, n_hsym)
+        sync, w, body + n_hsym * (M + cp), H, sync.max_psym, n_hsym,
+        n_valid_sym=jnp.where(hvalid, n_valid, sync.max_psym))
     pdata = pdata / r[None, :]
 
     # stats
@@ -355,22 +385,25 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
 # top-level block step
 # ---------------------------------------------------------------------------
 
-def _gated_decode(sync: OfdmSync, source: jnp.ndarray, gate, locs, c_at):
+def _gated_decode(sync: OfdmSync, source: jnp.ndarray, gate, locs, c_at,
+                  per_candidate_source: bool = False):
     """``lax.cond``-gated batched candidate decode against ``source``.
 
     RX streams are mostly idle noise, so the expensive refine/EQ/FEC graph
     only runs when anything was detected.  ``locs``/``c_at`` are flat
-    ``[R]`` offsets into ``source``; returns the 12-tuple of per-candidate
-    results (zeros when gated off).
+    ``[R]`` offsets into ``source``; with ``per_candidate_source`` the
+    source carries a leading ``[R]`` axis (one window per candidate).
+    Returns the 12-tuple of per-candidate results (zeros when gated off).
     """
     R = locs.shape[0]
+    src_axis = 0 if per_candidate_source else None
 
     def do_decode(args):
         locs_, c_at_ = args
         (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
          cfo) = jax.vmap(
-            lambda n0, ca: _decode_candidate(sync, source, n0, ca),
-            in_axes=(0, 0))(locs_, c_at_)
+            lambda src, n0, ca: _decode_candidate(sync, src, n0, ca),
+            in_axes=(src_axis, 0, 0))(source, locs_, c_at_)
         decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
                      else payload_codec.decode_payload_batch)
         payload, pvalid = decode_fn(
@@ -473,11 +506,17 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
         return d, locs, c[jnp.clip(locs, 0, c.shape[0] - 1)]
 
     detected, locs, c_at = jax.vmap(det)(exts)      # [n_blocks, K]
-    g0 = jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * bs + locs
 
+    # decode each candidate against its OWN block's extended window (the
+    # exact array the sequential path sees), so results — including any
+    # estimator that touches the beyond-frame garbage tail — stay
+    # bit-identical to scan-of-sync_block
+    blk_of = jnp.repeat(jnp.arange(n_blocks), K)
+    cand_ext = exts[blk_of]                         # [n_blocks*K, ov+bs]
     (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, evm,
-     cfo) = _gated_decode(sync, full, jnp.any(detected),
-                          g0.reshape(-1), c_at.reshape(-1))
+     cfo) = _gated_decode(sync, cand_ext, jnp.any(detected),
+                          locs.reshape(-1), c_at.reshape(-1),
+                          per_candidate_source=True)
 
     def rs(v):
         return v.reshape((n_blocks, K) + v.shape[1:])
