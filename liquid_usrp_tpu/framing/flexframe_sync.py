@@ -216,6 +216,17 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     data_pos, pilot_pos = slots_layout(sync.max_slots)
     pil_ref = jnp.asarray(p.pilot_pn[: len(pilot_pos)], dtype=jnp.complex64)
     rot = section[jnp.asarray(pilot_pos)] * jnp.conj(pil_ref)
+    # pilots beyond this frame's payload may belong to the NEXT burst
+    # (full strength, foreign phase): zero them before smoothing so they
+    # cannot leak into the last real segment's estimate
+    used_pts = payload_codec.payload_points_used(
+        sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1, check)
+    n_slots_used = used_pts + -(-used_pts // (PILOT_SPACING - 1))
+    seg_valid = jnp.where(hvalid,
+                          (n_slots_used + PILOT_SPACING - 1)
+                          // PILOT_SPACING,
+                          rot.shape[0])
+    rot = jnp.where(jnp.arange(rot.shape[0]) < seg_valid, rot, 0.0)
     # a single pilot per segment is decision-noise limited; averaging the
     # complex rotations of 3 adjacent pilots recovers ~2 dB (phase drift
     # across 3*16 symbols is small after CFO derotation)
