@@ -418,3 +418,28 @@ def test_batched_blocks_equal_sequential(setup):
     np.testing.assert_array_equal(np.asarray(state2.tail),
                                   np.asarray(st_seq.tail))
     assert int(state2.base) == int(st_seq.base)
+
+
+def test_back_to_back_frames(setup):
+    """Frames with (near) zero inter-frame gap: the static decode window
+    extends into the next burst, whose pilots must not corrupt this
+    frame's phase-trend fit (round-2 boundary-gate regression)."""
+    params, sync, step = setup
+    props = ofdm.FrameProps()
+    rng = np.random.default_rng(23)
+    pieces, truth = [], []
+    pieces.append(np.zeros(800, np.complex64))
+    for i in range(4):
+        h, p, s = _make_frame(params, props, 300 + i, 192)
+        pieces.append(s)
+        pieces.append(np.zeros(8, np.complex64))   # nearly contiguous
+        truth.append(p)
+    stream = np.concatenate(pieces)
+    stream = stream + (0.03 * (rng.normal(size=stream.shape) +
+                               1j * rng.normal(size=stream.shape))
+                       ).astype(np.complex64)
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 4
+    for f, want in zip(sorted(ok, key=lambda x: x["t"]), truth):
+        assert np.array_equal(f["payload"][:192], want)
