@@ -89,3 +89,44 @@ def test_virtual_air_frequency_mistuning():
     expected_cfo = 2 * np.pi * 200.0 / 500e3
     np.testing.assert_allclose(ok[0]["stats"]["cfo"], expected_cfo,
                                atol=5e-4)
+
+
+def test_run_rx_batched_dispatch_matches_per_block():
+    """run_rx with batch_blocks>1 (sync_blocks_batched dispatch) returns the
+    same frames as per-block stepping on a multi-frame stream spanning many
+    blocks."""
+    rng = np.random.default_rng(3)
+    tx = OfdmTxRx(max_payload=256, block_size=8192)
+    bursts = []
+    truth = []
+    for i in range(6):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        payload = rng.integers(0, 256, 96, dtype=np.uint8)
+        truth.append((header, payload))
+        bursts.append(tx.transmit_packet(header, payload))
+        bursts.append(np.zeros(3000, np.complex64))
+    tx.drain_tx()
+    air = np.concatenate(bursts)
+    air = air + (0.02 * (rng.normal(size=air.shape) +
+                         1j * rng.normal(size=air.shape))).astype(np.complex64)
+
+    def decode(batch_blocks, chunks):
+        rx = OfdmTxRx(max_payload=256, block_size=8192,
+                      batch_blocks=batch_blocks)
+        rx.start_rx()
+        frames = []
+        for lo in range(0, len(air), chunks):
+            frames += rx.run_rx(air[lo:lo + chunks])
+        frames += rx.run_rx(np.zeros(0, np.complex64), flush=True)
+        return [f for f in frames if f["payload_valid"]]
+
+    seq = decode(1, 40000)
+    bat = decode(4, 40000)
+    assert len(seq) == 6 and len(bat) == 6
+    for s, b in zip(seq, bat):
+        assert s["t"] == b["t"]
+        np.testing.assert_array_equal(s["payload"], b["payload"])
+        np.testing.assert_array_equal(s["header"], b["header"])
+        assert s["stats"] == b["stats"]
+    for (h, p), f in zip(truth, sorted(bat, key=lambda r: r["t"])):
+        np.testing.assert_array_equal(f["payload"], p)
