@@ -34,7 +34,8 @@ from .payload import (EXPANSION as _EXPANSION, HEADER_BPS, HEADER_MOD,
                       HEADER_SYMS)
 
 __all__ = ["FlexSync", "FlexSyncState", "make_flex_sync", "flex_sync_init",
-           "flex_sync_block", "make_flex_sync_step"]
+           "flex_sync_block", "make_flex_sync_step",
+           "flex_sync_blocks_batched"]
 
 
 class FlexSync(NamedTuple):
@@ -244,26 +245,37 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
             rssi, hevm, cfo)
 
 
-def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
-    """Process ``block_size`` samples -> (state', FlexResults)."""
+def _mf_and_detect(sync: FlexSync, ext: jnp.ndarray):
+    """Matched filter + preamble correlation + candidate extraction for one
+    extended block; returns ``(mf, metric, c1, c2, detected, locs)``."""
     p = sync.params
-    ext = jnp.concatenate([state.tail, block])
-    # matched filter (stateless on ext: overlap >> filter length)
     taps = jnp.asarray(p.taps)
     mf = jnp.convolve(ext, taps.astype(ext.dtype), mode="full")[
         len(p.taps) - 1:]
-    region = sync.block_size
-    win = sync.params.k * PREAMBLE_SYMS // 2
-    metric, c, c1, c2 = _preamble_corr(sync, mf, region + 2 * win + 1)
+    win = p.k * PREAMBLE_SYMS // 2
+    metric, c, c1, c2 = _preamble_corr(sync, mf, sync.block_size +
+                                       2 * win + 1)
     detected, locs = _find_candidates(sync, metric)
+    return mf, metric, c1, c2, detected, locs
 
-    K = sync.max_frames
 
-    def do_decode(locs_):
+def _gated_decode(sync: FlexSync, mf, metric, gate, locs, c1_at, c2_at,
+                  per_candidate_source: bool = False):
+    """``lax.cond``-gated batched candidate decode (see
+    ofdm_sync._gated_decode).  ``locs``/``c1_at``/``c2_at`` are flat
+    ``[R]``; with ``per_candidate_source`` the ``mf``/``metric`` arrays
+    carry a leading ``[R]`` axis (one per candidate)."""
+    R = locs.shape[0]
+    src_axis = 0 if per_candidate_source else None
+
+    def do_decode(args):
+        locs_, c1_, c2_ = args
         (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
          cfo) = jax.vmap(
-            lambda n0: _decode_candidate(sync, mf, metric, n0, c1[n0],
-                                         c2[n0]))(locs_)
+            lambda m, mt, n0, a1, a2: _decode_candidate(sync, m, mt, n0,
+                                                        a1, a2),
+            in_axes=(src_axis, src_axis, 0, 0, 0))(mf, metric, locs_,
+                                                   c1_, c2_)
         decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
                      else payload_codec.decode_payload_batch)
         payload, pvalid = decode_fn(
@@ -279,18 +291,28 @@ def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
         return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
                 rssi, evm, cfo)
 
-    def skip_decode(locs_):
+    def skip_decode(args):
         f32 = jnp.float32
-        return (jnp.zeros((K, 8), jnp.uint8),
-                jnp.zeros((K, sync.max_payload), jnp.uint8),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), bool),
-                jnp.zeros((K,), bool), jnp.zeros((K,), f32),
-                jnp.zeros((K,), f32), jnp.zeros((K,), f32))
+        return (jnp.zeros((R, 8), jnp.uint8),
+                jnp.zeros((R, sync.max_payload), jnp.uint8),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool),
+                jnp.zeros((R,), bool), jnp.zeros((R,), f32),
+                jnp.zeros((R,), f32), jnp.zeros((R,), f32))
+
+    return jax.lax.cond(gate, do_decode, skip_decode, (locs, c1_at, c2_at))
+
+
+def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
+    """Process ``block_size`` samples -> (state', FlexResults)."""
+    ext = jnp.concatenate([state.tail, block])
+    # matched filter (stateless on ext: overlap >> filter length)
+    mf, metric, c1, c2, detected, locs = _mf_and_detect(sync, ext)
 
     (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
-     cfo) = jax.lax.cond(jnp.any(detected), do_decode, skip_decode, locs)
+     cfo) = _gated_decode(sync, mf, metric, jnp.any(detected), locs,
+                          c1[locs], c2[locs])
 
     res = FlexResults(
         detected=detected,
@@ -313,3 +335,51 @@ def make_flex_sync_step(sync: FlexSync):
     def step(state, block):
         return flex_sync_block(sync, state, block)
     return step
+
+
+def flex_sync_blocks_batched(sync: FlexSync, state: FlexSyncState,
+                             blocks: jnp.ndarray):
+    """Multi-block batched dispatch: ``blocks [n_blocks, block_size]`` ->
+    ``(state', FlexResults with leading [n_blocks, max_frames])``.
+
+    Same construction as :func:`ofdm_sync.sync_blocks_batched`: the
+    matched-filter + detect front-end vmaps over strided stream windows
+    (each identical to what the sequential path sees), and every
+    candidate decodes against its own block's mf/metric arrays — results
+    are bit-identical to a scan of :func:`flex_sync_block`."""
+    n_blocks, bs = blocks.shape
+    assert bs == sync.block_size
+    K = sync.max_frames
+    full = jnp.concatenate([state.tail, blocks.reshape(-1)])
+    w_idx = (jnp.arange(n_blocks) * bs)[:, None] + \
+        jnp.arange(sync.overlap + bs)[None, :]
+    exts = full[w_idx]                              # [n_blocks, overlap+bs]
+
+    mf, metric, c1, c2, detected, locs = jax.vmap(
+        lambda e: _mf_and_detect(sync, e))(exts)
+
+    blk_of = jnp.repeat(jnp.arange(n_blocks), K)
+    locs_f = locs.reshape(-1)
+    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, hevm,
+     cfo) = _gated_decode(
+        sync, mf[blk_of], metric[blk_of], jnp.any(detected), locs_f,
+        c1[blk_of, locs_f], c2[blk_of, locs_f], per_candidate_source=True)
+
+    def rs(v):
+        return v.reshape((n_blocks, K) + v.shape[1:])
+
+    res = FlexResults(
+        detected=detected,
+        header_valid=detected & rs(hvalid),
+        payload_valid=detected & rs(pvalid),
+        header=rs(user), payload=rs(payload),
+        payload_len=jnp.where(detected, rs(plen), 0),
+        mod=rs(mod), fec0=rs(f0), fec1=rs(f1), check=rs(check),
+        rssi=rs(rssi), evm=rs(hevm), cfo=rs(cfo),
+        t_start=(state.base + jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
+                 * bs + locs.astype(jnp.int32)),
+    )
+    new_state = FlexSyncState(
+        tail=full[full.shape[0] - sync.overlap:],
+        base=state.base + jnp.int32(n_blocks * bs))
+    return new_state, res

@@ -132,3 +132,64 @@ def test_multiple_bursts(setup):
     for f, (p, payload) in zip(ok, sent):
         assert abs(f["t"] - p) <= 2
         np.testing.assert_array_equal(f["payload"], payload)
+
+
+def test_flex_batched_blocks_equal_sequential(setup):
+    """flex_sync_blocks_batched == scan of flex_sync_block: same
+    detections, payloads, and stats on a multi-frame stream."""
+    params, sync, step = setup
+    rng = np.random.default_rng(23)
+    pieces = []
+    truth = []
+    for i in range(5):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        payload = rng.integers(0, 256, 120 + 20 * i, dtype=np.uint8)
+        truth.append((header, payload))
+        pieces.append(np.zeros(int(rng.integers(300, 1500)), np.complex64))
+        pieces.append(np.asarray(ff.flex_assemble(
+            params, ff.default_props(), jnp.asarray(header),
+            jnp.asarray(payload))))
+    stream = np.concatenate(pieces)
+    n_blocks = -(-len(stream) // sync.block_size) + \
+        int(np.ceil(sync.overlap / sync.block_size)) + 1
+    stream = np.concatenate(
+        [stream, np.zeros(n_blocks * sync.block_size - len(stream),
+                          np.complex64)])
+    stream = stream + (0.01 * (
+        np.random.default_rng(9).normal(size=stream.shape) +
+        1j * np.random.default_rng(10).normal(size=stream.shape))
+    ).astype(np.complex64)
+
+    seq = _run(sync, step, stream)
+
+    state = ffs.flex_sync_init(sync)
+    blocks = jnp.asarray(stream.reshape(n_blocks, sync.block_size))
+    state2, res = ffs.flex_sync_blocks_batched(sync, state, blocks)
+    res = jax.tree.map(np.asarray, res)
+    bat = []
+    for b, k in zip(*np.nonzero(res.detected)):
+        bat.append({
+            "t": int(res.t_start[b, k]),
+            "header_valid": bool(res.header_valid[b, k]),
+            "payload_valid": bool(res.payload_valid[b, k]),
+            "payload": res.payload[b, k][: int(res.payload_len[b, k])],
+            "cfo": float(res.cfo[b, k]),
+            "evm": float(res.evm[b, k]),
+        })
+    bat = sorted(bat, key=lambda f: f["t"])
+    assert len(bat) == len(seq) == 5
+    for fb, fs in zip(bat, seq):
+        assert fb["t"] == fs["t"]
+        assert fb["payload_valid"] == fs["payload_valid"] is True
+        np.testing.assert_array_equal(fb["payload"], fs["payload"])
+        np.testing.assert_allclose(fb["cfo"], fs["cfo"], atol=1e-6)
+        np.testing.assert_allclose(fb["evm"], fs["evm"], atol=1e-3)
+    for (h, p), f in zip(truth, bat):
+        np.testing.assert_array_equal(f["payload"], p)
+    # carried state identical to the sequential run
+    st_seq = ffs.flex_sync_init(sync)
+    for b in range(n_blocks):
+        st_seq, _ = step(st_seq, blocks[b])
+    np.testing.assert_array_equal(np.asarray(state2.tail),
+                                  np.asarray(st_seq.tail))
+    assert int(state2.base) == int(st_seq.base)
