@@ -275,11 +275,15 @@ def _bench_sync():
 
 
 def _healthy(timeout_s: float = 150.0) -> bool:
-    """Fast tunnel-session health check: a tiny compute + fetch.
+    """Fast tunnel-session health check: a tiny compute + fetch AND a
+    jitted matmul compile.
 
-    Bad sessions fail UNIMPLEMENTED or hang on ANY fetch (ROUND2_NOTES);
-    detecting that in seconds lets the parent sample many more sessions
-    within its budget than burning the full per-child timeout.
+    Two observed bad-session modes (ROUND2_NOTES): (a) any fetch fails
+    UNIMPLEMENTED or hangs; (b) elementwise ops work but EVERY nontrivial
+    compile (matmul/conv/fft/gather) fails UNIMPLEMENTED — so the gate
+    must exercise the compile path, not just transport.  Detecting either
+    in seconds lets the parent sample many more sessions within its
+    budget than burning the full per-child timeout.
     """
     import threading
 
@@ -288,9 +292,12 @@ def _healthy(timeout_s: float = 150.0) -> bool:
 
     def probe():
         try:
+            import jax
             import jax.numpy as jnp
             v = np.asarray(jnp.ones(16) * 2.0)
-            ok.append(bool(v.sum() == 32.0))
+            m = np.asarray(jax.jit(
+                lambda: jnp.ones((128, 128)) @ jnp.ones((128, 128)))())
+            ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0))
         except Exception:
             ok.append(False)
 
@@ -326,7 +333,9 @@ def main() -> int:
     # parent: try pipelines in order, fresh subprocess per attempt (the TPU
     # tunnel backend is flaky per session: whole sessions fail UNIMPLEMENTED
     # or hang, independent of transfer size — retry until a healthy one)
-    attempts = [("mcrx_xl", 8), ("mcrx", 3), ("sync", 2)]
+    # bad sessions now fail the health gate in seconds (matmul probe), so
+    # a deeper retry budget is affordable even through a bad-tunnel stretch
+    attempts = [("mcrx_xl", 14), ("mcrx", 5), ("sync", 3)]
     for which, tries in attempts:
         for i in range(tries):
             env = dict(os.environ, _BENCH_CHILD=which)
