@@ -41,7 +41,7 @@ from .payload import EXPANSION as _EXPANSION
 __all__ = [
     "GmskParams", "make_gmsk_params", "gmsk_assemble", "gmsk_frame_length",
     "GmskSync", "make_gmsk_sync", "gmsk_sync_init", "gmsk_sync_block",
-    "make_gmsk_sync_step", "gmsk_default_props",
+    "make_gmsk_sync_step", "gmsk_sync_blocks_batched", "gmsk_default_props",
 ]
 
 PRE_BITS = 64
@@ -254,13 +254,13 @@ def _diff_phase(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1,), d.dtype), d])
 
 
-def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
-                    block: jnp.ndarray):
-    """Process ``block_size`` samples -> (state', FlexResults-like)."""
-    from .flexframe_sync import FlexResults
+def _front_end(sync: GmskSync, ext: jnp.ndarray):
+    """Laurent matched filter + differential-phase template correlation +
+    candidate extraction for one extended block; returns
+    ``(z, metric, detected, locs)``."""
+    from .ofdm_sync import topk_peaks
     p = sync.params
     k = p.k
-    ext = jnp.concatenate([state.tail, block])
     d = _diff_phase(ext)
     # coherent decode path: matched-filter the complex samples with the
     # empirical Laurent main pulse (the detection front-end stays on the
@@ -293,11 +293,23 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
     # detect region inset by the NMS radius (see ofdm_sync)
     score = jnp.where(is_peak & (idx >= win) & (idx < region + win),
                       metric, -1.0)
-    from .ofdm_sync import topk_peaks
     vals, locs = topk_peaks(score, sync.max_frames, 2 * win + 1)
-    detected = vals > 0
+    return z, metric, vals > 0, locs
 
-    def decode(n0):
+
+def _gated_decode(sync: GmskSync, z, metric, ext, gate, locs,
+                  per_candidate_source: bool = False):
+    """``lax.cond``-gated batched candidate decode (see
+    flexframe_sync._gated_decode).  With ``per_candidate_source`` the
+    ``z``/``metric``/``ext`` arrays carry a leading ``[R]`` axis (one row
+    per candidate in flat ``locs``)."""
+    p = sync.params
+    k = p.k
+    n_t = PRE_BITS + SYNC_BITS
+    R = locs.shape[0]
+    src_axis = 0 if per_candidate_source else None
+
+    def decode(z, metric, ext, n0):
         # fractional timing via parabolic fit
         m_m1 = metric[jnp.clip(n0 - 1, 0, metric.shape[0] - 1)]
         m_0 = metric[n0]
@@ -379,23 +391,23 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
         return (user, ppts, plen, mod_f, f0, f1, check, hvalid,
                 rssi, evm, cfo_rad)
 
-    K = sync.max_frames
-
     def skip_decode(locs_):
         f32 = jnp.float32
-        return (jnp.zeros((K, 8), jnp.uint8),
-                jnp.zeros((K, sync.max_payload), jnp.uint8),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32),
-                jnp.zeros((K,), jnp.int32), jnp.zeros((K,), bool),
-                jnp.zeros((K,), bool), jnp.zeros((K,), f32),
-                jnp.zeros((K,), f32), jnp.zeros((K,), f32))
+        return (jnp.zeros((R, 8), jnp.uint8),
+                jnp.zeros((R, sync.max_payload), jnp.uint8),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool),
+                jnp.zeros((R,), bool), jnp.zeros((R,), f32),
+                jnp.zeros((R,), f32), jnp.zeros((R,), f32))
 
     def do_decode(locs_):
         (user, ppts, plen, mod_f, f0, f1, check, hvalid, rssi, evm,
-         cfo) = jax.vmap(decode)(locs_)
+         cfo) = jax.vmap(
+            decode, in_axes=(src_axis, src_axis, src_axis, 0))(
+            z, metric, ext, locs_)
         # GMSK payload is 1 bit/symbol regardless of the header mod field
-        mod_bpsk = jnp.full((K,), modem_mod.MOD_BPSK, dtype=jnp.int32)
+        mod_bpsk = jnp.full((R,), modem_mod.MOD_BPSK, dtype=jnp.int32)
         decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
                      else payload_codec.decode_payload_batch)
         payload, pvalid = decode_fn(
@@ -404,8 +416,17 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
         return (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid,
                 rssi, evm, cfo)
 
+    return jax.lax.cond(gate, do_decode, skip_decode, locs)
+
+
+def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
+                    block: jnp.ndarray):
+    """Process ``block_size`` samples -> (state', FlexResults-like)."""
+    from .flexframe_sync import FlexResults
+    ext = jnp.concatenate([state.tail, block])
+    z, metric, detected, locs = _front_end(sync, ext)
     (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid, rssi, evm,
-     cfo) = jax.lax.cond(jnp.any(detected), do_decode, skip_decode, locs)
+     cfo) = _gated_decode(sync, z, metric, ext, jnp.any(detected), locs)
 
     res = FlexResults(
         detected=detected,
@@ -427,3 +448,52 @@ def make_gmsk_sync_step(sync: GmskSync):
     def step(state, block):
         return gmsk_sync_block(sync, state, block)
     return step
+
+
+def gmsk_sync_blocks_batched(sync: GmskSync, state: GmskSyncState,
+                             blocks: jnp.ndarray):
+    """Multi-block batched dispatch: ``blocks [n_blocks, block_size]`` ->
+    ``(state', FlexResults with leading [n_blocks, max_frames])``.
+
+    Same construction as :func:`flexframe_sync.flex_sync_blocks_batched`:
+    the MF + differential-template front-end vmaps over strided stream
+    windows and every candidate decodes against its own block's
+    ``z``/``metric``/``ext`` rows — bit-identical to a scan of
+    :func:`gmsk_sync_block`."""
+    from .flexframe_sync import FlexResults
+    n_blocks, bs = blocks.shape
+    assert bs == sync.block_size
+    K = sync.max_frames
+    full = jnp.concatenate([state.tail, blocks.reshape(-1)])
+    w_idx = (jnp.arange(n_blocks) * bs)[:, None] + \
+        jnp.arange(sync.overlap + bs)[None, :]
+    exts = full[w_idx]                              # [n_blocks, overlap+bs]
+
+    z, metric, detected, locs = jax.vmap(
+        lambda e: _front_end(sync, e))(exts)
+
+    blk_of = jnp.repeat(jnp.arange(n_blocks), K)
+    locs_f = locs.reshape(-1)
+    (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid, rssi, evm,
+     cfo) = _gated_decode(
+        sync, z[blk_of], metric[blk_of], exts[blk_of], jnp.any(detected),
+        locs_f, per_candidate_source=True)
+
+    def rs(v):
+        return v.reshape((n_blocks, K) + v.shape[1:])
+
+    res = FlexResults(
+        detected=detected,
+        header_valid=detected & rs(hvalid),
+        payload_valid=detected & rs(pvalid),
+        header=rs(user), payload=rs(payload),
+        payload_len=jnp.where(detected, rs(plen), 0),
+        mod=rs(mod_f), fec0=rs(f0), fec1=rs(f1), check=rs(check),
+        rssi=rs(rssi), evm=rs(evm), cfo=rs(cfo),
+        t_start=(state.base + jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
+                 * bs + locs.astype(jnp.int32)),
+    )
+    new_state = GmskSyncState(
+        tail=full[full.shape[0] - sync.overlap:],
+        base=state.base + jnp.int32(n_blocks * bs))
+    return new_state, res

@@ -90,3 +90,61 @@ def test_awgn_cfo_loopback(setup):
     assert len(ok) == 1, frames
     np.testing.assert_array_equal(ok[0]["payload"], payload)
     np.testing.assert_allclose(ok[0]["cfo"], 0.002, atol=2e-3)
+
+
+def test_gmsk_batched_blocks_equal_sequential(setup):
+    """gmsk_sync_blocks_batched == scan of gmsk_sync_block: same
+    detections, payloads, and stats on a multi-frame stream."""
+    params, sync, step = setup
+    rng = np.random.default_rng(7)
+    pieces = []
+    for i in range(4):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        payload = rng.integers(0, 256, 100 + 30 * i, dtype=np.uint8)
+        pieces.append(np.zeros(int(rng.integers(400, 1800)), np.complex64))
+        pieces.append(np.asarray(gf.gmsk_assemble(
+            params, gf.gmsk_default_props(), jnp.asarray(header),
+            jnp.asarray(payload))))
+    stream = np.concatenate(pieces)
+    n_blocks = -(-len(stream) // sync.block_size) + \
+        int(np.ceil(sync.overlap / sync.block_size)) + 1
+    stream = np.concatenate(
+        [stream, np.zeros(n_blocks * sync.block_size - len(stream),
+                          np.complex64)])
+    stream = stream + (0.02 * (
+        np.random.default_rng(8).normal(size=stream.shape) +
+        1j * np.random.default_rng(9).normal(size=stream.shape))
+    ).astype(np.complex64)
+
+    seq = _run(sync, step, stream)
+
+    state = gf.gmsk_sync_init(sync)
+    blocks = jnp.asarray(stream.reshape(n_blocks, sync.block_size))
+    state2, res = gf.gmsk_sync_blocks_batched(sync, state, blocks)
+    res = jax.tree.map(np.asarray, res)
+    bat = []
+    for b, k in zip(*np.nonzero(res.detected)):
+        bat.append({
+            "t": int(res.t_start[b, k]),
+            "header_valid": bool(res.header_valid[b, k]),
+            "payload_valid": bool(res.payload_valid[b, k]),
+            "header": res.header[b, k],
+            "payload": res.payload[b, k][: int(res.payload_len[b, k])],
+            "cfo": float(res.cfo[b, k]),
+        })
+    bat.sort(key=lambda f: f["t"])
+    assert len(bat) == len(seq) == 4
+    for a, c in zip(seq, bat):
+        assert a["t"] == c["t"]
+        assert a["header_valid"] == c["header_valid"]
+        assert a["payload_valid"] == c["payload_valid"]
+        np.testing.assert_array_equal(a["header"], c["header"])
+        np.testing.assert_array_equal(a["payload"], c["payload"])
+        np.testing.assert_allclose(a["cfo"], c["cfo"], atol=1e-6)
+    # carried state matches the sequential scan's
+    st_seq = gf.gmsk_sync_init(sync)
+    for b in range(n_blocks):
+        st_seq, _ = step(st_seq, blocks[b])
+    np.testing.assert_allclose(np.asarray(state2.tail),
+                               np.asarray(st_seq.tail), atol=1e-6)
+    assert int(state2.base) == int(st_seq.base)
