@@ -18,7 +18,49 @@ import numpy as np
 from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
 
-__all__ = ["parse_args", "print_usage_schemes", "RxStats", "apply_channel"]
+__all__ = ["parse_args", "print_usage_schemes", "RxStats", "apply_channel",
+           "iter_sync_results"]
+
+
+def iter_sync_results(step, init_state, stream, block_size: int,
+                      overlap: int, batched_fn=None, batch_blocks: int = 8):
+    """Drive a synchronizer over a whole stream; yield per-block results.
+
+    Pads ``stream`` with the flush tail (the carried overlap fully
+    drains), then yields one result tuple per block (leading axis
+    ``[max_frames]``) in stream order.  When ``batched_fn(state, blocks)``
+    is given, runs of ``batch_blocks`` full blocks dispatch as ONE fused
+    device call (the multi-block batched dispatch:
+    ``*_sync_blocks_batched``) with a single device->host results
+    transfer — replacing the reference's RX worker-thread pipelining
+    (SURVEY.md §3) with device-level batching; leftover blocks fall back
+    to the single-block ``step``.
+    """
+    import jax
+    import jax.numpy as jnp
+    bs = block_size
+    flush = int(np.ceil(overlap / bs)) + 1
+    total = (-(-len(stream) // bs) + flush) * bs
+    stream = np.concatenate(
+        [stream, np.zeros(total - len(stream), np.complex64)])
+    n_blocks = total // bs
+    state = init_state
+    bstep = (jax.jit(batched_fn)
+             if batched_fn is not None and batch_blocks > 1 else None)
+    b = 0
+    while b < n_blocks:
+        if bstep is not None and n_blocks - b >= batch_blocks:
+            chunk = stream[b * bs:(b + batch_blocks) * bs]
+            state, res = bstep(state,
+                               jnp.asarray(chunk.reshape(batch_blocks, bs)))
+            res_np = jax.device_get(res)
+            for j in range(batch_blocks):
+                yield type(res_np)(*(f[j] for f in res_np))
+            b += batch_blocks
+        else:
+            state, res = step(state, jnp.asarray(stream[b * bs:(b + 1) * bs]))
+            yield jax.device_get(res)
+            b += 1
 
 
 def parse_args(argv, optstring: str, long_opts=None):

@@ -19,7 +19,8 @@ from ..framing import flexframe as ff
 from ..framing import flexframe_sync as ffs
 from ..io.streams import read_iq
 from ..ops import resamp as resamp_mod
-from .common import RxStats, apply_channel, parse_args
+from .common import (RxStats, apply_channel, iter_sync_results,
+                     parse_args)
 
 USAGE = """packet_rx -i in.iq [options]
   h : usage              i : input IQ file (required)
@@ -61,17 +62,14 @@ def main(argv=None) -> int:
                               max_payload=ff.FRAME64_PAYLOAD,
                               max_frames=4)
     step = ffs.make_flex_sync_step(sync)
-    state = ffs.flex_sync_init(sync)
     stats = RxStats()
     foreign = 0
-    bs = sync.block_size
-    flush = int(np.ceil(sync.overlap / bs)) + 1
-    total = (-(-len(stream) // bs) + flush) * bs
-    stream = np.concatenate(
-        [stream, np.zeros(total - len(stream), np.complex64)])
     t0 = time.time()
-    for b in range(total // bs):
-        state, res = step(state, jnp.asarray(stream[b * bs:(b + 1) * bs]))
+    for res in iter_sync_results(
+            step, ffs.flex_sync_init(sync), stream, sync.block_size,
+            sync.overlap,
+            batched_fn=lambda st, blks: ffs.flex_sync_blocks_batched(
+                sync, st, blks)):
         for i in np.nonzero(np.asarray(res.detected))[0]:
             hv = bool(res.header_valid[i])
             # Frame64 contract: the fixed format admits exactly one

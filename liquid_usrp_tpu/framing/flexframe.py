@@ -129,7 +129,11 @@ def flex_assemble(params: FlexParams, props: FrameProps,
     section = jnp.zeros((n_slots,), dtype=jnp.complex64)
     section = section.at[jnp.asarray(data_pos[:psyms.shape[-1]])].set(
         psyms[: len(data_pos)])
-    pil = jnp.asarray(params.pilot_pn[: len(pilot_pos)], dtype=jnp.complex64)
+    # periodic pilot PN (indexed by pilot ordinal mod table length — long
+    # low-rate frames need more pilots than the table holds; matches the
+    # OFDM convention, ofdm.py symbol-PN modulo)
+    pil = jnp.asarray(params.pilot_pn, dtype=jnp.complex64)[
+        np.arange(len(pilot_pos)) % len(params.pilot_pn)]
     section = section.at[jnp.asarray(pilot_pos)].set(pil)
 
     syms = jnp.concatenate([

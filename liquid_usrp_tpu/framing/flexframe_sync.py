@@ -215,7 +215,9 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     # payload section with per-pilot-segment phase correction
     section = syms[PREAMBLE_SYMS + HEADER_SYMS:]
     data_pos, pilot_pos = slots_layout(sync.max_slots)
-    pil_ref = jnp.asarray(p.pilot_pn[: len(pilot_pos)], dtype=jnp.complex64)
+    # periodic pilot PN by ordinal (mirrors flex_assemble)
+    pil_ref = jnp.asarray(p.pilot_pn, dtype=jnp.complex64)[
+        np.arange(len(pilot_pos)) % len(p.pilot_pn)]
     rot = section[jnp.asarray(pilot_pos)] * jnp.conj(pil_ref)
     # pilots beyond this frame's payload may belong to the NEXT burst
     # (full strength, foreign phase): zero them before smoothing so they

@@ -193,3 +193,33 @@ def test_flex_batched_blocks_equal_sequential(setup):
     np.testing.assert_array_equal(np.asarray(state2.tail),
                                   np.asarray(st_seq.tail))
     assert int(state2.base) == int(st_seq.base)
+
+
+def test_long_bpsk_frame_wraps_pilot_table():
+    """A low-rate frame needing more pilots than the PN table holds
+    (>1024) assembles and decodes payload-exact — the pilot reference is
+    periodic by ordinal (regression: table slice used to truncate and
+    break broadcasting at app-default max_payload=2048)."""
+    from liquid_usrp_tpu.ops import crc as crc_mod
+    from liquid_usrp_tpu.ops import fec as fec_mod
+    from liquid_usrp_tpu.ops import modem as modem_mod
+    params = ff.make_flex_params(k=2, m=7, beta=0.3)
+    props = ff.FrameProps(check=crc_mod.CRC_32, fec0=fec_mod.FEC_NONE,
+                          fec1=fec_mod.FEC_NONE, mod=modem_mod.MOD_BPSK)
+    payload_len = 2000
+    assert len(ff.slots_layout(
+        ff.n_payload_slots(props, payload_len))[1]) > 1024
+    rng = np.random.default_rng(77)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, payload_len, dtype=np.uint8)
+    burst = np.asarray(ff.flex_assemble(
+        params, props, jnp.asarray(header), jnp.asarray(payload)))
+    sync = ffs.make_flex_sync(params, block_size=8192, max_payload=2048,
+                              max_frames=2)
+    step = ffs.make_flex_sync_step(sync)
+    stream = np.zeros(1500 + len(burst) + 500, np.complex64)
+    stream[1500:1500 + len(burst)] = burst
+    frames = _run(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1
+    np.testing.assert_array_equal(ok[0]["payload"], payload)
