@@ -117,13 +117,19 @@ def _expected_fingerprints(payloads, weights, max_payload):
     return counts, fps
 
 
-def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
-    """Full pipeline: NCO -> 2N-bin PFB -> vmapped N-channel OFDM sync."""
+def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1):
+    """Full pipeline: NCO -> 2N-bin PFB -> vmapped N-channel OFDM sync.
+
+    ``batched_blocks > 1`` uses the multi-block batched dispatch
+    (``make_mcrx_batched_step``): the detect front-end vmaps over blocks
+    AND channels in one fused device call per chunk.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
     from liquid_usrp_tpu.framing import ofdm, ofdm_sync
-    from liquid_usrp_tpu.models.multichannel import make_mcrx_step
+    from liquid_usrp_tpu.models.multichannel import (make_mcrx_batched_step,
+                                                     make_mcrx_step)
 
     N = 4
     params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
@@ -134,8 +140,12 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     sync = ofdm_sync.make_sync(params, block_size=block_size,
                                max_payload=512, max_frames=max_frames,
                                use_pallas=False)
-    init_state, step = make_mcrx_step(N, params, sync)
-    g = 2 * N * sync.block_size
+    if batched_blocks > 1:
+        init_state, step = make_mcrx_batched_step(N, params, sync,
+                                                  batched_blocks)
+    else:
+        init_state, step = make_mcrx_step(N, params, sync)
+    g = 2 * N * sync.block_size * batched_blocks
     SCAN = scan
     # order-independent device-side payload fingerprints: the correctness
     # check reduces to [N] uint32 sums ON CHIP, so the flaky tunnel only
@@ -149,12 +159,12 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
 
         def body(st, x):
             st, res = step(st, x)
-            ok = res.payload_valid                       # [N, K]
-            row_fp = jnp.sum(
-                res.payload.astype(jnp.uint32) * w[None, None, :],
-                axis=-1)                                 # [N, K] (wraps)
-            fp = jnp.sum(jnp.where(ok, row_fp, 0), axis=-1)
-            cnt = jnp.sum(ok, axis=-1).astype(jnp.int32)
+            ok = res.payload_valid           # [N, K] or [N, nb, K]
+            row_fp = jnp.sum(res.payload.astype(jnp.uint32) * w,
+                             axis=-1)                    # (wraps mod 2^32)
+            red = tuple(range(1, ok.ndim))
+            fp = jnp.sum(jnp.where(ok, row_fp, 0), axis=red)
+            cnt = jnp.sum(ok, axis=red).astype(jnp.int32)
             return st, (cnt, fp)
         return jax.lax.scan(body, state, blocks)
 
@@ -166,7 +176,8 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     props = ofdm.default_props()
     margin = sync.overlap + 8 * params.M
     mixture, payloads = _build_loaded_mixture(
-        N, params, props, 400, SCAN * sync.block_size, margin, rng)
+        N, params, props, 400, SCAN * sync.block_size * batched_blocks,
+        margin, rng)
     noise = (rng.normal(size=mixture.shape) +
              1j * rng.normal(size=mixture.shape)).astype(np.complex64)
     blocks = jnp.asarray((mixture + 0.01 * noise).reshape(SCAN, g))
@@ -190,7 +201,8 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2):
     fp64 = np.asarray(fp1).astype(np.uint64).sum(0)
     # flush until the carried overlap has fully drained (frames near the
     # stream end decode up to overlap/block_size blocks late)
-    n_flush = -(-(sync.overlap // sync.block_size + 1) // SCAN)
+    n_flush = -(-(sync.overlap // sync.block_size + 1)
+                // (SCAN * batched_blocks))
     for _ in range(n_flush):
         s2, (cnt2, fp2) = exe(s2, flush)
         cnt = cnt + np.asarray(cnt2).sum(0)
@@ -307,10 +319,35 @@ def _healthy(timeout_s: float = 150.0) -> bool:
     return bool(ok and ok[0])
 
 
+def _bench_best():
+    """Scan-of-131k-blocks vs batched 4x32k dispatch: report the faster.
+
+    Each variant is isolated so an on-chip failure in one (e.g. a compile
+    regression in the batched path) cannot sink the other.
+    """
+    results = []
+    for kwargs, tag in [
+        (dict(block_size=131072, max_frames=48, scan=1), "scan"),
+        (dict(block_size=32768, max_frames=48, scan=1, batched_blocks=4),
+         "batched"),
+    ]:
+        try:
+            metric, sps, extra = _bench_mcrx(**kwargs)
+            extra["dispatch"] = tag
+            results.append((metric, sps, extra))
+        except Exception as e:  # noqa: BLE001 — variant isolation
+            print(f"variant {tag} failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr, flush=True)
+    if not results:
+        raise RuntimeError("both dispatch variants failed")
+    return max(results, key=lambda r: r[1])
+
+
 def _child(which: str) -> int:
     if not _healthy():
         os._exit(3)                    # bad session: fail fast, retry
     fn = {
+        "best": _bench_best,
         "mcrx_xl": lambda: _bench_mcrx(131072, 48, 1),
         "mcrx": _bench_mcrx,
         "sync": _bench_sync,
@@ -335,14 +372,15 @@ def main() -> int:
     # or hang, independent of transfer size — retry until a healthy one)
     # bad sessions now fail the health gate in seconds (matmul probe), so
     # a deeper retry budget is affordable even through a bad-tunnel stretch
-    attempts = [("mcrx_xl", 14), ("mcrx", 5), ("sync", 3)]
+    attempts = [("best", 12), ("mcrx_xl", 5), ("mcrx", 4), ("sync", 3)]
     for which, tries in attempts:
         for i in range(tries):
             env = dict(os.environ, _BENCH_CHILD=which)
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
-                    env=env, capture_output=True, text=True, timeout=700)
+                    env=env, capture_output=True, text=True,
+                    timeout=1000 if which == "best" else 700)
             except subprocess.TimeoutExpired:
                 continue
             for line in out.stdout.splitlines():
