@@ -49,7 +49,7 @@ PAYLOAD_FECS = (
 # sync).  Must stay an id-ordered prefix of the scheme enum.
 PAYLOAD_FECS_FULL = PAYLOAD_FECS + (fec_mod.FEC_CONV_V27,
                                     fec_mod.FEC_CONV_V29, fec_mod.FEC_RS8)
-PAYLOAD_MODS = tuple(range(17))     # every modem scheme id
+PAYLOAD_MODS = tuple(range(42))     # every modem scheme id
 EXPANSION = 3                       # worst supported FEC expansion budget
 _MAX_CONST = 256
 # differential schemes (dpsk2/4/8): symbols ride phase *increments*, with

@@ -30,11 +30,22 @@ __all__ = [
     "MOD_ASK2", "MOD_ASK4", "MOD_ASK8",
     "MOD_QAM16", "MOD_QAM32", "MOD_QAM64", "MOD_QAM128", "MOD_QAM256",
     "MOD_APSK16", "MOD_APSK32",
+    "MOD_PSK2", "MOD_PSK4", "MOD_PSK32", "MOD_PSK64", "MOD_PSK128",
+    "MOD_PSK256",
+    "MOD_DPSK16", "MOD_DPSK32", "MOD_DPSK64", "MOD_DPSK128", "MOD_DPSK256",
+    "MOD_ASK16", "MOD_ASK32", "MOD_ASK64", "MOD_ASK128", "MOD_ASK256",
+    "MOD_QAM4", "MOD_QAM8",
+    "MOD_APSK4", "MOD_APSK8", "MOD_APSK64", "MOD_APSK128", "MOD_APSK256",
+    "MOD_OOK", "MOD_V29",
     "mod_names", "mod_from_name", "mod_name",
     "bits_per_symbol", "constellation", "modulate", "demodulate",
     "demodulate_soft",
 ]
 
+# scheme ids 0-16 are the original compact set; 17+ extend to the full
+# liquid string-parser surface (PSK/DPSK/ASK/QAM/APSK power-of-two
+# ladders + ook/V29).  Ids are wire format (the frame header's mod
+# field) — append only, never renumber.
 MOD_BPSK = 0
 MOD_QPSK = 1
 MOD_PSK8 = 2
@@ -52,6 +63,31 @@ MOD_QAM128 = 13
 MOD_QAM256 = 14
 MOD_APSK16 = 15
 MOD_APSK32 = 16
+MOD_PSK2 = 17
+MOD_PSK4 = 18
+MOD_PSK32 = 19
+MOD_PSK64 = 20
+MOD_PSK128 = 21
+MOD_PSK256 = 22
+MOD_DPSK16 = 23
+MOD_DPSK32 = 24
+MOD_DPSK64 = 25
+MOD_DPSK128 = 26
+MOD_DPSK256 = 27
+MOD_ASK16 = 28
+MOD_ASK32 = 29
+MOD_ASK64 = 30
+MOD_ASK128 = 31
+MOD_ASK256 = 32
+MOD_QAM4 = 33
+MOD_QAM8 = 34
+MOD_APSK4 = 35
+MOD_APSK8 = 36
+MOD_APSK64 = 37
+MOD_APSK128 = 38
+MOD_APSK256 = 39
+MOD_OOK = 40
+MOD_V29 = 41
 
 _NAMES = {
     MOD_BPSK: "bpsk", MOD_QPSK: "qpsk", MOD_PSK8: "psk8", MOD_PSK16: "psk16",
@@ -60,6 +96,16 @@ _NAMES = {
     MOD_QAM16: "qam16", MOD_QAM32: "qam32", MOD_QAM64: "qam64",
     MOD_QAM128: "qam128", MOD_QAM256: "qam256",
     MOD_APSK16: "apsk16", MOD_APSK32: "apsk32",
+    MOD_PSK2: "psk2", MOD_PSK4: "psk4", MOD_PSK32: "psk32",
+    MOD_PSK64: "psk64", MOD_PSK128: "psk128", MOD_PSK256: "psk256",
+    MOD_DPSK16: "dpsk16", MOD_DPSK32: "dpsk32", MOD_DPSK64: "dpsk64",
+    MOD_DPSK128: "dpsk128", MOD_DPSK256: "dpsk256",
+    MOD_ASK16: "ask16", MOD_ASK32: "ask32", MOD_ASK64: "ask64",
+    MOD_ASK128: "ask128", MOD_ASK256: "ask256",
+    MOD_QAM4: "qam4", MOD_QAM8: "qam8",
+    MOD_APSK4: "apsk4", MOD_APSK8: "apsk8", MOD_APSK64: "apsk64",
+    MOD_APSK128: "apsk128", MOD_APSK256: "apsk256",
+    MOD_OOK: "ook", MOD_V29: "v29",
 }
 _BY_NAME = {v: k for k, v in _NAMES.items()}
 
@@ -69,6 +115,15 @@ _BPS = {
     MOD_ASK2: 1, MOD_ASK4: 2, MOD_ASK8: 3,
     MOD_QAM16: 4, MOD_QAM32: 5, MOD_QAM64: 6, MOD_QAM128: 7, MOD_QAM256: 8,
     MOD_APSK16: 4, MOD_APSK32: 5,
+    MOD_PSK2: 1, MOD_PSK4: 2, MOD_PSK32: 5, MOD_PSK64: 6, MOD_PSK128: 7,
+    MOD_PSK256: 8,
+    MOD_DPSK16: 4, MOD_DPSK32: 5, MOD_DPSK64: 6, MOD_DPSK128: 7,
+    MOD_DPSK256: 8,
+    MOD_ASK16: 4, MOD_ASK32: 5, MOD_ASK64: 6, MOD_ASK128: 7, MOD_ASK256: 8,
+    MOD_QAM4: 2, MOD_QAM8: 3,
+    MOD_APSK4: 2, MOD_APSK8: 3, MOD_APSK64: 6, MOD_APSK128: 7,
+    MOD_APSK256: 8,
+    MOD_OOK: 1, MOD_V29: 4,
 }
 
 
@@ -104,10 +159,12 @@ def _inv_gray_perm(bps: int) -> np.ndarray:
     return perm
 
 
-def _psk(bps: int) -> np.ndarray:
+def _psk(bps: int, offset: float | None = None) -> np.ndarray:
     M = 1 << bps
     idx = _inv_gray_perm(bps)  # symbol -> angular position (gray coded)
-    ang = 2 * np.pi * idx / M + (np.pi / 4 if bps == 2 else 0.0)
+    if offset is None:
+        offset = np.pi / 4 if bps == 2 else 0.0
+    ang = 2 * np.pi * idx / M + offset
     return np.exp(1j * ang)
 
 
@@ -148,42 +205,87 @@ def _apsk(rings: list[tuple[int, float, float]], bps: int) -> np.ndarray:
     return c[_inv_gray_perm(bps).argsort()]
 
 
+def _v29() -> np.ndarray:
+    """ITU-T V.29 16-point constellation (public standard): axis points at
+    amplitudes 3 and 5, diagonal points at (+-1,+-1) and (+-3,+-3)."""
+    pts = []
+    for a in (3.0, 5.0):
+        pts += [a, -a, 1j * a, -1j * a]
+    for a in (1.0, 3.0):
+        pts += [a + 1j * a, -a + 1j * a, -a - 1j * a, a - 1j * a]
+    c = np.array(pts, dtype=np.complex128)
+    return c / np.sqrt(np.mean(np.abs(c) ** 2))
+
+
+# APSK ring layouts (points per ring); radii rise linearly and the whole
+# constellation is unit-energy normalized.  Ring structure matches the
+# liquid scheme family surface (apsk4..apsk256).
+_APSK_RINGS = {
+    MOD_APSK4: (1, 3),
+    MOD_APSK8: (1, 7),
+    MOD_APSK16: (4, 12),
+    MOD_APSK32: (4, 12, 16),
+    MOD_APSK64: (4, 14, 20, 26),
+    MOD_APSK128: (8, 18, 24, 36, 42),
+    MOD_APSK256: (6, 18, 32, 36, 46, 54, 64),
+}
+
+
+def _apsk_scheme(scheme: int, bps: int) -> np.ndarray:
+    rings = _APSK_RINGS[scheme]
+    spec = []
+    for i, npts in enumerate(rings):
+        rad = 0.0 if npts == 1 else (i + 1.0)
+        ph0 = np.pi / npts if i % 2 == 0 and npts > 1 else 0.0
+        spec.append((npts, rad, ph0))
+    return _apsk(spec, bps)
+
+
 @functools.lru_cache(maxsize=None)
 def _table_np(scheme: int) -> np.ndarray:
-    if scheme in (MOD_BPSK, MOD_DPSK2):
+    if scheme in (MOD_BPSK, MOD_DPSK2, MOD_PSK2):
         return np.array([1.0 + 0j, -1.0 + 0j])
     if scheme in (MOD_QPSK, MOD_DPSK4):
         return _psk(2)
+    if scheme == MOD_PSK4:
+        return _psk(2, offset=0.0)
     if scheme in (MOD_PSK8, MOD_DPSK8):
         return _psk(3)
-    if scheme == MOD_PSK16:
+    if scheme in (MOD_PSK16, MOD_DPSK16):
         return _psk(4)
-    if scheme == MOD_ASK2:
-        return _ask(1)
-    if scheme == MOD_ASK4:
-        return _ask(2)
-    if scheme == MOD_ASK8:
-        return _ask(3)
-    if scheme == MOD_QAM16:
-        return _qam(4)
-    if scheme == MOD_QAM32:
-        return _qam(5)
-    if scheme == MOD_QAM64:
-        return _qam(6)
-    if scheme == MOD_QAM128:
-        return _qam(7)
-    if scheme == MOD_QAM256:
-        return _qam(8)
+    if scheme in (MOD_PSK32, MOD_DPSK32):
+        return _psk(5)
+    if scheme in (MOD_PSK64, MOD_DPSK64):
+        return _psk(6)
+    if scheme in (MOD_PSK128, MOD_DPSK128):
+        return _psk(7)
+    if scheme in (MOD_PSK256, MOD_DPSK256):
+        return _psk(8)
+    if scheme == MOD_OOK:
+        return np.array([np.sqrt(2.0) + 0j, 0.0 + 0j])
+    if scheme == MOD_V29:
+        return _v29()
+    ask_bps = {MOD_ASK2: 1, MOD_ASK4: 2, MOD_ASK8: 3, MOD_ASK16: 4,
+               MOD_ASK32: 5, MOD_ASK64: 6, MOD_ASK128: 7, MOD_ASK256: 8}
+    if scheme in ask_bps:
+        return _ask(ask_bps[scheme])
+    qam_bps = {MOD_QAM4: 2, MOD_QAM8: 3, MOD_QAM16: 4, MOD_QAM32: 5,
+               MOD_QAM64: 6, MOD_QAM128: 7, MOD_QAM256: 8}
+    if scheme in qam_bps:
+        return _qam(qam_bps[scheme])
     if scheme == MOD_APSK16:
         return _apsk([(4, 0.5, np.pi / 4), (12, 1.2, 0.0)], 4)
     if scheme == MOD_APSK32:
         return _apsk([(4, 0.35, np.pi / 4), (12, 0.85, 0.0),
                       (16, 1.3, np.pi / 16)], 5)
+    if scheme in _APSK_RINGS:
+        return _apsk_scheme(scheme, _BPS[scheme])
     raise ValueError(f"unknown modulation scheme {scheme}")
 
 
 def is_differential(scheme: int) -> bool:
-    return scheme in (MOD_DPSK2, MOD_DPSK4, MOD_DPSK8)
+    return scheme in (MOD_DPSK2, MOD_DPSK4, MOD_DPSK8, MOD_DPSK16,
+                      MOD_DPSK32, MOD_DPSK64, MOD_DPSK128, MOD_DPSK256)
 
 
 def constellation(scheme: int) -> jnp.ndarray:

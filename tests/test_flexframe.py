@@ -223,3 +223,31 @@ def test_long_bpsk_frame_wraps_pilot_table():
     ok = [f for f in frames if f["payload_valid"]]
     assert len(ok) == 1
     np.testing.assert_array_equal(ok[0]["payload"], payload)
+
+
+@pytest.mark.parametrize("mod_name", ["psk256", "apsk64", "v29", "ook",
+                                      "ask16", "qam8"])
+def test_extended_scheme_frame_loopback(setup, mod_name):
+    """Extended modem ladder (liquid string-parser surface) round-trips
+    through a flexframe payload at high SNR."""
+    from liquid_usrp_tpu.ops import crc as crc_mod
+    from liquid_usrp_tpu.ops import fec as fec_mod
+    from liquid_usrp_tpu.ops import modem as modem_mod
+    params, sync, step = setup
+    props = ff.FrameProps(check=crc_mod.CRC_32, fec0=fec_mod.FEC_NONE,
+                          fec1=fec_mod.FEC_HAMMING74,
+                          mod=modem_mod.mod_from_name(mod_name))
+    rng = np.random.default_rng(hash(mod_name) % 2**31)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 96, dtype=np.uint8)
+    burst = np.asarray(ff.flex_assemble(
+        params, props, jnp.asarray(header), jnp.asarray(payload)))
+    stream = np.zeros(1200 + len(burst) + 400, np.complex64)
+    stream[1200:1200 + len(burst)] = burst
+    stream += (0.003 * (np.random.default_rng(5).normal(
+        size=stream.shape) + 1j * np.random.default_rng(6).normal(
+        size=stream.shape))).astype(np.complex64)
+    frames = _run(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, (mod_name, frames)
+    np.testing.assert_array_equal(ok[0]["payload"], payload)
