@@ -392,8 +392,14 @@ def main() -> int:
                 time.sleep(10)   # bad session detected fast: quick resample
             else:
                 time.sleep(20)   # give the tunnel a beat
-    print(json.dumps({"metric": "mcrx_iq_throughput", "value": 0.0,
-                      "unit": "samples/s/chip", "vs_baseline": 0.0}))
+    print(json.dumps({
+        "metric": "mcrx_iq_throughput", "value": 0.0,
+        "unit": "samples/s/chip", "vs_baseline": 0.0, "correct": False,
+        "error": ("no healthy TPU tunnel session in any attempt — "
+                  "observed outage mode: every fresh nontrivial compile "
+                  "fails UNIMPLEMENTED while elementwise/cached shapes "
+                  "pass (ROUND2_NOTES.md); last good measurement: "
+                  "README.md perf section")}))
     return 1
 
 
