@@ -44,6 +44,11 @@ from .payload import (EXPANSION as _EXPANSION, HEADER_BPS as _HEADER_BPS,
                       PAYLOAD_FECS, PAYLOAD_MODS)
 from .ofdm import (NUM_S0, OfdmParams, _pilot_values, header_symbol_count)
 
+# payload symbols feeding the decision-directed second-pass channel
+# re-estimation (caps the extra |x-c|^2 table pass; 64 symbols already
+# push the per-carrier observation count far past the EQ-noise knee)
+_DD_SYMS = 64
+
 __all__ = ["OfdmSync", "OfdmSyncState", "FrameResults", "make_sync",
            "sync_init", "sync_block", "PAYLOAD_FECS", "PAYLOAD_MODS"]
 
@@ -372,6 +377,33 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
         sync, w, body + n_hsym * (M + cp), H, sync.max_psym, n_hsym,
         n_valid_sym=jnp.where(hvalid, n_valid, sync.max_psym))
     pdata = pdata / r[None, :]
+
+    # payload decision-directed re-estimation (second pass): first-pass
+    # decisions over up to _DD_SYMS payload symbols add far more
+    # per-carrier observations than S1 + header alone (the remaining
+    # EQ-noise penalty shrinks ~1/n_obs).  Decisions use the
+    # header-advertised scheme via the shared stacked tables (padded
+    # entries sit at 1e6 so argmin never picks them); observations are
+    # weighted by decision energy (zero-energy points — OOK off — carry
+    # no information) and masked to THIS frame's points; the whole
+    # correction is gated on header validity.
+    if sync.max_psym > 0:
+        dd_syms = min(_DD_SYMS, sync.max_psym)
+        tab = jnp.asarray(payload_codec._stacked_tables())[mod]
+        sub = pdata[:dd_syms]                            # [dd, n_data]
+        d2 = jnp.abs(sub[..., None] - tab) ** 2
+        dec = tab[jnp.argmin(d2, axis=-1)]               # [dd, n_data]
+        pt_i = (jnp.arange(dd_syms)[:, None] * n_data +
+                jnp.arange(n_data)[None, :])
+        wgt = ((pt_i < used_pts) & hvalid).astype(jnp.float32) * \
+            jnp.abs(dec) ** 2
+        num = jnp.sum(sub * jnp.conj(dec) * wgt, axis=0)
+        den = jnp.sum(jnp.abs(dec) ** 2 * wgt, axis=0)
+        # blend with the unit prior in proportion to the observation
+        # mass so sparse carriers stay put
+        r2 = (num + 1.0) / (den + 1.0)
+        r2 = jnp.where(jnp.abs(r2) > 0.2, r2, 1.0)
+        pdata = pdata / r2[None, :]
 
     # stats
     pre = _window_gather(ext, n0, NUM_S0 * M)

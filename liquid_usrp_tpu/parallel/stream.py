@@ -33,13 +33,32 @@ __all__ = ["make_time_sharded_sync", "make_sharded_mcrx",
            "make_sharded_mcrx_a2a", "sharded_mcrx"]
 
 
+def _sync_ops(sync):
+    """``(block_fn, state_cls)`` for any streaming frame synchronizer.
+
+    All three frame families share the ``(tail, base)`` carried-state
+    contract and the ``block_fn(sync, state, block) -> (state', results)``
+    step shape, so time sharding is family-agnostic.
+    """
+    if isinstance(sync, ofdm_sync.OfdmSync):
+        return ofdm_sync.sync_block, ofdm_sync.OfdmSyncState
+    from ..framing import flexframe_sync as ffs
+    if isinstance(sync, ffs.FlexSync):
+        return ffs.flex_sync_block, ffs.FlexSyncState
+    from ..framing import gmskframe as gmskf
+    if isinstance(sync, gmskf.GmskSync):
+        return gmskf.gmsk_sync_block, gmskf.GmskSyncState
+    raise TypeError(f"unsupported synchronizer type {type(sync).__name__}")
+
+
 def _scan_sync(sync, tail, base, stream, n_blocks):
     """Run ``n_blocks`` sequential sync blocks over ``stream`` via lax.scan."""
-    state = ofdm_sync.OfdmSyncState(tail=tail, base=base)
+    block_fn, state_cls = _sync_ops(sync)
+    state = state_cls(tail=tail, base=base)
     blocks = stream.reshape(n_blocks, sync.block_size)
 
     def body(st, blk):
-        st, res = ofdm_sync.sync_block(sync, st, blk)
+        st, res = block_fn(sync, st, blk)
         return st, res
 
     state, results = jax.lax.scan(body, state, blocks)
@@ -50,14 +69,17 @@ def _scan_sync(sync, tail, base, stream, n_blocks):
     return state, flat
 
 
-def make_time_sharded_sync(mesh: jax.sharding.Mesh, sync: ofdm_sync.OfdmSync,
+def make_time_sharded_sync(mesh: jax.sharding.Mesh, sync,
                            chunk_blocks: int):
     """Jitted time-sharded synchronizer over mesh axis ``'time'``.
 
-    ``mesh`` must be 1-D with axis name ``'time'``.  Input: stream
-    ``[n_time * chunk_blocks * block_size]`` sharded over ``'time'``;
-    output: FrameResults with leading axis ``n_time * chunk_blocks *
-    max_frames`` (masked rows where nothing was detected).
+    ``sync`` may be any frame family's synchronizer (``OfdmSync``,
+    ``FlexSync``, or ``GmskSync`` — see :func:`_sync_ops`); results are
+    proven equal to the sequential scan for all three in
+    ``tests/test_parallel.py``.  ``mesh`` must be 1-D with axis name
+    ``'time'``.  Input: stream ``[n_time * chunk_blocks * block_size]``
+    sharded over ``'time'``; output: results with leading axis ``n_time *
+    chunk_blocks * max_frames`` (masked rows where nothing was detected).
     """
     n_time = mesh.shape["time"]
     B = sync.block_size * chunk_blocks

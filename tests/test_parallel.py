@@ -158,3 +158,83 @@ def test_a2a_mcrx_matches_duplicate_channelizer(params):
     assert set(found) == set(range(N)), sorted(found)
     for ch, payload in sent.items():
         np.testing.assert_array_equal(found[ch], payload)
+
+
+def _time_sharded_family_case(make_burst, make_sync_state_step, sync,
+                              gap, seed):
+    """Shared harness: frames across shard boundaries; time-sharded
+    results must match the sequential scan frame-for-frame."""
+    mesh = jax.make_mesh((8,), ("time",))
+    chunk_blocks = 2
+    bs = sync.block_size
+    total = 8 * chunk_blocks * bs
+    rng = np.random.default_rng(seed)
+    streamv = np.zeros(total, np.complex64)
+    sent = []
+    pos = 1500
+    while True:
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        payload = rng.integers(0, 256, 90, dtype=np.uint8)
+        frame = make_burst(header, payload)
+        if pos + len(frame) >= total - sync.overlap:
+            break
+        streamv[pos:pos + len(frame)] = frame
+        sent.append((pos, payload))
+        pos += len(frame) + gap
+    streamv = np.asarray(chan.channel_apply(
+        chan.Channel(snr_db=30.0, cfo=0.0005), jax.random.PRNGKey(seed),
+        jnp.asarray(streamv), signal_power=0.8))
+
+    run = pstream.make_time_sharded_sync(mesh, sync, chunk_blocks)
+    res = jax.tree.map(np.asarray, run(jnp.asarray(streamv)))
+    det = res.detected & res.payload_valid
+    got = sorted((int(res.t_start[r]),
+                  np.asarray(res.payload[r])[: int(res.payload_len[r])])
+                 for r in np.nonzero(det)[0])
+    assert len(got) == len(sent) > 2, (len(got), len(sent))
+    for (t_g, p_g), (t_w, p_w) in zip(got, sent):
+        assert abs(t_g - t_w) <= 2
+        np.testing.assert_array_equal(p_g, p_w)
+
+    # sequential oracle
+    init_state, step = make_sync_state_step()
+    state = init_state
+    seq = []
+    padded = np.concatenate(
+        [np.asarray(streamv), np.zeros(sync.overlap + bs, np.complex64)])
+    for b in range(len(padded) // bs):
+        state, r = step(state, jnp.asarray(padded[b * bs:(b + 1) * bs]))
+        for i in np.nonzero(np.asarray(r.detected) &
+                            np.asarray(r.payload_valid))[0]:
+            seq.append((int(r.t_start[i]),
+                        np.asarray(r.payload[i])[: int(r.payload_len[i])]))
+    seq.sort()
+    assert [t for t, _ in seq] == [t for t, _ in got]
+    for (t_s, p_s), (t_g, p_g) in zip(seq, got):
+        np.testing.assert_array_equal(p_s, p_g)
+
+
+def test_time_sharded_flex_matches_sequential():
+    from liquid_usrp_tpu.framing import flexframe as ff
+    from liquid_usrp_tpu.framing import flexframe_sync as ffs
+    params = ff.make_flex_params(k=2, m=7, beta=0.3)
+    sync = ffs.make_flex_sync(params, block_size=4096, max_payload=128,
+                              max_frames=4)
+    _time_sharded_family_case(
+        lambda h, p: np.asarray(ff.flex_assemble(
+            params, ff.default_props(), jnp.asarray(h), jnp.asarray(p))),
+        lambda: (ffs.flex_sync_init(sync), ffs.make_flex_sync_step(sync)),
+        sync, gap=5000, seed=3)
+
+
+def test_time_sharded_gmsk_matches_sequential():
+    from liquid_usrp_tpu.framing import gmskframe as gf
+    params = gf.make_gmsk_params(k=2, m=3, bt=0.5)
+    sync = gf.make_gmsk_sync(params, block_size=4096, max_payload=128,
+                             max_frames=4)
+    _time_sharded_family_case(
+        lambda h, p: np.asarray(gf.gmsk_assemble(
+            params, gf.gmsk_default_props(), jnp.asarray(h),
+            jnp.asarray(p))),
+        lambda: (gf.gmsk_sync_init(sync), gf.make_gmsk_sync_step(sync)),
+        sync, gap=5200, seed=4)
