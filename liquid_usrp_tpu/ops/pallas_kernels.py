@@ -31,13 +31,20 @@ _ROWS = 8                       # output rows per grid step (8x128 tile)
 
 
 def _shift_flat(block, s: int):
-    """Flat-order shift by ``s`` (< _LANES) elements on a (_ROWS+1, 128)
-    raster block -> (_ROWS, 128): out[r, l] = block_flat[r*128 + l + s]."""
+    """Flat-order shift by ``s`` (<= _LANES) elements on a (_ROWS+1, 128)
+    raster block -> (_ROWS, 128): out[r, l] = block_flat[r*128 + l + s].
+
+    Implemented as a lane roll + iota select: Mosaic's tpu_compile rejects
+    the natural lane slice+concatenate formulation (HTTP 500 on this
+    image), but ``pltpu.roll`` lowers cleanly.
+    """
     if s == 0:
         return block[:_ROWS, :]
-    top = block[:_ROWS, s:]
-    bot = block[1:_ROWS + 1, :s]
-    return jnp.concatenate([top, bot], axis=1)
+    if s == _LANES:
+        return block[1:_ROWS + 1, :]
+    rolled = pltpu.roll(block, _LANES - s, 1)   # rolled[r,l] = blk[r,(l+s)%128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+    return jnp.where(lane < _LANES - s, rolled[:_ROWS], rolled[1:_ROWS + 1])
 
 
 def _detect2d_kernel(lag: int, span: int, floor_ref, cre_ref, cim_ref,

@@ -23,9 +23,12 @@ def _healthy(timeout_s: float = 150.0) -> bool:
 
     def probe():
         try:
+            import jax
             import jax.numpy as jnp
             v = np.asarray(jnp.ones(16) * 2.0)
-            ok.append(bool(v.sum() == 32.0))
+            m = np.asarray(jax.jit(
+                lambda: jnp.ones((128, 128)) @ jnp.ones((128, 128)))())
+            ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0))
         except Exception:
             ok.append(False)
 
