@@ -23,11 +23,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["detect_metric_fused", "detect_metric_fused_2d"]
+__all__ = ["detect_metric_fused", "detect_metric_fused_2d",
+           "detect_metric_onepass"]
 
 _TILE = 1024
 _LANES = 128
 _ROWS = 8                       # output rows per grid step (8x128 tile)
+_SLACK = 16                     # extra raster rows for chained flat shifts
 
 
 def _shift_flat(block, s: int):
@@ -45,6 +47,147 @@ def _shift_flat(block, s: int):
     rolled = pltpu.roll(block, _LANES - s, 1)   # rolled[r,l] = blk[r,(l+s)%128]
     lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
     return jnp.where(lane < _LANES - s, rolled[:_ROWS], rolled[1:_ROWS + 1])
+
+
+def _shift_any(block, s: int):
+    """Flat-order shift by ``s`` (0 <= s <= _LANES) on an (R, 128) raster,
+    keeping R rows: out[r, l] = block_flat[r*128 + l + s].
+
+    The bottom row wraps (garbage); every chained application propagates
+    the garbage up one more row, so callers budget ``_SLACK`` extra rows
+    for the deepest shift chain.  Lane roll + row roll + iota select —
+    all Mosaic-friendly primitives.
+    """
+    R = block.shape[0]
+    if s == 0:
+        return block
+    if s == _LANES:
+        return pltpu.roll(block, R - 1, 0)      # row shift by +1 (mod R)
+    rolled = pltpu.roll(block, _LANES - s, 1)   # rolled[r,l] = blk[r,(l+s)%128]
+    down = pltpu.roll(rolled, R - 1, 0)         # down[r,l] = rolled[r+1,l]
+    lane = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+    return jnp.where(lane < _LANES - s, rolled, down)
+
+
+def _shift_chain_depth(span: int) -> int:
+    """Number of chained _shift_any applications for _window_sum(span)."""
+    doublings = max(0, span.bit_length() - 1)
+    combines = max(0, bin(span).count("1") - 1)
+    return doublings + combines
+
+
+def _window_sum(block, L: int):
+    """Windowed sum on the flat raster: out_flat[n] = sum_{i<L} flat[n+i].
+
+    Doubling tree: build S_{2^k} via k shift-adds, then combine the set
+    bits of ``L`` with accumulated offsets — O(log L) vector ops per tile
+    instead of a multi-pass HBM cumsum.  Requires L <= 128 (every
+    individual shift is <= 128; chained totals may exceed it).
+    """
+    pows = {1: block}
+    k, s = 1, block
+    while 2 * k <= L:
+        s = s + _shift_any(s, k)
+        k *= 2
+        pows[k] = s
+    out, off = None, 0
+    for k in sorted(pows, reverse=True):
+        if L & k:
+            term = pows[k] if off == 0 else _shift_any(pows[k], off)
+            out = term if out is None else out + term
+            off += k
+    return out
+
+
+def _detect1p_kernel(lag: int, span: int, floor_ref, exre_ref, exim_ref,
+                     metric_ref, outre_ref, outim_ref):
+    """One-pass S0 detect: grid step i computes output rows
+    [i*8, i*8+8) reading only the raw IQ raster rows [i*8, i*8+8+_SLACK).
+
+    Everything — lag product, power, all three windowed sums, the
+    normalized metric — happens in registers/VMEM; no cumsum arrays ever
+    touch HBM.  Tiles are independent (windowed sums only need ``span +
+    lag`` lookahead, provided by the slack rows), so the grid is
+    embarrassingly parallel.
+    """
+    i = pl.program_id(0)
+    floor = floor_ref[0, 0]
+    er = exre_ref[pl.ds(i * _ROWS, _ROWS + _SLACK), :]
+    ei = exim_ref[pl.ds(i * _ROWS, _ROWS + _SLACK), :]
+    erd = _shift_any(er, lag)
+    eid = _shift_any(ei, lag)
+    # prod[t] = x[t] * conj(x[t+lag])
+    pre = er * erd + ei * eid
+    pim = ei * erd - er * eid
+    p = er * er + ei * ei
+    dre = _window_sum(pre, span)
+    dim = _window_sum(pim, span)
+    e1 = _window_sum(p, span)
+    e2 = _shift_any(e1, lag)
+    c2 = dre * dre + dim * dim
+    denom = jnp.maximum(e1 * e2, 1e-12)
+    metric = jnp.where(jnp.minimum(e1, e2) > floor, c2 / denom, 0.0)
+    metric_ref[pl.ds(i * _ROWS, _ROWS), :] = metric[:_ROWS]
+    outre_ref[pl.ds(i * _ROWS, _ROWS), :] = dre[:_ROWS]
+    outim_ref[pl.ds(i * _ROWS, _ROWS), :] = dim[:_ROWS]
+
+
+def detect_metric_onepass(ext: jnp.ndarray, lag: int, span: int,
+                          floor_scale: float = 1e-4,
+                          interpret: bool = False):
+    """S0 periodicity metric, single-pass formulation: returns
+    ``(metric, c)`` matching ``ofdm_sync._detect_metric`` for
+    ``len(ext) - span - lag + 1`` offsets.
+
+    Unlike :func:`detect_metric_fused_2d` (XLA cumsums -> Pallas windowed
+    diff), this reads the IQ stream exactly once: the windowed sums are
+    computed per tile with a shift-add doubling tree, so HBM traffic is
+    ``read ext + write (metric, c)`` — the speed-of-light for this stage.
+    The float32 tree accumulation is also better conditioned than the
+    long-stream cumsum difference.  Requires ``span <= 128``, ``lag <=
+    128``, and a shift-chain depth that fits the raster slack.
+    """
+    if span > _LANES or lag > _LANES:
+        raise ValueError("one-pass detect kernel requires span, lag <= 128")
+    depth = _shift_chain_depth(span) + 2   # + prod shift + e2 shift
+    if _ROWS + depth + (span + lag) // _LANES > _ROWS + _SLACK:
+        raise ValueError("shift-chain depth exceeds raster slack")
+    n_out = ext.shape[-1] - span - lag + 1
+    n_tiles = -(-n_out // _TILE)
+    R = n_tiles * _ROWS
+    need = (R + _SLACK) * _LANES
+
+    def pad(v):
+        return jnp.pad(v, (0, need - v.shape[0]), mode="edge") \
+            .reshape(R + _SLACK, _LANES).astype(jnp.float32)
+
+    p_mean = jnp.mean(jnp.abs(ext) ** 2)
+    floor = (floor_scale * span * (p_mean + 1e-12)).reshape(1, 1)
+
+    kernel = functools.partial(_detect1p_kernel, lag, span)
+    metric, out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(floor.astype(jnp.float32), pad(ext.real), pad(ext.imag))
+    flat = lambda v: v.reshape(-1)[:n_out]  # noqa: E731
+    c = (flat(out_re) + 1j * flat(out_im)).astype(jnp.complex64)
+    return flat(metric), c
 
 
 def _detect2d_kernel(lag: int, span: int, floor_ref, cre_ref, cim_ref,

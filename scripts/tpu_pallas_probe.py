@@ -63,7 +63,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from liquid_usrp_tpu.ops.pallas_kernels import detect_metric_fused_2d
+    from liquid_usrp_tpu.ops.pallas_kernels import (detect_metric_fused_2d,
+                                                    detect_metric_onepass)
 
     dev = jax.devices()[0]
     out = {"device": str(dev), "platform": jax.default_backend()}
@@ -76,35 +77,12 @@ def main():
                        1j * rng.standard_normal(n)).astype(np.complex64))
 
     f_xla = jax.jit(lambda e: xla_detect(e, d, L))
-    f_pal = jax.jit(lambda e: detect_metric_fused_2d(e, d, L))
-
     try:
-        m_p, c_p = jax.block_until_ready(f_pal(ext))
+        m_x, c_x = jax.block_until_ready(f_xla(ext))
     except Exception as e:  # noqa: BLE001
-        msg = repr(e)
-        out["error"] = msg[:500]
-        if "UNIMPLEMENTED" in msg or "Unimplemented" in msg:
-            # session-wide outage mode (ROUND2_NOTES): every fresh
-            # nontrivial compile fails, Mosaic or not — retry, don't
-            # report a kernel verdict
-            out["pallas_compile"] = "session_outage"
-            print(json.dumps(out))
-            sys.exit(3)
-        out["pallas_compile"] = "fail"
+        out["error"] = "xla baseline: " + repr(e)[:300]
         print(json.dumps(out))
-        sys.exit(1)
-    out["pallas_compile"] = "ok"
-
-    m_x, c_x = jax.block_until_ready(f_xla(ext))
-    # device-side reductions only (tunnel-safe): max abs err as scalars
-    scale = float(jnp.max(jnp.abs(m_x)))
-    merr = float(jnp.max(jnp.abs(m_p - m_x))) / max(scale, 1e-12)
-    cerr = float(jnp.max(jnp.abs(c_p - c_x))) / float(
-        jnp.max(jnp.abs(c_x)))
-    out["metric_rel_err"] = merr
-    out["corr_rel_err"] = cerr
-    ok = merr < 2e-3 and cerr < 2e-3
-    out["match"] = bool(ok)
+        sys.exit(3)       # even XLA will not compile: bad session, retry
 
     def t(f):
         f(ext)[0].block_until_ready()
@@ -116,9 +94,36 @@ def main():
         return (time.perf_counter() - t0) / n_it * 1e6
 
     out["xla_us"] = round(t(f_xla), 1)
-    out["pallas_us"] = round(t(f_pal), 1)
+
+    any_fail = False
+    all_match = True
+    for name, fn in [("fused2d", detect_metric_fused_2d),
+                     ("onepass", detect_metric_onepass)]:
+        f_pal = jax.jit(lambda e, fn=fn: fn(e, d, L))
+        try:
+            m_p, c_p = jax.block_until_ready(f_pal(ext))
+        except Exception as e:  # noqa: BLE001
+            msg = repr(e)
+            out[name] = {"compile": "fail", "error": msg[:400]}
+            if "UNIMPLEMENTED" in msg or "Unimplemented" in msg:
+                # session-wide outage mode (ROUND2_NOTES): every fresh
+                # nontrivial compile fails, Mosaic or not -- retry
+                print(json.dumps(out))
+                sys.exit(3)
+            any_fail = True
+            continue
+        # device-side reductions only (tunnel-safe): scalar fetches
+        scale = float(jnp.max(jnp.abs(m_x)))
+        merr = float(jnp.max(jnp.abs(m_p - m_x))) / max(scale, 1e-12)
+        cerr = float(jnp.max(jnp.abs(c_p - c_x))) / float(
+            jnp.max(jnp.abs(c_x)))
+        match = bool(merr < 2e-3 and cerr < 2e-3)
+        all_match = all_match and match
+        out[name] = {"compile": "ok", "metric_rel_err": merr,
+                     "corr_rel_err": cerr, "match": match,
+                     "us": round(t(f_pal), 1)}
     print(json.dumps(out))
-    sys.exit(0 if ok else 2)
+    sys.exit(1 if any_fail else (0 if all_match else 2))
 
 
 def parent() -> int:

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 
 from liquid_usrp_tpu.framing import ofdm, ofdm_sync
 from liquid_usrp_tpu.ops.pallas_kernels import (detect_metric_fused,
-                                                detect_metric_fused_2d)
+                                                detect_metric_fused_2d,
+                                                detect_metric_onepass)
 
 
 def _loaded_ext(sync, params, rng):
@@ -23,7 +24,8 @@ def _loaded_ext(sync, params, rng):
 
 
 @pytest.mark.parametrize("fused", [detect_metric_fused,
-                                   detect_metric_fused_2d])
+                                   detect_metric_fused_2d,
+                                   detect_metric_onepass])
 def test_detect_metric_matches_reference(fused):
     params = ofdm.make_ofdm_params(48, 6, 4)
     sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=128,
