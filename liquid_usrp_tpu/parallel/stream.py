@@ -176,16 +176,21 @@ def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
 
     jit_fn = jax.jit(fn)
 
-    def run(stream):
-        res = jax.tree.map(np.asarray, jit_fn(stream))
+    def fix(v):
         # host-side regroup (a cross-shard transpose is not worth device
         # collectives for result bookkeeping)
-        def fix(v):
-            v = np.moveaxis(v, 0, 2)         # [n_ch, N_loc, n_time, rows, ..]
-            return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
+        v = np.moveaxis(v, 0, 2)             # [n_ch, N_loc, n_time, rows, ..]
+        return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
 
+    def run(stream):
+        res = jax.tree.map(np.asarray, jit_fn(stream))
         return jax.tree.map(fix, res)        # leaves [N, rows, ...]
 
+    # multi-process callers (one process per host) drive the jitted fn on
+    # a global array themselves, allgather, then regroup — see
+    # scripts/multihost_worker.py
+    run.jit_fn = jit_fn
+    run.regroup = fix
     return run
 
 
@@ -277,15 +282,16 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
 
     jit_fn = jax.jit(fn)
 
+    def fix(v):
+        v = np.moveaxis(v, 0, 2)             # [n_ch, N_loc, n_time, rows, ..]
+        return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
+
     def run(stream):
         res = jax.tree.map(np.asarray, jit_fn(stream))
-
-        def fix(v):
-            v = np.moveaxis(v, 0, 2)         # [n_ch, N_loc, n_time, rows, ..]
-            return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
-
         return jax.tree.map(fix, res)        # leaves [N, rows, ...]
 
+    run.jit_fn = jit_fn
+    run.regroup = fix
     return run
 
 
