@@ -328,6 +328,8 @@ def _bench_best():
     results = []
     for kwargs, tag in [
         (dict(block_size=131072, max_frames=48, scan=1), "scan"),
+        (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2),
+         "batched_xl"),
         (dict(block_size=32768, max_frames=48, scan=1, batched_blocks=4),
          "batched"),
     ]:
@@ -380,7 +382,7 @@ def main() -> int:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True,
-                    timeout=1000 if which == "best" else 700)
+                    timeout=1400 if which == "best" else 700)
             except subprocess.TimeoutExpired:
                 continue
             for line in out.stdout.splitlines():
