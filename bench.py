@@ -287,36 +287,11 @@ def _bench_sync():
 
 
 def _healthy(timeout_s: float = 150.0) -> bool:
-    """Fast tunnel-session health check: a tiny compute + fetch AND a
-    jitted matmul compile.
-
-    Two observed bad-session modes (ROUND2_NOTES): (a) any fetch fails
-    UNIMPLEMENTED or hangs; (b) elementwise ops work but EVERY nontrivial
-    compile (matmul/conv/fft/gather) fails UNIMPLEMENTED — so the gate
-    must exercise the compile path, not just transport.  Detecting either
-    in seconds lets the parent sample many more sessions within its
-    budget than burning the full per-child timeout.
-    """
-    import threading
-
-    import numpy as np
-    ok = []
-
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
-            v = np.asarray(jnp.ones(16) * 2.0)
-            m = np.asarray(jax.jit(
-                lambda: jnp.ones((128, 128)) @ jnp.ones((128, 128)))())
-            ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0))
-        except Exception:
-            ok.append(False)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok and ok[0])
+    """Fast tunnel-session health check (shared gate — see
+    liquid_usrp_tpu/utils/tpu_session.py for the failure-mode rationale)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from liquid_usrp_tpu.utils.tpu_session import session_healthy
+    return session_healthy(timeout_s)
 
 
 def _bench_best():

@@ -113,6 +113,17 @@ def make_time_sharded_sync(mesh: jax.sharding.Mesh, sync,
     return run
 
 
+def _make_regroup(N: int):
+    """Host-side result regroup shared by both sharded receivers: leaves
+    arrive ``[n_time, n_ch_shards, N_loc, rows, ...]`` from the mesh; a
+    cross-shard transpose is not worth device collectives for result
+    bookkeeping, so reorder on host to ``[N, n_time * rows, ...]``."""
+    def fix(v):
+        v = np.moveaxis(v, 0, 2)             # [n_ch, N_loc, n_time, rows, ..]
+        return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
+    return fix
+
+
 def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
                       sync: ofdm_sync.OfdmSync, chunk_blocks: int):
     """Channel- and time-sharded multichannel receiver.
@@ -176,11 +187,7 @@ def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
 
     jit_fn = jax.jit(fn)
 
-    def fix(v):
-        # host-side regroup (a cross-shard transpose is not worth device
-        # collectives for result bookkeeping)
-        v = np.moveaxis(v, 0, 2)             # [n_ch, N_loc, n_time, rows, ..]
-        return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
+    fix = _make_regroup(N)
 
     def run(stream):
         res = jax.tree.map(np.asarray, jit_fn(stream))
@@ -282,9 +289,7 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
 
     jit_fn = jax.jit(fn)
 
-    def fix(v):
-        v = np.moveaxis(v, 0, 2)             # [n_ch, N_loc, n_time, rows, ..]
-        return v.reshape((N, v.shape[2] * v.shape[3]) + v.shape[4:])
+    fix = _make_regroup(N)
 
     def run(stream):
         res = jax.tree.map(np.asarray, jit_fn(stream))

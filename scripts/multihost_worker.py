@@ -40,12 +40,17 @@ def main() -> int:
 
     N = 4
     n_dev = len(jax.devices())
-    mesh = jax.make_mesh((n_dev // 4, 4), ("time", "channel"))
+    if n_dev % N or n_dev < N:
+        raise SystemExit(
+            f"need a device count divisible by {N} channel shards per "
+            f"process group (got {n_dev} global devices); spawn with "
+            f"xla_force_host_platform_device_count a multiple of {N}")
+    mesh = jax.make_mesh((n_dev // N, N), ("time", "channel"))
     params = ofdm.make_ofdm_params(48, 6, 4)
     sync = ofdm_sync.make_sync(params, block_size=2048, max_payload=64,
                                max_frames=4)
     chunk_blocks = 1
-    B_grp = chunk_blocks * 2048 * 4
+    B_grp = chunk_blocks * sync.block_size * mesh.shape["channel"]
     total_mix = 2 * N * B_grp * mesh.shape["time"]
 
     # identical deterministic mixture on every process

@@ -19,7 +19,6 @@ import json
 import os
 import subprocess
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -224,26 +223,9 @@ def lane_batched():
 
 
 def _healthy(timeout_s: float = 150.0) -> bool:
-    """Gate on a fetch AND a jitted matmul: one bad-session mode passes
-    elementwise ops while failing every nontrivial compile UNIMPLEMENTED
-    (ROUND2_NOTES), so the probe must hit the compile path."""
-    ok = []
-
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
-            v = np.asarray(jnp.ones(16) * 2.0)
-            m = np.asarray(jax.jit(
-                lambda: jnp.ones((128, 128)) @ jnp.ones((128, 128)))())
-            ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0))
-        except Exception:
-            ok.append(False)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok and ok[0])
+    """Shared tunnel-session gate (liquid_usrp_tpu/utils/tpu_session.py)."""
+    from liquid_usrp_tpu.utils.tpu_session import session_healthy
+    return session_healthy(timeout_s)
 
 
 LANES = {"ofdm": lane_ofdm, "flex": lane_flex, "gmsk": lane_gmsk,

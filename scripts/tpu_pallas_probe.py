@@ -16,44 +16,14 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
 
 def _healthy(timeout_s: float = 150.0) -> bool:
-    import threading
-
-    import numpy as np
-    ok = []
-
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
-            v = np.asarray(jnp.ones(16) * 2.0)
-            m = np.asarray(jax.jit(
-                lambda: jnp.ones((128, 128)) @ jnp.ones((128, 128)))())
-            ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0))
-        except Exception:
-            ok.append(False)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok and ok[0])
-
-
-def xla_detect(ext, d, L):
-    import jax.numpy as jnp
-
-    def ms(x):
-        cs = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(x)])
-        return cs[L:] - cs[:-L]
-    prod = ext[:-d] * jnp.conj(ext[d:])
-    c = ms(prod)
-    p = jnp.abs(ext) ** 2
-    e1 = ms(p[:-d])
-    e2 = ms(p[d:])
-    metric = jnp.abs(c) ** 2 / jnp.maximum(e1 * e2, 1e-12)
-    floor = 1e-4 * L * (jnp.mean(p) + 1e-12)
-    return jnp.where(jnp.minimum(e1, e2) > floor, metric, 0.0), c
+    """Shared tunnel-session gate (liquid_usrp_tpu/utils/tpu_session.py)."""
+    from liquid_usrp_tpu.utils.tpu_session import session_healthy
+    return session_healthy(timeout_s)
 
 
 def main():
@@ -63,20 +33,26 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
     from liquid_usrp_tpu.ops.pallas_kernels import (detect_metric_fused_2d,
                                                     detect_metric_onepass)
 
     dev = jax.devices()[0]
     out = {"device": str(dev), "platform": jax.default_backend()}
-    M = 64
+    # oracle = the production XLA metric itself, so the probe cannot
+    # drift from what the pipeline actually computes
+    params = ofdm.make_ofdm_params(64, 8, 4)
+    sync = ofdm_sync.make_sync(params, block_size=131072, max_payload=64,
+                               max_frames=4)._replace(use_pallas=False)
+    M = params.M
     d = M // 4
-    L = 2 * M - d
+    L = ofdm_sync.NUM_S0 * M - d
     n = 131072 + L + d - 1
     rng = np.random.default_rng(0)
     ext = jnp.asarray((rng.standard_normal(n) +
                        1j * rng.standard_normal(n)).astype(np.complex64))
 
-    f_xla = jax.jit(lambda e: xla_detect(e, d, L))
+    f_xla = jax.jit(lambda e: ofdm_sync._detect_metric(sync, e))
     try:
         m_x, c_x = jax.block_until_ready(f_xla(ext))
     except Exception as e:  # noqa: BLE001
@@ -148,8 +124,6 @@ def parent() -> int:
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), ".."))
     if os.environ.get("_PALLAS_PROBE_CHILD"):
         main()
     else:

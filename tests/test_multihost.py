@@ -25,7 +25,12 @@ def _free_port() -> int:
 def test_two_process_a2a_receiver():
     port = _free_port()
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # append rather than overwrite (conftest.py idiom): keep whatever
+    # flags the environment set, replacing only a prior device count
+    kept = [f for f in env.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")]
+    env["XLA_FLAGS"] = " ".join(
+        kept + ["--xla_force_host_platform_device_count=4"])
     env.pop("JAX_PLATFORMS", None)           # worker forces cpu in-process
     procs = [
         subprocess.Popen(
