@@ -107,12 +107,12 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
             else payload_codec.PAYLOAD_FECS)
     if use_pallas == "auto":
-        # The fused Mosaic detect front-end (detect_metric_fused_2d) is
-        # interpret-validated and intended as the default TPU path, but
-        # Mosaic remote-compilation has not yet been confirmed on this
-        # image's tunnel backend (ROUND2_NOTES), so auto resolves to off;
-        # scripts/tpu_session_probe.py is the validation gate that flips
-        # this to `jax.default_backend() == "tpu" and 2 * M <= 128`.
+        # The one-pass Mosaic detect front-end (detect_metric_onepass) is
+        # interpret-validated for every production M, but Mosaic remote
+        # compilation has not yet been confirmed on this image's tunnel
+        # backend (ROUND2_NOTES), so auto resolves to off;
+        # scripts/tpu_pallas_probe.py is the validation gate that flips
+        # this to `jax.default_backend() == "tpu"`.
         use_pallas = False
     return OfdmSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
@@ -146,8 +146,10 @@ def _detect_metric(sync: OfdmSync, ext: jnp.ndarray):
     d = M // 4
     L = NUM_S0 * M - d
     if sync.use_pallas:
-        from ..ops.pallas_kernels import detect_metric_fused_2d
-        return detect_metric_fused_2d(ext, d, L)
+        # one-pass Mosaic kernel: reads the IQ stream exactly once (VMEM
+        # shift-add windowed sums, no HBM cumsums); supports any M
+        from ..ops.pallas_kernels import detect_metric_onepass
+        return detect_metric_onepass(ext, d, L)
     prod = ext[:-d] * jnp.conj(ext[d:])
     c = _moving_sum(prod, L)
     p = jnp.abs(ext) ** 2

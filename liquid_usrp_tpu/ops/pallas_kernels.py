@@ -29,7 +29,6 @@ __all__ = ["detect_metric_fused", "detect_metric_fused_2d",
 _TILE = 1024
 _LANES = 128
 _ROWS = 8                       # output rows per grid step (8x128 tile)
-_SLACK = 16                     # extra raster rows for chained flat shifts
 
 
 def _shift_flat(block, s: int):
@@ -50,30 +49,57 @@ def _shift_flat(block, s: int):
 
 
 def _shift_any(block, s: int):
-    """Flat-order shift by ``s`` (0 <= s <= _LANES) on an (R, 128) raster,
-    keeping R rows: out[r, l] = block_flat[r*128 + l + s].
+    """Flat-order shift by any ``s >= 0`` on an (R, 128) raster, keeping R
+    rows: out[r, l] = block_flat[r*128 + l + s].
 
-    The bottom row wraps (garbage); every chained application propagates
-    the garbage up one more row, so callers budget ``_SLACK`` extra rows
-    for the deepest shift chain.  Lane roll + row roll + iota select —
-    all Mosaic-friendly primitives.
+    Decomposed as a sub-row lane shift (lane roll + one row borrow + iota
+    select) plus ``s // 128`` whole-row rolls — all Mosaic-friendly
+    primitives.  The bottom ``ceil(s/128)`` rows wrap (garbage); chained
+    applications accumulate garbage rows, so callers budget slack rows
+    with :func:`_slack_rows`.
     """
     R = block.shape[0]
-    if s == 0:
-        return block
-    if s == _LANES:
-        return pltpu.roll(block, R - 1, 0)      # row shift by +1 (mod R)
-    rolled = pltpu.roll(block, _LANES - s, 1)   # rolled[r,l] = blk[r,(l+s)%128]
-    down = pltpu.roll(rolled, R - 1, 0)         # down[r,l] = rolled[r+1,l]
-    lane = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
-    return jnp.where(lane < _LANES - s, rolled, down)
+    rows, s2 = divmod(s, _LANES)
+    out = block
+    if s2:
+        rolled = pltpu.roll(out, _LANES - s2, 1)  # [r,l] = out[r,(l+s2)%128]
+        down = pltpu.roll(rolled, R - 1, 0)       # [r,l] = rolled[r+1,l]
+        lane = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+        out = jnp.where(lane < _LANES - s2, rolled, down)
+    if rows:
+        out = pltpu.roll(out, R - rows, 0)        # [r,l] = out[r+rows,l]
+    return out
 
 
-def _shift_chain_depth(span: int) -> int:
-    """Number of chained _shift_any applications for _window_sum(span)."""
-    doublings = max(0, span.bit_length() - 1)
-    combines = max(0, bin(span).count("1") - 1)
-    return doublings + combines
+def _garbage_rows(s: int) -> int:
+    """Wrapped (invalid) bottom rows introduced by one _shift_any(s)."""
+    return -(-s // _LANES)
+
+
+def _tree_garbage(L: int) -> int:
+    """Garbage rows accumulated by _window_sum(L): simulate the doubling
+    tree with g(shift(x, s)) = g(x) + ceil(s/128), g(x + y) = max(g(x),
+    g(y))."""
+    g = {1: 0}
+    k = 1
+    while 2 * k <= L:
+        g[2 * k] = g[k] + _garbage_rows(k)
+        k *= 2
+    out_g, off = 0, 0
+    for k in sorted(g, reverse=True):
+        if L & k:
+            out_g = max(out_g, g[k] + _garbage_rows(off))
+            off += k
+    return out_g
+
+
+def _slack_rows(span: int, lag: int) -> int:
+    """Extra raster rows a grid step must read beyond its 8 output rows.
+
+    The two deepest garbage chains in the one-pass kernel tie at
+    ``tree(span) + rows(lag)``: dre = window_sum(lag-shifted product) and
+    e2 = lag-shift of window_sum(power)."""
+    return _tree_garbage(span) + _garbage_rows(lag)
 
 
 def _window_sum(block, L: int):
@@ -81,8 +107,7 @@ def _window_sum(block, L: int):
 
     Doubling tree: build S_{2^k} via k shift-adds, then combine the set
     bits of ``L`` with accumulated offsets — O(log L) vector ops per tile
-    instead of a multi-pass HBM cumsum.  Requires L <= 128 (every
-    individual shift is <= 128; chained totals may exceed it).
+    instead of a multi-pass HBM cumsum.
     """
     pows = {1: block}
     k, s = 1, block
@@ -99,10 +124,10 @@ def _window_sum(block, L: int):
     return out
 
 
-def _detect1p_kernel(lag: int, span: int, floor_ref, exre_ref, exim_ref,
-                     metric_ref, outre_ref, outim_ref):
+def _detect1p_kernel(lag: int, span: int, slack: int, floor_ref, exre_ref,
+                     exim_ref, metric_ref, outre_ref, outim_ref):
     """One-pass S0 detect: grid step i computes output rows
-    [i*8, i*8+8) reading only the raw IQ raster rows [i*8, i*8+8+_SLACK).
+    [i*8, i*8+8) reading only the raw IQ raster rows [i*8, i*8+8+slack).
 
     Everything — lag product, power, all three windowed sums, the
     normalized metric — happens in registers/VMEM; no cumsum arrays ever
@@ -112,8 +137,8 @@ def _detect1p_kernel(lag: int, span: int, floor_ref, exre_ref, exim_ref,
     """
     i = pl.program_id(0)
     floor = floor_ref[0, 0]
-    er = exre_ref[pl.ds(i * _ROWS, _ROWS + _SLACK), :]
-    ei = exim_ref[pl.ds(i * _ROWS, _ROWS + _SLACK), :]
+    er = exre_ref[pl.ds(i * _ROWS, _ROWS + slack), :]
+    ei = exim_ref[pl.ds(i * _ROWS, _ROWS + slack), :]
     erd = _shift_any(er, lag)
     eid = _shift_any(ei, lag)
     # prod[t] = x[t] * conj(x[t+lag])
@@ -144,27 +169,24 @@ def detect_metric_onepass(ext: jnp.ndarray, lag: int, span: int,
     computed per tile with a shift-add doubling tree, so HBM traffic is
     ``read ext + write (metric, c)`` — the speed-of-light for this stage.
     The float32 tree accumulation is also better conditioned than the
-    long-stream cumsum difference.  Requires ``span <= 128``, ``lag <=
-    128``, and a shift-chain depth that fits the raster slack.
+    long-stream cumsum difference.  Any ``span``/``lag`` is supported
+    (shifts beyond 128 decompose into whole-row rolls); the raster slack
+    is sized exactly to the garbage-row chain (:func:`_slack_rows`).
     """
-    if span > _LANES or lag > _LANES:
-        raise ValueError("one-pass detect kernel requires span, lag <= 128")
-    depth = _shift_chain_depth(span) + 2   # + prod shift + e2 shift
-    if _ROWS + depth + (span + lag) // _LANES > _ROWS + _SLACK:
-        raise ValueError("shift-chain depth exceeds raster slack")
+    slack = _slack_rows(span, lag)
     n_out = ext.shape[-1] - span - lag + 1
     n_tiles = -(-n_out // _TILE)
     R = n_tiles * _ROWS
-    need = (R + _SLACK) * _LANES
+    need = (R + slack) * _LANES
 
     def pad(v):
         return jnp.pad(v, (0, need - v.shape[0]), mode="edge") \
-            .reshape(R + _SLACK, _LANES).astype(jnp.float32)
+            .reshape(R + slack, _LANES).astype(jnp.float32)
 
     p_mean = jnp.mean(jnp.abs(ext) ** 2)
     floor = (floor_scale * span * (p_mean + 1e-12)).reshape(1, 1)
 
-    kernel = functools.partial(_detect1p_kernel, lag, span)
+    kernel = functools.partial(_detect1p_kernel, lag, span, slack)
     metric, out_re, out_im = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -39,65 +39,75 @@ def main():
 
     dev = jax.devices()[0]
     out = {"device": str(dev), "platform": jax.default_backend()}
-    # oracle = the production XLA metric itself, so the probe cannot
-    # drift from what the pipeline actually computes
-    params = ofdm.make_ofdm_params(64, 8, 4)
-    sync = ofdm_sync.make_sync(params, block_size=131072, max_payload=64,
-                               max_frames=4)._replace(use_pallas=False)
-    M = params.M
-    d = M // 4
-    L = ofdm_sync.NUM_S0 * M - d
-    n = 131072 + L + d - 1
-    rng = np.random.default_rng(0)
-    ext = jnp.asarray((rng.standard_normal(n) +
-                       1j * rng.standard_normal(n)).astype(np.complex64))
-
-    f_xla = jax.jit(lambda e: ofdm_sync._detect_metric(sync, e))
-    try:
-        m_x, c_x = jax.block_until_ready(f_xla(ext))
-    except Exception as e:  # noqa: BLE001
-        out["error"] = "xla baseline: " + repr(e)[:300]
-        print(json.dumps(out))
-        sys.exit(3)       # even XLA will not compile: bad session, retry
-
-    def t(f):
-        f(ext)[0].block_until_ready()
-        n_it = 50
-        t0 = time.perf_counter()
-        for _ in range(n_it):
-            r = f(ext)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / n_it * 1e6
-
-    out["xla_us"] = round(t(f_xla), 1)
-
     any_fail = False
     all_match = True
-    for name, fn in [("fused2d", detect_metric_fused_2d),
-                     ("onepass", detect_metric_onepass)]:
-        f_pal = jax.jit(lambda e, fn=fn: fn(e, d, L))
+
+    # M=64: both kernels (fused_2d requires span+lag <= 128); M=128:
+    # one-pass only — the row-roll generalization past one lane register
+    configs = [
+        (64, 8, [("fused2d", detect_metric_fused_2d),
+                 ("onepass", detect_metric_onepass)]),
+        (128, 16, [("onepass", detect_metric_onepass)]),
+    ]
+    rng = np.random.default_rng(0)
+    for M, cp, kernels in configs:
+        # oracle = the production XLA metric itself, so the probe cannot
+        # drift from what the pipeline actually computes
+        params = ofdm.make_ofdm_params(M, cp, 4)
+        sync = ofdm_sync.make_sync(params, block_size=131072,
+                                   max_payload=64, max_frames=4
+                                   )._replace(use_pallas=False)
+        d = M // 4
+        L = ofdm_sync.NUM_S0 * M - d
+        n = 131072 + L + d - 1
+        ext = jnp.asarray((rng.standard_normal(n) +
+                           1j * rng.standard_normal(n)).astype(np.complex64))
+
+        f_xla = jax.jit(lambda e, sync=sync: ofdm_sync._detect_metric(
+            sync, e))
         try:
-            m_p, c_p = jax.block_until_ready(f_pal(ext))
+            m_x, c_x = jax.block_until_ready(f_xla(ext))
         except Exception as e:  # noqa: BLE001
-            msg = repr(e)
-            out[name] = {"compile": "fail", "error": msg[:400]}
-            if "UNIMPLEMENTED" in msg or "Unimplemented" in msg:
-                # session-wide outage mode (ROUND2_NOTES): every fresh
-                # nontrivial compile fails, Mosaic or not -- retry
-                print(json.dumps(out))
-                sys.exit(3)
-            any_fail = True
-            continue
-        # device-side reductions only (tunnel-safe): scalar fetches
-        scale = float(jnp.max(jnp.abs(m_x)))
-        merr = float(jnp.max(jnp.abs(m_p - m_x))) / max(scale, 1e-12)
-        cerr = float(jnp.max(jnp.abs(c_p - c_x))) / float(
-            jnp.max(jnp.abs(c_x)))
-        match = bool(merr < 2e-3 and cerr < 2e-3)
-        all_match = all_match and match
-        out[name] = {"compile": "ok", "metric_rel_err": merr,
-                     "corr_rel_err": cerr, "match": match,
-                     "us": round(t(f_pal), 1)}
+            out["error"] = "xla baseline: " + repr(e)[:300]
+            print(json.dumps(out))
+            sys.exit(3)   # even XLA will not compile: bad session, retry
+
+        def t(f, ext=ext):
+            f(ext)[0].block_until_ready()
+            n_it = 50
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                r = f(ext)
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / n_it * 1e6
+
+        out[f"xla_us_m{M}"] = round(t(f_xla), 1)
+
+        for name, fn in kernels:
+            key = f"{name}_m{M}"
+            f_pal = jax.jit(lambda e, fn=fn, d=d, L=L: fn(e, d, L))
+            try:
+                m_p, c_p = jax.block_until_ready(f_pal(ext))
+            except Exception as e:  # noqa: BLE001
+                msg = repr(e)
+                out[key] = {"compile": "fail", "error": msg[:400]}
+                if "UNIMPLEMENTED" in msg or "Unimplemented" in msg:
+                    # session-wide outage mode (ROUND2_NOTES): every fresh
+                    # nontrivial compile fails, Mosaic or not -- retry
+                    print(json.dumps(out))
+                    sys.exit(3)
+                any_fail = True
+                continue
+            # device-side reductions only (tunnel-safe): scalar fetches
+            scale = float(jnp.max(jnp.abs(m_x)))
+            merr = float(jnp.max(jnp.abs(m_p - m_x))) / max(scale, 1e-12)
+            cerr = float(jnp.max(jnp.abs(c_p - c_x))) / float(
+                jnp.max(jnp.abs(c_x)))
+            match = bool(merr < 2e-3 and cerr < 2e-3)
+            all_match = all_match and match
+            out[key] = {"compile": "ok", "metric_rel_err": merr,
+                        "corr_rel_err": cerr, "match": match,
+                        "us": round(t(f_pal), 1)}
     print(json.dumps(out))
     sys.exit(1 if any_fail else (0 if all_match else 2))
 

@@ -28,6 +28,17 @@ def _loaded_ext(sync, params, rng):
                                    detect_metric_onepass])
 def test_detect_metric_matches_reference(fused):
     params = ofdm.make_ofdm_params(48, 6, 4)
+    _check_detect(fused, params)
+
+
+@pytest.mark.parametrize("M,cp", [(64, 8), (128, 16), (256, 32)])
+def test_onepass_large_m(M, cp):
+    """The one-pass kernel generalizes past span+lag=128 via whole-row
+    rolls (fused_2d cannot): exercise every production-scale M."""
+    _check_detect(detect_metric_onepass, ofdm.make_ofdm_params(M, cp, 4))
+
+
+def _check_detect(fused, params):
     sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=128,
                                max_frames=4)
     rng = np.random.default_rng(0)
