@@ -117,12 +117,18 @@ def _expected_fingerprints(payloads, weights, max_payload):
     return counts, fps
 
 
-def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1):
+def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
+                ingest="c64"):
     """Full pipeline: NCO -> 2N-bin PFB -> vmapped N-channel OFDM sync.
 
     ``batched_blocks > 1`` uses the multi-block batched dispatch
     (``make_mcrx_batched_step``): the detect front-end vmaps over blocks
     AND channels in one fused device call per chunk.
+
+    ``ingest="bf16"`` feeds the mixture as bfloat16 I/Q planes (half the
+    input HBM read of complex64 — the pipeline is bandwidth-bound, see
+    docs/roofline.md); the on-chip decode assertions below then also
+    prove the quantized ingest is payload-exact.
     """
     import jax
     import jax.numpy as jnp
@@ -180,10 +186,16 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1):
         margin, rng)
     noise = (rng.normal(size=mixture.shape) +
              1j * rng.normal(size=mixture.shape)).astype(np.complex64)
-    blocks = jnp.asarray((mixture + 0.01 * noise).reshape(SCAN, g))
-    flush = jnp.asarray(
-        (0.01 * (rng.normal(size=(SCAN, g)) + 1j * rng.normal(size=(SCAN, g))))
-        .astype(np.complex64))
+    blocks = (mixture + 0.01 * noise).reshape(SCAN, g)
+    flush = (0.01 * (rng.normal(size=(SCAN, g)) +
+                     1j * rng.normal(size=(SCAN, g)))).astype(np.complex64)
+    if ingest == "bf16":
+        import ml_dtypes
+        to_planes = lambda v: np.stack(   # noqa: E731 — [SCAN, 2, g]
+            [v.real, v.imag], axis=1).astype(ml_dtypes.bfloat16)
+        blocks, flush = to_planes(blocks), to_planes(flush)
+    blocks = jnp.asarray(blocks)
+    flush = jnp.asarray(flush)
     state = init_state()
 
     # AOT compile once; reuse the executable for verify + timing + costs
@@ -305,6 +317,8 @@ def _bench_best():
         (dict(block_size=131072, max_frames=48, scan=1), "scan"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2),
          "batched_xl"),
+        (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
+              ingest="bf16"), "batched_xl_bf16"),
         (dict(block_size=32768, max_frames=48, scan=1, batched_blocks=4),
          "batched"),
     ]:
@@ -357,7 +371,7 @@ def main() -> int:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True,
-                    timeout=1400 if which == "best" else 700)
+                    timeout=1700 if which == "best" else 700)
             except subprocess.TimeoutExpired:
                 continue
             for line in out.stdout.splitlines():

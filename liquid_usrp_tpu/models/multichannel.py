@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..framing import ofdm, ofdm_sync
+from ..ops import iqfmt
 from ..ops import nco as nco_mod
 from ..ops import pfb as pfb_mod
 
@@ -168,7 +169,9 @@ def make_mcrx_step(num_channels: int, params: ofdm.OfdmParams,
 
     @jax.jit
     def step(state: McrxState, x: jnp.ndarray):
-        nco_state, y = nco_mod.nco_mix_block(state.nco, x, up=True)
+        # x: complex64 [2N*B] or reduced-precision IQ planes [2, 2N*B]
+        nco_state, y = nco_mod.nco_mix_block(state.nco,
+                                             iqfmt.iq_from_any(x), up=True)
         chz_state, X = pfb_mod.pfb_analyze_block(chz, state.chz, y)
         chans = X[:, :N].T                      # [N, B] per-channel streams
         sync_states, results = jax.vmap(
@@ -207,7 +210,9 @@ def make_mcrx_batched_step(num_channels: int, params: ofdm.OfdmParams,
 
     @jax.jit
     def step(state: McrxState, x: jnp.ndarray):
-        nco_state, y = nco_mod.nco_mix_block(state.nco, x, up=True)
+        # x: complex64 [2N*bs*n_blocks] or IQ planes [2, 2N*bs*n_blocks]
+        nco_state, y = nco_mod.nco_mix_block(state.nco,
+                                             iqfmt.iq_from_any(x), up=True)
         chz_state, X = pfb_mod.pfb_analyze_block(chz, state.chz, y)
         chans = X[:, :N].T                      # [N, bs*n_blocks]
         sync_states, results = jax.vmap(

@@ -1,0 +1,92 @@
+"""Reduced-precision IQ ingest (ops/iqfmt): fidelity + pipeline decode.
+
+The RX pipeline is HBM-bandwidth-bound (docs/roofline.md), so bench.py
+offers a bfloat16-planes mixture ingest.  These tests pin (a) the
+quantization-SNR floor of the format and (b) that the full multichannel
+pipeline decodes payload-exact from bf16 planes, identically to the
+complex64 path.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+from liquid_usrp_tpu.models.multichannel import MultichannelTx, \
+    make_mcrx_step
+from liquid_usrp_tpu.ops import iqfmt
+
+
+def test_bf16_quantization_snr():
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=65536) + 1j * rng.normal(size=65536)) \
+        .astype(np.complex64)
+    back = np.asarray(iqfmt.iq_from_any(iqfmt.iq_to_planes(jnp.asarray(x))))
+    err = back - x
+    snr_db = 10 * np.log10(np.mean(np.abs(x) ** 2) /
+                           np.mean(np.abs(err) ** 2))
+    # bf16 has an 8-bit significand: ~45 dB floor, far above any
+    # operating channel SNR of the decode chain
+    assert snr_db > 40.0, snr_db
+
+
+def test_iq_from_any_passthrough_and_validation():
+    x = jnp.asarray(np.array([1 + 2j, 3 - 1j], np.complex64))
+    np.testing.assert_array_equal(np.asarray(iqfmt.iq_from_any(x)),
+                                  np.asarray(x))
+    try:
+        iqfmt.iq_from_any(jnp.zeros((3, 4), jnp.float32))
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("bad plane shape accepted")
+
+
+def test_mcrx_decodes_from_bf16_planes():
+    """Full pipeline over bf16 planes == complex64 path, payload-exact."""
+    N = 2
+    params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=128,
+                               max_frames=4)
+    rng = np.random.default_rng(5)
+    tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
+    sent = {}
+    for ch in range(N):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header[2] = ch
+        payload = rng.integers(0, 256, 64, dtype=np.uint8)
+        tx.update_data(ch, header, payload)
+        sent[ch] = payload
+    n_blocks = 3
+    g = 2 * N * sync.block_size
+    x = np.asarray(tx.generate_samples(n_blocks * g // (2 * N)))
+    x = (x + 0.01 * (rng.normal(size=x.shape) +
+                     1j * rng.normal(size=x.shape))).astype(np.complex64)
+
+    init_state, step = make_mcrx_step(N, params, sync)
+
+    def run(blocks_iter):
+        st = init_state()
+        out = []
+        for blk in blocks_iter:
+            st, r = step(st, blk)
+            out.append(jax.tree.map(np.asarray, r))
+        return out
+
+    c64_blocks = [jnp.asarray(x[b * g:(b + 1) * g])
+                  for b in range(n_blocks)]
+    bf16_blocks = [iqfmt.iq_to_planes(b) for b in c64_blocks]
+    res_c, res_b = run(c64_blocks), run(bf16_blocks)
+
+    got = {}
+    for r in res_b:
+        for ch in range(N):
+            for k in range(sync.max_frames):
+                if r.payload_valid[ch, k]:
+                    got[ch] = r.payload[ch, k][: int(r.payload_len[ch, k])]
+    assert set(got) == set(range(N)), sorted(got)
+    for ch, payload in sent.items():
+        np.testing.assert_array_equal(got[ch], payload)
+    # same frames recovered as the complex64 path
+    tot = lambda rs: sum(int(r.payload_valid.sum()) for r in rs)  # noqa:E731
+    assert tot(res_b) == tot(res_c) > 0
