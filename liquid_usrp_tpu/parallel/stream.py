@@ -26,6 +26,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..framing import ofdm, ofdm_sync
 from ..models.multichannel import _center_offset
+from ..ops import iqfmt
 from ..ops import nco as nco_mod
 from ..ops import pfb as pfb_mod
 
@@ -202,7 +203,8 @@ def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
 
 
 def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
-                          sync: ofdm_sync.OfdmSync, chunk_blocks: int):
+                          sync: ofdm_sync.OfdmSync, chunk_blocks: int,
+                          ingest: str = "c64"):
     """All-to-all sharded multichannel receiver (no duplicated channelizer).
 
     The refinement of :func:`make_sharded_mcrx` for the >=80% scaling
@@ -217,6 +219,10 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
     Input: mixture ``[n_time * n_ch * chunk_blocks * block_size * 2N]``
     sharded over the flattened ``(time, channel)`` axes; output like
     :func:`make_sharded_mcrx` (leaves ``[N, rows, ...]``).
+
+    ``ingest="bf16"`` takes the mixture as bfloat16 I/Q planes
+    ``[2, total]`` (plane axis replicated, sample axis sharded) — half
+    the per-device input HBM read; see ``ops/iqfmt.py``.
     """
     N = num_channels
     n_time = mesh.shape["time"]
@@ -234,8 +240,11 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
             f"time-row chunk ({B_grp}) must cover the sync halo ({halo})")
     mix_sub = 2 * N * B_sub
     freq = -_center_offset(N)
+    planes = ingest == "bf16"
 
     def shard_fn(x_local):
+        if planes:
+            x_local = iqfmt.iq_from_any(x_local.reshape(2, -1))
         x_local = x_local.reshape(-1)            # [mix_sub]
         t_idx = jax.lax.axis_index("time")
         c_idx = jax.lax.axis_index("channel")
@@ -283,7 +292,8 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
         return jax.tree.map(lambda v: v[None, None], res)
 
     fn = jax.shard_map(shard_fn, mesh=mesh,
-                       in_specs=P(("time", "channel")),
+                       in_specs=P(None, ("time", "channel")) if planes
+                       else P(("time", "channel")),
                        out_specs=P("time", "channel"),
                        check_vma=False)
 

@@ -90,3 +90,41 @@ def test_mcrx_decodes_from_bf16_planes():
     # same frames recovered as the complex64 path
     tot = lambda rs: sum(int(r.payload_valid.sum()) for r in rs)  # noqa:E731
     assert tot(res_b) == tot(res_c) > 0
+
+
+def test_a2a_sharded_mcrx_bf16_ingest():
+    """The all-to-all sharded receiver decodes from sharded bf16 planes
+    (plane axis replicated, sample axis over the flat mesh)."""
+    from liquid_usrp_tpu.parallel import stream as pstream
+
+    N = 4
+    mesh = jax.make_mesh((2, 4), ("time", "channel"))
+    params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
+    sync = ofdm_sync.make_sync(params, block_size=2048, max_payload=64,
+                               max_frames=4)
+    chunk_blocks = 1
+    B_grp = chunk_blocks * sync.block_size * 4
+    total_mix = 2 * N * B_grp * 2            # two time rows
+
+    tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
+    rng = np.random.default_rng(9)
+    sent = {}
+    for ch in range(N):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header[2] = ch
+        payload = rng.integers(0, 256, 48, dtype=np.uint8)
+        tx.update_data(ch, header, payload)
+        sent[ch] = payload
+    mixture = jnp.asarray(tx.generate_samples(total_mix // (2 * N)))
+
+    run = pstream.make_sharded_mcrx_a2a(mesh, N, sync, chunk_blocks,
+                                        ingest="bf16")
+    res = run(iqfmt.iq_to_planes(mixture))
+    det = res.detected & res.payload_valid
+    found = {}
+    for ch, r in zip(*np.nonzero(det)):
+        found[int(ch)] = np.asarray(res.payload[ch, r])[
+            : int(res.payload_len[ch, r])]
+    assert set(found) == set(range(N)), sorted(found)
+    for ch, payload in sent.items():
+        np.testing.assert_array_equal(found[ch], payload)
