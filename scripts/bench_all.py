@@ -107,6 +107,28 @@ def main():
                noise((SCAN, 128 * 8192)))
     rows.append(("pfb_analyze_128ch", SCAN * 128 * 8192 / dt))
 
+    # full mcrx pipeline, complex64 vs bf16-planes ingest (docs/roofline
+    # "input precision" lever) — noise input, detect path loaded
+    from liquid_usrp_tpu.models.multichannel import make_mcrx_step
+    from liquid_usrp_tpu.ops import iqfmt
+    N = 4
+    init_state, step = make_mcrx_step(N, params, sync)
+
+    @jax.jit
+    def run_mcrx(state, blocks):
+        def body(st, x):
+            st, res = step(st, x)
+            return st, jnp.sum(res.detected)
+        st, _ = jax.lax.scan(body, state, blocks)
+        return st
+
+    mix = noise((SCAN, 2 * N * BS))
+    dt = _time(run_mcrx, init_state(), mix)
+    rows.append(("mcrx_4ch_c64", SCAN * 2 * N * BS / dt))
+    planes = jnp.stack([mix.real, mix.imag], axis=1).astype(jnp.bfloat16)
+    dt = _time(run_mcrx, init_state(), planes)
+    rows.append(("mcrx_4ch_bf16", SCAN * 2 * N * BS / dt))
+
     print(f"{'pipeline':24s} {'samples/s/chip':>16s} {'vs 8 MS/s':>10s}")
     for name, sps in rows:
         print(f"{name:24s} {sps:16,.0f} {sps / 8e6:9.0f}x")
