@@ -15,7 +15,8 @@ import subprocess
 import numpy as np
 
 __all__ = ["available", "read_file", "write_file", "NativeReader",
-           "NativeWriter", "FORMAT_CF32", "FORMAT_SC16"]
+           "NativeWriter", "FORMAT_CF32", "FORMAT_SC16",
+           "cf32_to_bf16_planes"]
 
 FORMAT_CF32 = 0
 FORMAT_SC16 = 1
@@ -66,6 +67,9 @@ def _load():
                                    ctypes.c_size_t]
     lib.iq_writer_close.restype = ctypes.c_int
     lib.iq_writer_close.argtypes = [ctypes.c_void_p]
+    lib.iq_cf32_to_bf16_planes.argtypes = [ctypes.c_void_p,
+                                           ctypes.c_void_p,
+                                           ctypes.c_size_t]
     _lib = lib
     return lib
 
@@ -105,6 +109,26 @@ def write_file(path: str, samples: np.ndarray,
                            samples.size)
     if rc != 0:
         raise IOError(f"iq_write_file failed for {path}")
+
+
+def cf32_to_bf16_planes(samples: np.ndarray) -> np.ndarray:
+    """Complex64 stream -> ``[2, n]`` bfloat16 I/Q planes (the reduced-
+    precision device-ingest layout of ``ops/iqfmt.py``), deinterleaved and
+    rounded (nearest-even) in one native pass; NumPy fallback otherwise.
+
+    Converting on host halves the host->device transfer of a streaming
+    RX app in addition to the on-device HBM read."""
+    import ml_dtypes
+    samples = np.ascontiguousarray(samples, dtype=np.complex64)
+    lib = _load()
+    if lib is None:
+        return np.stack([samples.real, samples.imag]) \
+            .astype(ml_dtypes.bfloat16)
+    out = np.empty((2, samples.size), dtype=np.uint16)
+    lib.iq_cf32_to_bf16_planes(
+        samples.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), samples.size)
+    return out.view(ml_dtypes.bfloat16)
 
 
 class NativeReader:

@@ -282,6 +282,29 @@ int iq_write_file(const char* path, int format, const float* data,
   return put == n_samples ? 0 : -1;
 }
 
+// ---- cf32 -> bfloat16 I/Q planes (TPU reduced-precision ingest) ----
+//
+// Deinterleaves and rounds in one pass: ``out`` receives 2*n uint16
+// values — first n = I plane, then n = Q plane (the [2, L] layout
+// liquid_usrp_tpu.ops.iqfmt consumes).  Round-to-nearest-even matches
+// XLA's / ml_dtypes' f32->bf16 conversion bit-exactly for finite values.
+
+static inline uint16_t f32_to_bf16(float v) {
+  uint32_t bits;
+  memcpy(&bits, &v, 4);
+  uint32_t lsb = (bits >> 16) & 1u;
+  bits += 0x7FFFu + lsb;  // round to nearest, ties to even
+  return static_cast<uint16_t>(bits >> 16);
+}
+
+void iq_cf32_to_bf16_planes(const float* in, uint16_t* out,
+                            size_t n_samples) {
+  for (size_t i = 0; i < n_samples; i++) {
+    out[i] = f32_to_bf16(in[2 * i]);
+    out[n_samples + i] = f32_to_bf16(in[2 * i + 1]);
+  }
+}
+
 // ---- sc16 <-> cf32 buffer converters (wire-format boundary) ----
 
 void iq_sc16_to_cf32(const int16_t* in, float* out, size_t n_samples) {

@@ -70,3 +70,30 @@ def test_native_writer_roundtrip(tmp_path):
         w.push(x)
     back = native.read_file(s16, native.FORMAT_SC16)
     np.testing.assert_allclose(back, x, atol=2.0 / 32767)
+
+
+def test_cf32_to_bf16_planes_matches_mldtypes(lib_ok):
+    """Native deinterleave+round == ml_dtypes RNE conversion, bit-exact
+    (including ties: values like 1 + 2^-9 round to even)."""
+    import ml_dtypes
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=4096) + 1j * rng.normal(size=4096)) \
+        .astype(np.complex64)
+    # inject exact-tie and edge values
+    x[:6] = np.array([1.0 + 2.0 ** -9, -(1.0 + 3 * 2.0 ** -9),
+                      0.0, -0.0, 1e-38, 65280.0], np.complex64)
+    got = native.cf32_to_bf16_planes(x)
+    want = np.stack([x.real, x.imag]).astype(ml_dtypes.bfloat16)
+    assert got.dtype == ml_dtypes.bfloat16 and got.shape == (2, x.size)
+    np.testing.assert_array_equal(got.view(np.uint16),
+                                  want.view(np.uint16))
+
+
+def test_bf16_planes_feed_iqfmt():
+    """The native plane layout is exactly what ops/iqfmt consumes."""
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.ops import iqfmt
+    x = _rand_iq(257, seed=3)
+    planes = native.cf32_to_bf16_planes(x)      # native or NumPy fallback
+    back = np.asarray(iqfmt.iq_from_any(jnp.asarray(planes)))
+    assert np.mean(np.abs(back - x) ** 2) < 1e-4 * np.mean(np.abs(x) ** 2)
