@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import iqfmt
 from ..ops import modem as modem_mod
 from . import payload as payload_codec
 from .flexframe import (FlexParams, PILOT_SPACING, PREAMBLE_SYMS,
@@ -308,6 +309,7 @@ def _gated_decode(sync: FlexSync, mf, metric, gate, locs, c1_at, c2_at,
 
 def flex_sync_block(sync: FlexSync, state: FlexSyncState, block: jnp.ndarray):
     """Process ``block_size`` samples -> (state', FlexResults)."""
+    block = iqfmt.iq_from_any(block)      # accepts [2, bs] bf16 planes
     ext = jnp.concatenate([state.tail, block])
     # matched filter (stateless on ext: overlap >> filter length)
     mf, metric, c1, c2, detected, locs = _mf_and_detect(sync, ext)
@@ -349,6 +351,7 @@ def flex_sync_blocks_batched(sync: FlexSync, state: FlexSyncState,
     (each identical to what the sequential path sees), and every
     candidate decodes against its own block's mf/metric arrays — results
     are bit-identical to a scan of :func:`flex_sync_block`."""
+    blocks = iqfmt.iq_from_any(blocks)    # accepts [2, n_blocks, bs] planes
     n_blocks, bs = blocks.shape
     assert bs == sync.block_size
     K = sync.max_frames

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import iqfmt
 from ..ops import modem as modem_mod
 from ..utils.bits import unpack_bits
 from . import payload as payload_codec
@@ -423,6 +424,7 @@ def gmsk_sync_block(sync: GmskSync, state: GmskSyncState,
                     block: jnp.ndarray):
     """Process ``block_size`` samples -> (state', FlexResults-like)."""
     from .flexframe_sync import FlexResults
+    block = iqfmt.iq_from_any(block)      # accepts [2, bs] bf16 planes
     ext = jnp.concatenate([state.tail, block])
     z, metric, detected, locs = _front_end(sync, ext)
     (user, payload, plen, mod_f, f0, f1, check, hvalid, pvalid, rssi, evm,
@@ -461,6 +463,7 @@ def gmsk_sync_blocks_batched(sync: GmskSync, state: GmskSyncState,
     ``z``/``metric``/``ext`` rows — bit-identical to a scan of
     :func:`gmsk_sync_block`."""
     from .flexframe_sync import FlexResults
+    blocks = iqfmt.iq_from_any(blocks)    # accepts [2, n_blocks, bs] planes
     n_blocks, bs = blocks.shape
     assert bs == sync.block_size
     K = sync.max_frames

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import iqfmt
 from ..ops import modem as modem_mod
 from . import payload as payload_codec
 from .payload import (EXPANSION as _EXPANSION, HEADER_BPS as _HEADER_BPS,
@@ -473,6 +474,7 @@ def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
     ``detected`` masks.  For a jitted closure over a fixed config use
     :func:`make_sync_step`.
     """
+    block = iqfmt.iq_from_any(block)      # accepts [2, bs] bf16 planes
     assert block.shape[-1] == sync.block_size
     ext = jnp.concatenate([state.tail, block])
     metric, c = _detect_metric(sync, ext)
@@ -525,6 +527,7 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
     per-block fixed cost that dominates at small block sizes (ROUND1_NOTES
     idea 6).
     """
+    blocks = iqfmt.iq_from_any(blocks)    # accepts [2, n_blocks, bs] planes
     n_blocks, bs = blocks.shape
     assert bs == sync.block_size
     K = sync.max_frames

@@ -128,3 +128,47 @@ def test_a2a_sharded_mcrx_bf16_ingest():
     assert set(found) == set(range(N)), sorted(found)
     for ch, payload in sent.items():
         np.testing.assert_array_equal(found[ch], payload)
+
+
+def test_flex_and_gmsk_sync_accept_planes():
+    """All frame families accept the [2, bs] plane ingest."""
+    from liquid_usrp_tpu.framing import flexframe as ff
+    from liquid_usrp_tpu.framing import flexframe_sync as ffs
+    from liquid_usrp_tpu.framing import gmskframe as gf
+
+    rng = np.random.default_rng(11)
+
+    def drive(make_burst, sync, init, block_fn):
+        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        payload = rng.integers(0, 256, 64, dtype=np.uint8)
+        burst = np.asarray(make_burst(header, payload))
+        stream = np.zeros(2 * sync.block_size, np.complex64)
+        stream[1000:1000 + len(burst)] = burst
+        st = init(sync)
+        got = 0
+        for b in range(2 + sync.overlap // sync.block_size + 1):
+            lo = (b % 2) * sync.block_size
+            blk = stream[lo:lo + sync.block_size] if b < 2 else \
+                np.zeros(sync.block_size, np.complex64)
+            st, r = block_fn(sync, st, iqfmt.iq_to_planes(jnp.asarray(blk)))
+            for k in range(sync.max_frames):
+                if r.payload_valid[k]:
+                    got += 1
+                    np.testing.assert_array_equal(
+                        np.asarray(r.payload[k])[: int(r.payload_len[k])],
+                        payload)
+        assert got == 1
+
+    fparams = ff.make_flex_params()
+    fsync = ffs.make_flex_sync(fparams, block_size=8192, max_payload=128,
+                               max_frames=4)
+    drive(lambda h, p: ff.flex_assemble(fparams, ff.default_props(),
+                                        jnp.asarray(h), jnp.asarray(p)),
+          fsync, ffs.flex_sync_init, ffs.flex_sync_block)
+
+    gparams = gf.make_gmsk_params()
+    gsync = gf.make_gmsk_sync(gparams, block_size=8192, max_payload=128,
+                              max_frames=4)
+    drive(lambda h, p: gf.gmsk_assemble(gparams, gf.gmsk_default_props(),
+                                        jnp.asarray(h), jnp.asarray(p)),
+          gsync, gf.gmsk_sync_init, gf.gmsk_sync_block)
