@@ -33,6 +33,9 @@ USAGE = """ofdmflexframe_rx -i in.iq [options]
   --stream : block-streamed input via the native double-buffered reader
           (constant memory for arbitrarily large files; virtual-channel
           impairment flags are unsupported in this mode)
+  --bf16 : ship RX blocks to the device as bfloat16 I/Q planes (half the
+          host->device transfer + input HBM read; ~45 dB quantization
+          floor — see ops/iqfmt.py)
 """
 
 
@@ -64,7 +67,8 @@ def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
                           "hi:M:C:T:p:d:qv",
                           ["snr=", "cfo=", "delay=", "seed=",
-                           "save-state=", "load-state=", "stream"])
+                           "save-state=", "load-state=", "stream",
+                           "bf16"])
     if "h" in flags:
         print(USAGE)
         return 0
@@ -96,7 +100,8 @@ def main(argv=None) -> int:
                    "ok" if payload_valid else "FAIL"))
 
     txrx = OfdmTxRx(M=M, cp_len=cp, taper_len=taper,
-                    max_payload=max_payload, callback=callback)
+                    max_payload=max_payload, callback=callback,
+                    rx_ingest="bf16" if "bf16" in flags else "c64")
     streaming = "stream" in flags
     if streaming and any(k in flags for k in ("snr", "cfo", "delay")):
         print("--stream does not compose with impairment flags")

@@ -58,7 +58,7 @@ class OfdmTxRx:
                  callback: Optional[Callable] = None,
                  block_size: int = 16384, max_payload: int = 2048,
                  rx_transform: Optional[Callable] = None,
-                 batch_blocks: int = 8):
+                 batch_blocks: int = 8, rx_ingest: str = "c64"):
         # ctor validation mirrors lib/ofdmtxrx.cc:60-69
         if M < 8:
             raise ValueError("number of subcarriers must be at least 8")
@@ -86,6 +86,11 @@ class OfdmTxRx:
         # handshake that lets a third thread mutate the rx buffer
         # (/root/reference/lib/ofdmtxrx.cc:642-739)
         self.rx_transform = rx_transform
+        # device-ingest format for RX blocks: "c64" or "bf16" planes
+        # (half the host->device transfer + input HBM read; ops/iqfmt.py)
+        if rx_ingest not in ("c64", "bf16"):
+            raise ValueError(f"unknown rx_ingest {rx_ingest!r}")
+        self.rx_ingest = rx_ingest
         self._tx_buffer: list[np.ndarray] = []
         # partial-frame assembly (write_symbol surface)
         self._assembled: Optional[np.ndarray] = None
@@ -238,6 +243,17 @@ class OfdmTxRx:
         n_blocks = len(samples) // bs
         nb = self._batch_blocks
         frames = []
+
+        def to_dev(arr, shape):
+            # arr: host complex64; shape: target block layout ([bs] or
+            # [nb, bs]).  bf16 ingest ships [2, ...] planes instead —
+            # half the host->device bytes + input HBM read (ops/iqfmt.py)
+            if self.rx_ingest == "bf16":
+                from ..io.native import cf32_to_bf16_planes
+                return jnp.asarray(cf32_to_bf16_planes(arr.reshape(-1))
+                                   .reshape((2,) + shape))
+            return jnp.asarray(arr.reshape(shape))
+
         b = 0
         while b < n_blocks:
             if n_blocks - b >= nb and nb > 1:
@@ -251,17 +267,18 @@ class OfdmTxRx:
                         lambda st, blks: ofdm_sync.sync_blocks_batched(
                             sync, st, blks))
                 self._rx_state, res = self._bstep(self._rx_state,
-                                                  jnp.asarray(chunk))
+                                                  to_dev(chunk, (nb, bs)))
                 res_np = jax.device_get(res)
                 for j in range(nb):
                     self._emit_rows(
                         type(res_np)(*(f[j] for f in res_np)), frames)
                 b += nb
             else:
-                blk = jnp.asarray(samples[b * bs:(b + 1) * bs])
+                blk = samples[b * bs:(b + 1) * bs]
                 if self.rx_transform is not None:
-                    blk = jnp.asarray(self.rx_transform(blk))
-                self._rx_state, res = self._step(self._rx_state, blk)
+                    blk = np.asarray(self.rx_transform(jnp.asarray(blk)))
+                self._rx_state, res = self._step(self._rx_state,
+                                                 to_dev(blk, (bs,)))
                 self._emit_rows(jax.device_get(res), frames)
                 b += 1
         self._pending = samples[n_blocks * bs:]
