@@ -443,3 +443,50 @@ def test_back_to_back_frames(setup):
     assert len(ok) == 4
     for f, want in zip(sorted(ok, key=lambda x: x["t"]), truth):
         assert np.array_equal(f["payload"][:192], want)
+
+
+def test_block_size_invariance_multiframe_stress(setup):
+    """Randomized multi-frame stream chopped at four block sizes (incl. a
+    non-power-of-two) yields frame-for-frame identical results — frames
+    deliberately straddle every chopping's block boundaries."""
+    params, _, _ = setup
+    rng = np.random.default_rng(42)
+    total = 60000
+    base = np.zeros(total, np.complex64)
+    sent = []
+    pos = 700
+    while True:
+        props = ofdm.FrameProps()
+        _, payload, samples = _make_frame(
+            params, props, int(rng.integers(0, 1 << 16)),
+            int(rng.integers(40, 200)))
+        if pos + len(samples) > total - 14000:
+            break
+        base[pos:pos + len(samples)] = samples
+        sent.append((pos, payload))
+        pos += len(samples) + int(rng.integers(900, 2600))
+    assert len(sent) >= 3
+    ch = chan.Channel(snr_db=26.0, cfo=0.002)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(3), jnp.asarray(base), signal_power=0.8))
+
+    all_results = []
+    for bs in (12288, 8192, 4096, 2048):
+        s = ofdm_sync.make_sync(params, block_size=bs, max_payload=512,
+                                max_frames=4)
+        st = ofdm_sync.make_sync_step(s)
+        frames = sorted(_run_stream(s, st, stream), key=lambda f: f["t"])
+        all_results.append((bs, frames))
+
+    bs0, ref = all_results[0]
+    assert len(ref) == len(sent)
+    for (pos, payload), f in zip(sent, ref):
+        assert f["payload_valid"], f
+        np.testing.assert_array_equal(
+            f["payload"][: len(payload)], payload)
+    for bs, frames in all_results[1:]:
+        assert len(frames) == len(ref), (bs, len(frames), len(ref))
+        for a, b in zip(ref, frames):
+            assert a["t"] == b["t"], bs
+            assert a["payload_len"] == b["payload_len"], bs
+            np.testing.assert_array_equal(a["payload"], b["payload"])
