@@ -65,7 +65,10 @@ class OfdmSync(NamedTuple):
     enc_max: int               # encoded payload buffer bytes
     fecs: tuple = PAYLOAD_FECS # runtime-decodable payload FEC set
     soft: bool = False         # soft-decision LLRs into conv FEC branches
-    use_pallas: bool = False   # fused Mosaic detect front-end (TPU)
+    # Mosaic detect front-end: 0/False = XLA, 1/True = one-pass metric
+    # kernel, 2 = fully fused metric+NMS+top-k candidate kernel (the
+    # full-rate metric never reaches HBM)
+    use_pallas: int = 0
 
 
 class OfdmSyncState(NamedTuple):
@@ -108,18 +111,19 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
             else payload_codec.PAYLOAD_FECS)
     if use_pallas == "auto":
-        # The one-pass Mosaic detect front-end (detect_metric_onepass) is
-        # interpret-validated for every production M, but Mosaic remote
-        # compilation has not yet been confirmed on this image's tunnel
-        # backend (ROUND2_NOTES), so auto resolves to off;
-        # scripts/tpu_pallas_probe.py is the validation gate that flips
-        # this to `jax.default_backend() == "tpu"`.
-        use_pallas = False
+        # The Mosaic detect front-ends (detect_metric_onepass and the
+        # fused candidate kernel) are interpret-validated for every
+        # production M, but Mosaic remote compilation has not yet been
+        # confirmed on this image's tunnel backend (ROUND2_NOTES), so
+        # auto resolves to off; scripts/tpu_pallas_probe.py is the
+        # validation gate that flips this to
+        # `2 if jax.default_backend() == "tpu" else 0`.
+        use_pallas = 0
     return OfdmSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold, overlap=overlap, max_psym=max_psym,
                     dec_max=dec_max, enc_max=enc_max, fecs=fecs, soft=soft,
-                    use_pallas=bool(use_pallas))
+                    use_pallas=int(use_pallas))
 
 
 def sync_init(sync: OfdmSync) -> OfdmSyncState:
@@ -150,7 +154,7 @@ def _detect_metric(sync: OfdmSync, ext: jnp.ndarray):
         # one-pass Mosaic kernel: reads the IQ stream exactly once (VMEM
         # shift-add windowed sums, no HBM cumsums); supports any M
         from ..ops.pallas_kernels import detect_metric_onepass
-        return detect_metric_onepass(ext, d, L)
+        return detect_metric_onepass(ext, d, L, interpret=None)
     prod = ext[:-d] * jnp.conj(ext[d:])
     c = _moving_sum(prod, L)
     p = jnp.abs(ext) ** 2
@@ -185,6 +189,30 @@ def topk_peaks(score: jnp.ndarray, k: int, min_dist: int):
     vals, seg_idx = jax.lax.top_k(seg_max, k)
     locs = seg_idx * seg + seg_arg[seg_idx]
     return vals, locs.astype(jnp.int32)
+
+
+def _detect_candidates(sync: OfdmSync, ext: jnp.ndarray):
+    """``(detected, locs, c_at)`` for one extended window.
+
+    ``use_pallas == 2`` routes through the fully fused Mosaic kernel
+    (metric + NMS + segment reduction in VMEM; HBM sees only per-64
+    segment rows); otherwise the composed XLA path.  Same contract
+    either way — ties broken identically; on a detection plateau the
+    fused path may place the candidate a few samples off the XLA pick
+    (float32 accumulation order), which downstream fine timing absorbs.
+    """
+    if int(sync.use_pallas) == 2:
+        from ..ops.pallas_kernels import detect_candidates_onepass
+        M = sync.params.M
+        d = M // 4
+        L = NUM_S0 * M - d
+        vals, locs, c_at = detect_candidates_onepass(
+            ext, d, L, M, sync.block_size, sync.threshold,
+            sync.max_frames, interpret=None)
+        return vals > 0, locs, c_at
+    metric, c = _detect_metric(sync, ext)
+    detected, locs = _find_candidates(sync, metric)
+    return detected, locs, c[jnp.clip(locs, 0, c.shape[0] - 1)]
 
 
 def _find_candidates(sync: OfdmSync, metric: jnp.ndarray):
@@ -477,9 +505,7 @@ def sync_block(sync: OfdmSync, state: OfdmSyncState, block: jnp.ndarray):
     block = iqfmt.iq_from_any(block)      # accepts [2, bs] bf16 planes
     assert block.shape[-1] == sync.block_size
     ext = jnp.concatenate([state.tail, block])
-    metric, c = _detect_metric(sync, ext)
-    detected, locs = _find_candidates(sync, metric)
-    c_at = c[jnp.clip(locs, 0, c.shape[0] - 1)]
+    detected, locs, c_at = _detect_candidates(sync, ext)
 
     (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, evm,
      cfo) = _gated_decode(sync, ext, jnp.any(detected), locs, c_at)
@@ -537,12 +563,8 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
         jnp.arange(sync.overlap + bs)[None, :]
     exts = full[w_idx]                              # [n_blocks, overlap+bs]
 
-    def det(ext):
-        metric, c = _detect_metric(sync, ext)
-        d, locs = _find_candidates(sync, metric)
-        return d, locs, c[jnp.clip(locs, 0, c.shape[0] - 1)]
-
-    detected, locs, c_at = jax.vmap(det)(exts)      # [n_blocks, K]
+    detected, locs, c_at = jax.vmap(
+        lambda e: _detect_candidates(sync, e))(exts)  # [n_blocks, K]
 
     # decode each candidate against its OWN block's extended window (the
     # exact array the sequential path sees), so results — including any

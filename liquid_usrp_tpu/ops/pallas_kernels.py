@@ -24,7 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["detect_metric_fused", "detect_metric_fused_2d",
-           "detect_metric_onepass"]
+           "detect_metric_onepass", "detect_candidates_onepass",
+           "CAND_SEG"]
 
 _TILE = 1024
 _LANES = 128
@@ -159,7 +160,7 @@ def _detect1p_kernel(lag: int, span: int, slack: int, floor_ref, exre_ref,
 
 def detect_metric_onepass(ext: jnp.ndarray, lag: int, span: int,
                           floor_scale: float = 1e-4,
-                          interpret: bool = False):
+                          interpret=False):
     """S0 periodicity metric, single-pass formulation: returns
     ``(metric, c)`` matching ``ofdm_sync._detect_metric`` for
     ``len(ext) - span - lag + 1`` offsets.
@@ -172,7 +173,10 @@ def detect_metric_onepass(ext: jnp.ndarray, lag: int, span: int,
     long-stream cumsum difference.  Any ``span``/``lag`` is supported
     (shifts beyond 128 decompose into whole-row rolls); the raster slack
     is sized exactly to the garbage-row chain (:func:`_slack_rows`).
+    ``interpret=None`` auto-selects interpret mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     slack = _slack_rows(span, lag)
     n_out = ext.shape[-1] - span - lag + 1
     n_tiles = -(-n_out // _TILE)
@@ -381,3 +385,180 @@ def detect_metric_fused(ext: jnp.ndarray, lag: int, span: int,
       cim.astype(jnp.float32), cp.astype(jnp.float32))
     c = (out_re + 1j * out_im).astype(jnp.complex64)
     return metric[:n_out], c[:n_out]
+
+
+# ---------------------------------------------------------------------------
+# fully fused candidate extraction: metric + NMS + per-segment reduction
+# ---------------------------------------------------------------------------
+
+CAND_SEG = 64          # samples per reduced segment (= topk_peaks' seg)
+
+
+def _window_max(block, L: int):
+    """Windowed max on the flat raster: out[n] = max_{i<L} flat[n+i].
+
+    Same doubling tree as :func:`_window_sum`; max is idempotent so the
+    bit-combine step could overlap, but we keep the exact offsets for a
+    uniform garbage-row account."""
+    pows = {1: block}
+    k, s = 1, block
+    while 2 * k <= L:
+        s = jnp.maximum(s, _shift_any(s, k))
+        k *= 2
+        pows[k] = s
+    out, off = None, 0
+    for k in sorted(pows, reverse=True):
+        if L & k:
+            term = pows[k] if off == 0 else _shift_any(pows[k], off)
+            out = term if out is None else jnp.maximum(out, term)
+            off += k
+    return out
+
+
+def _cand_slack(span: int, lag: int, win: int, lead: int) -> int:
+    """Garbage-row bound for the candidate kernel's deepest chains."""
+    g_metric = _tree_garbage(span) + _garbage_rows(lag)
+    out_shift = _garbage_rows(lead * _LANES)
+    lmax_shift = _garbage_rows(lead * _LANES - win)
+    return max(g_metric + out_shift,
+               g_metric + _tree_garbage(2 * win + 1) + lmax_shift)
+
+
+def _cand_kernel(lag: int, span: int, win: int, T: int, thr: float,
+                 lead: int, slack: int, floor_ref, exre_ref, exim_ref,
+                 segval_ref, segarg_ref, segcre_ref, segcim_ref):
+    """Grid step i emits segment reductions for outputs [i*1024, i*1024+1024).
+
+    Raster row 0 holds stream position ``-lead*128`` (zero-filled lead so
+    the centered NMS window max never needs a backward shift: everything
+    is a forward shift from an earlier base).  Per 64-sample segment the
+    outputs are: max of the NMS'd/thresholded/region-masked score, the
+    absolute offset of its first maximum, and the complex lag correlation
+    at that offset — the only arrays that ever reach HBM.
+    """
+    i = pl.program_id(0)
+    floor = floor_ref[0, 0]
+    R_load = _ROWS + lead + slack
+    er = exre_ref[pl.ds(i * _ROWS, R_load), :]
+    ei = exim_ref[pl.ds(i * _ROWS, R_load), :]
+    # one-pass metric (identical math to _detect1p_kernel)
+    erd = _shift_any(er, lag)
+    eid = _shift_any(ei, lag)
+    pre = er * erd + ei * eid
+    pim = ei * erd - er * eid
+    p = er * er + ei * ei
+    dre = _window_sum(pre, span)
+    dim = _window_sum(pim, span)
+    e1 = _window_sum(p, span)
+    e2 = _shift_any(e1, lag)
+    c2 = dre * dre + dim * dim
+    denom = jnp.maximum(e1 * e2, 1e-12)
+    metric = jnp.where(jnp.minimum(e1, e2) > floor, c2 / denom, 0.0)
+
+    # centered NMS window max: local_max[n] = max metric[n-win .. n+win].
+    # W[n] = max metric[n .. n+2win]; output j sits at raster offset
+    # j + lead*128, so local_max_j = W[j + lead*128 - win] and the
+    # aligned metric/correlation are plain lead*128 forward shifts.
+    W = _window_max(metric, 2 * win + 1)
+    lmax = _shift_any(W, lead * _LANES - win)[:_ROWS]
+    met = _shift_any(metric, lead * _LANES)[:_ROWS]
+    cre = _shift_any(dre, lead * _LANES)[:_ROWS]
+    cim = _shift_any(dim, lead * _LANES)[:_ROWS]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+    n = i * (_ROWS * _LANES) + row * _LANES + lane   # absolute offset
+    ok = (met >= lmax) & (met > thr) & (n >= win) & (n < T + win)
+    score = jnp.where(ok, met, -1.0)
+
+    halves = []
+    for sel in (lane < CAND_SEG, lane >= CAND_SEG):
+        s = jnp.where(sel, score, -jnp.inf)
+        m = jnp.max(s, axis=1)                               # [8]
+        hit = s == m[:, None]
+        arg = jnp.min(jnp.where(hit, n, jnp.int32(2 ** 31 - 1)), axis=1)
+        hot = n == arg[:, None]
+        c_re = jnp.sum(jnp.where(hot, cre, 0.0), axis=1)
+        c_im = jnp.sum(jnp.where(hot, cim, 0.0), axis=1)
+        halves.append((m, arg, c_re, c_im))
+    (m0, a0, r0, q0), (m1, a1, r1, q1) = halves
+    segval_ref[pl.ds(i * _ROWS, _ROWS), :] = jnp.stack([m0, m1], axis=1)
+    segarg_ref[pl.ds(i * _ROWS, _ROWS), :] = jnp.stack([a0, a1], axis=1)
+    segcre_ref[pl.ds(i * _ROWS, _ROWS), :] = jnp.stack([r0, r1], axis=1)
+    segcim_ref[pl.ds(i * _ROWS, _ROWS), :] = jnp.stack([q0, q1], axis=1)
+
+
+def detect_candidates_onepass(ext: jnp.ndarray, lag: int, span: int,
+                              win: int, T: int, threshold: float, k: int,
+                              floor_scale: float = 1e-4,
+                              interpret=None):
+    """Fused S0 detect -> NMS -> top-k candidates, one device pass.
+
+    Computes exactly ``_find_candidates(sync, _detect_metric(sync, ext))``
+    plus the correlation value at each candidate, but the full-rate
+    metric/correlation never leave VMEM: HBM receives only per-64-sample
+    segment reductions (a 64x write reduction) and the IQ stream is read
+    once.  Returns ``(vals, locs, c_at)`` with the same shapes/semantics
+    as the XLA path (``vals > 0`` = detected; ties broken identically:
+    first maximum in the segment).
+
+    Plateau caveat: the shift-add tree accumulates float32 differently
+    from the cumsum difference, so on a detection *plateau* (near-equal
+    metric values) the chosen offset may differ by a few samples from the
+    XLA path — downstream fine timing absorbs this (tested end-to-end).
+
+    ``interpret=None`` auto-selects interpret mode off-TPU, so the same
+    pipeline code runs everywhere.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = -(-win // _LANES)
+    slack = _cand_slack(span, lag, win, lead)
+    n_out = ext.shape[-1] - span - lag + 1
+    n_tiles = -(-n_out // _TILE)
+    R = n_tiles * _ROWS
+    rows_total = R + lead + slack
+    need = rows_total * _LANES
+
+    def pad(v):
+        v = jnp.concatenate([jnp.zeros((lead * _LANES,), v.dtype), v])
+        return jnp.pad(v, (0, need - v.shape[0]), mode="edge") \
+            .reshape(rows_total, _LANES).astype(jnp.float32)
+
+    p_mean = jnp.mean(jnp.abs(ext) ** 2)
+    floor = (floor_scale * span * (p_mean + 1e-12)).reshape(1, 1)
+
+    kernel = functools.partial(_cand_kernel, lag, span, win, T,
+                               float(threshold), lead, slack)
+    segval, segarg, segcre, segcim = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 2), jnp.float32),
+            jax.ShapeDtypeStruct((R, 2), jnp.int32),
+            jax.ShapeDtypeStruct((R, 2), jnp.float32),
+            jax.ShapeDtypeStruct((R, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(floor.astype(jnp.float32), pad(ext.real), pad(ext.imag))
+
+    # second stage (XLA, segment rate): identical to topk_peaks' tail.
+    # segments beyond the XLA path's ceil(n_out/64) hold score -1 and the
+    # first in-segment offset, matching its -1 padding bit-for-bit.
+    seg_max = segval.reshape(-1)
+    vals, seg_idx = jax.lax.top_k(seg_max, k)
+    locs = segarg.reshape(-1)[seg_idx]
+    c_at = (segcre.reshape(-1)[seg_idx] +
+            1j * segcim.reshape(-1)[seg_idx]).astype(jnp.complex64)
+    return vals, locs.astype(jnp.int32), c_at

@@ -34,8 +34,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from liquid_usrp_tpu.framing import ofdm, ofdm_sync
-    from liquid_usrp_tpu.ops.pallas_kernels import (detect_metric_fused_2d,
-                                                    detect_metric_onepass)
+    from liquid_usrp_tpu.ops.pallas_kernels import (
+        detect_candidates_onepass, detect_metric_fused_2d,
+        detect_metric_onepass)
 
     dev = jax.devices()[0]
     out = {"device": str(dev), "platform": jax.default_backend()}
@@ -108,6 +109,65 @@ def main():
             out[key] = {"compile": "ok", "metric_rel_err": merr,
                         "corr_rel_err": cerr, "match": match,
                         "us": round(t(f_pal), 1)}
+
+    # fused candidate kernel (metric+NMS+top-k in VMEM) at the flagship
+    # M=48 config vs the composed XLA path, loaded with a real frame
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    sync = ofdm_sync.make_sync(params, block_size=131072, max_payload=64,
+                               max_frames=8)._replace(use_pallas=0)
+    frame = np.asarray(ofdm.assemble_frame(
+        params, ofdm.default_props(),
+        jnp.asarray(np.arange(8, dtype=np.uint8)),
+        jnp.asarray(np.arange(48, dtype=np.uint8))))
+    buf = np.zeros(131072 + sync.overlap, np.complex64)
+    buf[5000:5000 + len(frame)] = frame
+    buf[70000:70000 + len(frame)] = frame
+    buf += 0.02 * (rng.standard_normal(len(buf)) +
+                   1j * rng.standard_normal(len(buf))).astype(np.complex64)
+    ext = jnp.asarray(buf)
+    d, L = 12, ofdm_sync.NUM_S0 * 48 - 12
+
+    def xla_cand(e):
+        m, c = ofdm_sync._detect_metric(sync, e)
+        det, locs = ofdm_sync._find_candidates(sync, m)
+        return det, locs, c[jnp.clip(locs, 0, c.shape[0] - 1)]
+
+    f_xla2 = jax.jit(xla_cand)
+    f_cand = jax.jit(lambda e: detect_candidates_onepass(
+        e, d, L, 48, sync.block_size, sync.threshold, sync.max_frames,
+        interpret=False))
+    det_x, locs_x, _ = jax.block_until_ready(f_xla2(ext))
+    try:
+        vals_p, locs_p, _ = jax.block_until_ready(f_cand(ext))
+    except Exception as e:  # noqa: BLE001
+        msg = repr(e)
+        out["cand_m48"] = {"compile": "fail", "error": msg[:400]}
+        if "UNIMPLEMENTED" in msg or "Unimplemented" in msg:
+            print(json.dumps(out))
+            sys.exit(3)
+        any_fail = True
+    else:
+        det_p = vals_p > 0
+        det_eq = bool(jnp.all(det_p == det_x))
+        # plateau argmax may differ by a few samples (documented)
+        loc_ok = bool(jnp.all(jnp.where(
+            det_x, jnp.abs(locs_p - locs_x) <= 3, True)))
+        n_det = int(jnp.sum(det_x))
+        match = det_eq and loc_ok and n_det == 2
+
+        def t2(f):
+            jax.block_until_ready(f(ext))
+            t0 = time.perf_counter()
+            for _ in range(50):
+                r = f(ext)
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / 50 * 1e6
+
+        all_match = all_match and match
+        out["cand_m48"] = {"compile": "ok", "det_equal": det_eq,
+                           "loc_ok": loc_ok, "n_detected": n_det,
+                           "match": match, "us": round(t2(f_cand), 1),
+                           "xla_us": round(t2(f_xla2), 1)}
     print(json.dumps(out))
     sys.exit(1 if any_fail else (0 if all_match else 2))
 

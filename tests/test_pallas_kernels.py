@@ -5,7 +5,8 @@ import pytest
 import jax.numpy as jnp
 
 from liquid_usrp_tpu.framing import ofdm, ofdm_sync
-from liquid_usrp_tpu.ops.pallas_kernels import (detect_metric_fused,
+from liquid_usrp_tpu.ops.pallas_kernels import (detect_candidates_onepass,
+                                                detect_metric_fused,
                                                 detect_metric_fused_2d,
                                                 detect_metric_onepass)
 
@@ -55,3 +56,70 @@ def _check_detect(fused, params):
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("M,cp", [(48, 6), (128, 16)])
+def test_fused_candidates_match_xla(M, cp):
+    """detect_candidates_onepass == _detect_metric + _find_candidates
+    (detected mask exact; plateau argmax within a few samples; c_at
+    within kernel tolerance)."""
+    params = ofdm.make_ofdm_params(M, cp, 4)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=128,
+                               max_frames=4)
+    rng = np.random.default_rng(2)
+    ext = _loaded_ext(sync, params, rng)
+
+    metric, c = ofdm_sync._detect_metric(sync, ext)
+    want_det, want_locs = ofdm_sync._find_candidates(sync, metric)
+    want_c = c[jnp.clip(want_locs, 0, c.shape[0] - 1)]
+
+    d = M // 4
+    L = ofdm.NUM_S0 * M - d
+    vals, locs, c_at = detect_candidates_onepass(
+        ext, d, L, M, sync.block_size, sync.threshold, sync.max_frames,
+        interpret=True)
+    got_det = np.asarray(vals > 0)
+    np.testing.assert_array_equal(got_det, np.asarray(want_det))
+    assert got_det.any()
+    for i in np.nonzero(got_det)[0]:
+        assert abs(int(locs[i]) - int(want_locs[i])) <= 3, \
+            (int(locs[i]), int(want_locs[i]))
+        scale = float(jnp.abs(want_c[i]))
+        assert float(jnp.abs(c_at[i] - want_c[i])) < 5e-3 * scale
+
+
+def test_sync_block_fused_pallas_end_to_end():
+    """Full sync_block with use_pallas=2 (interpret) decodes payload-
+    exact and finds the same frames as the XLA path."""
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    rng = np.random.default_rng(3)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 96, dtype=np.uint8)
+    frame = np.asarray(ofdm.assemble_frame(
+        params, ofdm.default_props(), jnp.asarray(header),
+        jnp.asarray(payload)))
+    results = {}
+    for up in (0, 2):
+        sync = ofdm_sync.make_sync(params, block_size=4096,
+                                   max_payload=128, max_frames=4,
+                                   use_pallas=up)
+        stream = np.zeros(3 * sync.block_size, np.complex64)
+        stream[2500:2500 + len(frame)] = frame
+        stream += 0.02 * (rng.standard_normal(len(stream)) +
+                          1j * rng.standard_normal(len(stream))
+                          ).astype(np.complex64)
+        st = ofdm_sync.sync_init(sync)
+        rows = []
+        for b in range(3 + sync.overlap // sync.block_size + 1):
+            blk = (stream[b * 4096:(b + 1) * 4096]
+                   if b < 3 else np.zeros(4096, np.complex64))
+            st, r = ofdm_sync.sync_block(sync, st, jnp.asarray(blk))
+            for k in range(sync.max_frames):
+                if r.payload_valid[k]:
+                    rows.append((int(r.t_start[k]),
+                                 np.asarray(r.payload[k])
+                                 [: int(r.payload_len[k])]))
+        results[up] = rows
+    assert len(results[0]) == len(results[2]) == 1
+    np.testing.assert_array_equal(results[2][0][1], payload)
+    assert abs(results[0][0][0] - results[2][0][0]) <= 3
