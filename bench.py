@@ -118,7 +118,7 @@ def _expected_fingerprints(payloads, weights, max_payload):
 
 
 def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
-                ingest="c64"):
+                ingest="c64", use_pallas=0):
     """Full pipeline: NCO -> 2N-bin PFB -> vmapped N-channel OFDM sync.
 
     ``batched_blocks > 1`` uses the multi-block batched dispatch
@@ -140,12 +140,14 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
     N = 4
     params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
     # large blocks amortize the per-block fixed cost (measured: 8k->32k
-    # block size alone moves a single stream from ~28 to ~70 MS/s)
-    # pinned to the XLA detect path until the Mosaic kernel is validated
-    # on real hardware (scripts/tpu_session_probe.py flips this story)
+    # block size alone moves a single stream from ~28 to ~70 MS/s).
+    # use_pallas=2 routes detection through the fused Mosaic candidate
+    # kernel; the best-of tier tries it as an isolated variant so a
+    # Mosaic rejection cannot sink the XLA variants (and a success is
+    # decode-verified on-chip like every other variant)
     sync = ofdm_sync.make_sync(params, block_size=block_size,
                                max_payload=512, max_frames=max_frames,
-                               use_pallas=False)
+                               use_pallas=use_pallas)
     if batched_blocks > 1:
         init_state, step = make_mcrx_batched_step(N, params, sync,
                                                   batched_blocks)
@@ -319,6 +321,8 @@ def _bench_best():
          "batched_xl"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
               ingest="bf16"), "batched_xl_bf16"),
+        (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
+              ingest="bf16", use_pallas=2), "batched_xl_bf16_pallas"),
         (dict(block_size=32768, max_frames=48, scan=1, batched_blocks=4),
          "batched"),
     ]:
@@ -371,7 +375,7 @@ def main() -> int:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True,
-                    timeout=1700 if which == "best" else 700)
+                    timeout=2400 if which == "best" else 700)
             except subprocess.TimeoutExpired:
                 continue
             for line in out.stdout.splitlines():
