@@ -100,9 +100,13 @@ def flex_frame_length(params: FlexParams, props: FrameProps,
 
 
 def flex_assemble(params: FlexParams, props: FrameProps,
-                  header: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:
-    """Assemble one burst -> complex64 ``[flex_frame_length]``."""
+                  header: jnp.ndarray, payload: jnp.ndarray,
+                  expansion: int = payload_codec.EXPANSION) -> jnp.ndarray:
+    """Assemble one burst -> complex64 ``[flex_frame_length]``.
+
+    ``expansion`` must match the receiving sync's decode budget."""
     payload_len = payload.shape[-1]
+    payload_codec.check_budget(props, payload_len, expansion)
     # header symbols
     henc = payload_codec.encode_header(header, payload_len, props)
     hbits = unpack_bits(henc)

@@ -78,9 +78,10 @@ class FlexResults(NamedTuple):
 def make_flex_sync(params: FlexParams, block_size: int = 16384,
                    max_payload: int = 2048, max_frames: int = 8,
                    threshold: float = 0.5, enable_conv: bool = False,
-                   soft: bool = False) -> FlexSync:
+                   soft: bool = False,
+                   expansion: int = _EXPANSION) -> FlexSync:
     dec_max = max_payload + 4
-    enc_max = _EXPANSION * dec_max
+    enc_max = expansion * dec_max   # see payload.check_budget
     # +1 point: DPSK payloads lead with a phase-reference point
     max_data = enc_max * 8 + 1                  # bps >= 1
     max_slots = max_data + -(-max_data // (PILOT_SPACING - 1))

@@ -180,8 +180,12 @@ def gmsk_frame_length(params: GmskParams, props: FrameProps,
 
 
 def gmsk_assemble(params: GmskParams, props: FrameProps,
-                  header: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:
-    """Assemble one GMSK burst -> complex64 ``[gmsk_frame_length]``."""
+                  header: jnp.ndarray, payload: jnp.ndarray,
+                  expansion: int = payload_codec.EXPANSION) -> jnp.ndarray:
+    """Assemble one GMSK burst -> complex64 ``[gmsk_frame_length]``.
+
+    ``expansion`` must match the receiving sync's decode budget."""
+    payload_codec.check_budget(props, payload.shape[-1], expansion)
     bits = _frame_bits(props, header, payload)
     # differential precoding (GSM-style): the coherent receiver's
     # derotated decision j^(S_q - q) then equals (-1)^bit directly, so
@@ -229,9 +233,10 @@ class GmskSyncState(NamedTuple):
 def make_gmsk_sync(params: GmskParams, block_size: int = 16384,
                    max_payload: int = 2048, max_frames: int = 8,
                    threshold: float = 0.5, enable_conv: bool = False,
-                   soft: bool = False) -> GmskSync:
+                   soft: bool = False,
+                   expansion: int = _EXPANSION) -> GmskSync:
     dec_max = max_payload + 4
-    enc_max = _EXPANSION * dec_max
+    enc_max = expansion * dec_max   # see payload.check_budget
     max_bits = (payload_codec.HEADER_ENC_BYTES + enc_max) * 8
     max_frame = (PRE_BITS + SYNC_BITS + max_bits + 4 * params.m) * params.k
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv

@@ -98,11 +98,12 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
               max_payload: int = 2048, max_frames: int = 8,
               threshold: float = 0.5,
               enable_conv: bool = False, soft: bool = False,
-              use_pallas="auto") -> OfdmSync:
+              use_pallas="auto",
+              expansion: int = _EXPANSION) -> OfdmSync:
     M, cp = params.M, params.cp_len
     n_data = len(params.data_idx)
     dec_max = max_payload + 4
-    enc_max = _EXPANSION * dec_max
+    enc_max = expansion * dec_max   # see payload.check_budget
     # +1 point: DPSK payloads lead with a phase-reference point
     max_psym = -(-(enc_max * 8 + 1) // n_data)   # bps >= 1
     n_hsym = header_symbol_count(params)

@@ -32,7 +32,7 @@ __all__ = [
     "HEADER_USER_BYTES",
     "HEADER_DEC_BYTES", "HEADER_ENC_BYTES", "HEADER_MOD", "HEADER_BPS",
     "HEADER_SYMS", "scramble", "encode_header", "decode_header",
-    "encode_payload", "payload_enc_bytes",
+    "encode_payload", "payload_enc_bytes", "check_budget",
     "generic_demod_bits", "fec_decode_switch", "crc_check_dynamic",
     "EXPANSION",
 ]
@@ -152,6 +152,30 @@ def payload_enc_bytes(props, payload_len: int) -> int:
     n = fec_mod.encoded_length(props.fec0, n)
     n = fec_mod.encoded_length(props.fec1, n)
     return n
+
+
+def check_budget(props, payload_len: int, expansion: int = EXPANSION):
+    """Raise if this mod/FEC combination overflows the RX decode budget.
+
+    The synchronizers decode payloads into static max-size buffers of
+    ``expansion * (payload + CRC)`` bytes (``make_*_sync(expansion=...)``).
+    A props combination expanding beyond that (e.g. v27's rate-1/2 on top
+    of the default Hamming(12,8) outer = 3.01x) would silently truncate
+    the encoded tail — the trailing CRC bytes decode as garbage and every
+    frame fails validation even at high SNR.  Fail loudly at assemble
+    time instead.
+    """
+    dec = payload_len + crc_mod.crc_width_bytes(props.check)
+    need = payload_enc_bytes(props, payload_len)
+    if need > expansion * dec:
+        raise ValueError(
+            f"fec0={fec_mod.fec_name(props.fec0)} + "
+            f"fec1={fec_mod.fec_name(props.fec1)} expands a "
+            f"{payload_len}-byte payload {need / dec:.2f}x — beyond the "
+            f"expansion={expansion} receive budget.  Build both ends for "
+            f"it: make_*_sync(..., expansion=<n>) and "
+            f"assemble(..., expansion=<n>), or pick a lighter outer FEC "
+            f"(the reference pairs conv inner codes with fec1=none).")
 
 
 def encode_payload(props, payload: jnp.ndarray) -> jnp.ndarray:
@@ -435,7 +459,10 @@ def decode_payload_batch_soft(sync_enc_max: int, dec_max: int,
         _scramble_np(sync_enc_max, 2))).astype(jnp.float32)
     llr_desc = llrs * (1.0 - 2.0 * pn_bits)[None, :]
 
-    def fec_stage(scheme_ids, bufs, bufs_llr, out_bytes):
+    def fec_stage(scheme_ids, bufs, bufs_llr, out_bytes, llr_ok=None):
+        """``llr_ok`` (bool [K], optional): rows whose ``bufs_llr`` is a
+        valid channel-LLR view of ``bufs`` — conv branches decode those
+        rows soft and the rest hard."""
         in_bytes = bufs.shape[-1]
         out = jnp.zeros((K, out_bytes), jnp.uint8)
         for idx, s in enumerate(fecs):
@@ -447,6 +474,11 @@ def decode_payload_batch_soft(sync_enc_max: int, dec_max: int,
                 dec = jax.vmap(
                     lambda L: conv_mod.conv_decode_soft(s, L[:need * 8], n)
                 )(bufs_llr)
+                if llr_ok is not None:
+                    hard_dec = jax.vmap(
+                        lambda b: fec_mod.fec_decode(s, b, n))(
+                            bufs[:, :need])
+                    dec = jnp.where(llr_ok[:, None], dec, hard_dec)
             elif fec_mod._is_conv(s) or s == fec_mod.FEC_RS8:
                 dec = jax.vmap(lambda b: fec_mod.fec_decode(s, b, n))(
                     bufs[:, :need])
@@ -459,10 +491,15 @@ def decode_payload_batch_soft(sync_enc_max: int, dec_max: int,
             out = jnp.where((scheme_ids == idx)[:, None], dec, out)
         return out
 
-    # outer (fec1) sees channel LLRs; inner (fec0) decodes fec1's hard
-    # output (LLRs are no longer meaningful after an outer decode)
+    # outer (fec1) sees channel LLRs.  The inner (fec0) normally decodes
+    # fec1's hard output (LLRs are no longer meaningful after a real
+    # outer decode) — EXCEPT when fec1 is none: then the outer stage is
+    # the identity and the channel LLRs are still a valid view of the
+    # inner code's input, which is exactly the canonical conv config
+    # (fec0=v27/v29, fec1=none — the reference pairs them this way too)
     mid = fec_stage(f1, enc, llr_desc, sync_enc_max)
-    dec = fec_stage(f0, mid, None, dec_max)
+    dec = fec_stage(f0, mid, llr_desc, dec_max,
+                    llr_ok=(f1 == fec_mod.FEC_NONE))
     crc_ok = jax.vmap(crc_check_dynamic)(check, dec, plen)
     pvalid = hvalid & crc_ok
     payload = jnp.where(jnp.arange(max_payload)[None, :] < plen[:, None],

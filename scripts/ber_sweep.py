@@ -8,6 +8,11 @@ residual payload BER.  Usable for any of the three frame families.
 Usage:
   python scripts/ber_sweep.py [ofdm|flex|gmsk] [--snrs 0,2,...,20]
           [--frames 20] [--payload 200] [--json out.json]
+          [--fec0 v27] [--fec1 none] [--soft]
+
+``--fec0/--fec1`` override the family-default payload FEC pair (liquid
+names); ``--soft`` routes channel LLRs into the conv Viterbi branches
+(soft-vs-hard gain is ~1.5-2 dB on rate-1/2 codes).
 """
 import argparse
 import json
@@ -26,18 +31,31 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 
 
 def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
-              cfo: float = 0.001, seed: int = 0):
+              cfo: float = 0.001, seed: int = 0, fec0: str = None,
+              fec1: str = None, soft: bool = False):
     import jax
     import jax.numpy as jnp
     from liquid_usrp_tpu.io import channel_model as chan
+    from liquid_usrp_tpu.ops import fec as fec_mod
+
+    def with_fec0(props):
+        if fec0 is not None:
+            props = props._replace(fec0=fec_mod.fec_from_name(fec0))
+        if fec1 is not None:
+            props = props._replace(fec1=fec_mod.fec_from_name(fec1))
+        return props
+
+    enable_conv = any(f is not None and f.startswith("v")
+                      for f in (fec0, fec1))
 
     if family == "ofdm":
         from liquid_usrp_tpu.framing import ofdm, ofdm_sync
         params = ofdm.make_ofdm_params(48, 6, 4)
-        props = ofdm.default_props()
+        props = with_fec0(ofdm.default_props())
         sync = ofdm_sync.make_sync(params, block_size=8192,
                                    max_payload=max(payload_len, 64),
-                                   max_frames=4)
+                                   max_frames=4, enable_conv=enable_conv,
+                                   soft=soft)
         step = ofdm_sync.make_sync_step(sync)
         init = lambda: ofdm_sync.sync_init(sync)
         assemble = lambda h, p: ofdm.assemble_frame(
@@ -46,10 +64,11 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
         from liquid_usrp_tpu.framing import flexframe as ff
         from liquid_usrp_tpu.framing import flexframe_sync as ffs
         params = ff.make_flex_params()
-        props = ff.default_props()
+        props = with_fec0(ff.default_props())
         sync = ffs.make_flex_sync(params, block_size=8192,
                                   max_payload=max(payload_len, 64),
-                                  max_frames=4)
+                                  max_frames=4, enable_conv=enable_conv,
+                                  soft=soft)
         step = ffs.make_flex_sync_step(sync)
         init = lambda: ffs.flex_sync_init(sync)
         assemble = lambda h, p: ff.flex_assemble(
@@ -57,10 +76,11 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
     elif family == "gmsk":
         from liquid_usrp_tpu.framing import gmskframe as gf
         params = gf.make_gmsk_params()
-        props = gf.gmsk_default_props()
+        props = with_fec0(gf.gmsk_default_props())
         sync = gf.make_gmsk_sync(params, block_size=8192,
                                  max_payload=max(payload_len, 64),
-                                 max_frames=4)
+                                 max_frames=4, enable_conv=enable_conv,
+                                 soft=soft)
         step = gf.make_gmsk_sync_step(sync)
         init = lambda: gf.gmsk_sync_init(sync)
         assemble = lambda h, p: gf.gmsk_assemble(
@@ -221,9 +241,17 @@ def main():
     ap.add_argument("--payload", type=int, default=200)
     ap.add_argument("--cfo", type=float, default=0.001)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--fec0", default=None,
+                    help="override inner payload FEC (liquid name, e.g. "
+                         "v27); conv names enable the runtime conv set")
+    ap.add_argument("--fec1", default=None,
+                    help="override outer payload FEC (liquid name)")
+    ap.add_argument("--soft", action="store_true",
+                    help="soft-decision LLRs into conv payload decode")
     args = ap.parse_args()
     snrs = [float(s) for s in args.snrs.split(",")]
-    res = run_sweep(args.family, snrs, args.frames, args.payload, args.cfo)
+    res = run_sweep(args.family, snrs, args.frames, args.payload, args.cfo,
+                    fec0=args.fec0, fec1=args.fec1, soft=args.soft)
     for r in res:
         r["theory_per"] = round(
             theory_per(args.family, r["snr_db"], args.payload), 6)

@@ -490,3 +490,44 @@ def test_block_size_invariance_multiframe_stress(setup):
             assert a["t"] == b["t"], bs
             assert a["payload_len"] == b["payload_len"], bs
             np.testing.assert_array_equal(a["payload"], b["payload"])
+
+
+def test_over_budget_props_raise_at_assemble():
+    """v27 inner + default h128 outer expands 3.01x > the default
+    expansion=3 receive budget; silently truncating the encoded tail used
+    to corrupt the trailing CRC (payload bytes perfect, payload_valid
+    False at any SNR).  assemble must fail loudly instead."""
+    params = ofdm.make_ofdm_params(M=M, cp_len=CP, taper_len=TAPER)
+    props = ofdm.FrameProps(check=crc.CRC_32, fec0=fec.FEC_CONV_V27,
+                            fec1=fec.FEC_HAMMING128, mod=modem.MOD_QPSK)
+    payload = np.arange(200, dtype=np.uint8)
+    with pytest.raises(ValueError, match="expansion"):
+        ofdm.assemble_frame(params, props, jnp.zeros(8, jnp.uint8),
+                            jnp.asarray(payload))
+
+
+def test_conv_plus_outer_fec_with_raised_expansion():
+    """The regression case behind check_budget: fec0=v27 + fec1=h128 at
+    200 bytes round-trips payload-exact when BOTH ends are built for
+    expansion=4."""
+    params = ofdm.make_ofdm_params(M=M, cp_len=CP, taper_len=TAPER)
+    sync = ofdm_sync.make_sync(params, block_size=8192, max_payload=200,
+                               max_frames=2, enable_conv=True, expansion=4)
+    step = ofdm_sync.make_sync_step(sync)
+    props = ofdm.FrameProps(check=crc.CRC_32, fec0=fec.FEC_CONV_V27,
+                            fec1=fec.FEC_HAMMING128, mod=modem.MOD_QPSK)
+    rng = np.random.default_rng(0)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 200, dtype=np.uint8)
+    samples = np.asarray(ofdm.assemble_frame(
+        params, props, jnp.asarray(header), jnp.asarray(payload),
+        expansion=4))
+    stream = np.zeros(2000 + len(samples), np.complex64)
+    stream[700:700 + len(samples)] = samples
+    ch = chan.Channel(snr_db=20.0)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(8), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, frames
+    np.testing.assert_array_equal(ok[0]["payload"][:200], payload)
