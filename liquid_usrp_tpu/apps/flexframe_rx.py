@@ -14,6 +14,7 @@ import numpy as np
 
 from ..framing import flexframe as ff
 from ..framing import flexframe_sync as ffs
+from ..framing.payload import EXPANSION
 from ..io.streams import read_iq
 from ..ops import resamp as resamp_mod
 from .common import (RxStats, apply_channel, iter_sync_results,
@@ -23,13 +24,17 @@ USAGE = """flexframe_rx -i in.iq [options]
   h : usage              i : input IQ file (required)
   r : input resampling rate applied (0.5 default; 1.0 = none)
   q : quiet
+  e : decode budget (expansion), default 3 (TX prints the needed value)
+  --conv/--soft : enable conv/RS FEC branches / soft-decision decode
   --snr/--cfo/--delay : virtual channel impairments
 """
 
 
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:r:p:q")
+                          "hi:r:p:e:q",
+                          ["snr=", "cfo=", "delay=", "seed=",
+                           "conv", "soft"])
     if "h" in flags:
         print(USAGE)
         return 0
@@ -56,7 +61,10 @@ def main(argv=None) -> int:
     params = ff.make_flex_params()
     sync = ffs.make_flex_sync(params, block_size=8192,
                               max_payload=int(flags.get("p", 2048)),
-                              max_frames=4)
+                              max_frames=4,
+                              enable_conv="conv" in flags,
+                              soft="soft" in flags,
+                              expansion=int(flags.get("e", EXPANSION)))
     step = ffs.make_flex_sync_step(sync)
     stats = RxStats()
     t0 = time.time()

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..framing import gmskframe as gf
+from ..framing.payload import EXPANSION
 from ..io.streams import read_iq
 from ..ops import resamp as resamp_mod
 from .common import (RxStats, apply_channel, iter_sync_results,
@@ -22,13 +23,17 @@ USAGE = """gmskframe_rx -i in.iq [options]
   h : usage              i : input IQ file (required)
   r : input resampling rate (1.0)
   q : quiet
+  e : decode budget (expansion), default 3 (TX prints the needed value)
+  --conv/--soft : enable conv/RS FEC branches / soft-decision decode
   --snr/--cfo/--delay : virtual channel impairments
 """
 
 
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:r:p:q")
+                          "hi:r:p:e:q",
+                          ["snr=", "cfo=", "delay=", "seed=",
+                           "conv", "soft"])
     if "h" in flags:
         print(USAGE)
         return 0
@@ -55,7 +60,10 @@ def main(argv=None) -> int:
     params = gf.make_gmsk_params()
     sync = gf.make_gmsk_sync(params, block_size=8192,
                              max_payload=int(flags.get("p", 1024)),
-                             max_frames=4)
+                             max_frames=4,
+                             enable_conv="conv" in flags,
+                             soft="soft" in flags,
+                             expansion=int(flags.get("e", EXPANSION)))
     step = gf.make_gmsk_sync_step(sync)
     stats = RxStats()
     snrs = []

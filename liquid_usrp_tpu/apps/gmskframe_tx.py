@@ -54,6 +54,13 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(int(flags.get("s", 42)))
 
     params = gf.make_gmsk_params()
+    # heavy FEC pairs expand past the default decode budget; auto-size
+    # the TX side and tell the user what the receiver needs
+    from ..framing import payload as payload_codec
+    expansion = payload_codec.required_expansion(props, P)
+    if expansion > payload_codec.EXPANSION:
+        print(f"note: this FEC pair needs a {expansion}x decode budget — "
+              f"run the receiver with `--conv -e {expansion}`")
     gap = np.zeros(300, np.complex64)
     chunks = [gap]
     for pid in range(num_frames):
@@ -63,7 +70,8 @@ def main(argv=None) -> int:
         header[2:] = rng.integers(0, 256, 6, dtype=np.uint8)
         payload = rng.integers(0, 256, P, dtype=np.uint8)
         frame = np.asarray(gf.gmsk_assemble(
-            params, props, jnp.asarray(header), jnp.asarray(payload)))
+            params, props, jnp.asarray(header), jnp.asarray(payload),
+            expansion=expansion))
         chunks.append(frame * gain)
         chunks.append(gap)
     baseband = np.concatenate(chunks)

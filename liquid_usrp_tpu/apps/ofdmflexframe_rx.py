@@ -12,6 +12,7 @@ import time
 
 import numpy as np
 
+from ..framing.payload import EXPANSION
 from ..io.streams import read_iq
 from ..models.ofdmtxrx import OfdmTxRx
 from .common import RxStats, apply_channel, parse_args
@@ -36,6 +37,10 @@ USAGE = """ofdmflexframe_rx -i in.iq [options]
   --bf16 : ship RX blocks to the device as bfloat16 I/Q planes (half the
           host->device transfer + input HBM read; ~45 dB quantization
           floor — see ops/iqfmt.py)
+  --conv : enable convolutional/RS payload FEC decode branches
+  --soft : soft-decision (LLR) decode for conv payload FECs
+  e      : decode budget (encoded/decoded expansion), default 3; the
+          transmitter prints the value to use for heavy FEC pairs
 """
 
 
@@ -65,10 +70,10 @@ def _dump_debug(prefix: str, txrx, stream):
 
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:M:C:T:p:d:qv",
+                          "hi:M:C:T:p:d:e:qv",
                           ["snr=", "cfo=", "delay=", "seed=",
                            "save-state=", "load-state=", "stream",
-                           "bf16"])
+                           "bf16", "conv", "soft"])
     if "h" in flags:
         print(USAGE)
         return 0
@@ -101,7 +106,9 @@ def main(argv=None) -> int:
 
     txrx = OfdmTxRx(M=M, cp_len=cp, taper_len=taper,
                     max_payload=max_payload, callback=callback,
-                    rx_ingest="bf16" if "bf16" in flags else "c64")
+                    rx_ingest="bf16" if "bf16" in flags else "c64",
+                    enable_conv="conv" in flags, soft="soft" in flags,
+                    expansion=int(flags.get("e", EXPANSION)))
     streaming = "stream" in flags
     if streaming and any(k in flags for k in ("snr", "cfo", "delay")):
         print("--stream does not compose with impairment flags")

@@ -33,6 +33,7 @@ __all__ = [
     "HEADER_DEC_BYTES", "HEADER_ENC_BYTES", "HEADER_MOD", "HEADER_BPS",
     "HEADER_SYMS", "scramble", "encode_header", "decode_header",
     "encode_payload", "payload_enc_bytes", "check_budget",
+    "required_expansion",
     "generic_demod_bits", "fec_decode_switch", "crc_check_dynamic",
     "EXPANSION",
 ]
@@ -152,6 +153,19 @@ def payload_enc_bytes(props, payload_len: int) -> int:
     n = fec_mod.encoded_length(props.fec0, n)
     n = fec_mod.encoded_length(props.fec1, n)
     return n
+
+
+def required_expansion(props, payload_len: int) -> int:
+    """Smallest ``expansion`` budget that fits this props combination.
+
+    Both ends must be built for it when it exceeds the default
+    ``EXPANSION``: ``make_*_sync(expansion=n)`` and
+    ``assemble(..., expansion=n)``.  Apps use this to auto-size the TX
+    budget and tell the user what to pass to the receiver.
+    """
+    dec = payload_len + crc_mod.crc_width_bytes(props.check)
+    need = payload_enc_bytes(props, payload_len)
+    return max(EXPANSION, -(-need // max(dec, 1)))
 
 
 def check_budget(props, payload_len: int, expansion: int = EXPANSION):

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..framing import ofdm, ofdm_sync
+from ..framing import payload as payload_codec
 from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
 
@@ -58,7 +59,9 @@ class OfdmTxRx:
                  callback: Optional[Callable] = None,
                  block_size: int = 16384, max_payload: int = 2048,
                  rx_transform: Optional[Callable] = None,
-                 batch_blocks: int = 8, rx_ingest: str = "c64"):
+                 batch_blocks: int = 8, rx_ingest: str = "c64",
+                 enable_conv: bool = False, soft: bool = False,
+                 expansion: int = payload_codec.EXPANSION):
         # ctor validation mirrors lib/ofdmtxrx.cc:60-69
         if M < 8:
             raise ValueError("number of subcarriers must be at least 8")
@@ -70,8 +73,11 @@ class OfdmTxRx:
         self.props = ofdm.default_props()
         self.radio = RadioConfig()
         self.callback = callback
+        self.expansion = int(expansion)
         self._sync = ofdm_sync.make_sync(self.params, block_size=block_size,
-                                         max_payload=max_payload)
+                                         max_payload=max_payload,
+                                         enable_conv=enable_conv, soft=soft,
+                                         expansion=self.expansion)
         self._step = ofdm_sync.make_sync_step(self._sync)
         self._rx_state = ofdm_sync.sync_init(self._sync)
         self._rx_running = False
@@ -148,7 +154,8 @@ class OfdmTxRx:
         payload = jnp.asarray(np.asarray(payload, dtype=np.uint8))
         g = 10.0 ** (self.radio.tx_gain_soft / 20.0)
         samples = ofdm.assemble_frame(
-            self.params, self.props, header, payload) * g
+            self.params, self.props, header, payload,
+            expansion=self.expansion) * g
         out = np.asarray(samples)
         self._tx_buffer.append(out)
         return out
@@ -161,7 +168,8 @@ class OfdmTxRx:
         self._assembled = np.asarray(ofdm.assemble_frame(
             self.params, self.props,
             jnp.asarray(np.asarray(header, dtype=np.uint8)),
-            jnp.asarray(np.asarray(payload, dtype=np.uint8)))) * g
+            jnp.asarray(np.asarray(payload, dtype=np.uint8)),
+            expansion=self.expansion)) * g
         self._assembled_pos = 0
 
     def write_symbol(self) -> tuple[np.ndarray, bool]:
