@@ -25,6 +25,7 @@ sync``.
 """
 from __future__ import annotations
 
+import threading
 from typing import NamedTuple, Optional
 
 import jax
@@ -65,11 +66,21 @@ class MultichannelTx:
         # per-channel pending baseband samples (time-domain frame streams)
         self._queues: list[np.ndarray] = [
             np.zeros(0, np.complex64) for _ in range(num_channels)]
+        # async TX worker (the reference's tx_worker thread that keeps the
+        # radio fed ahead of the consumption cursor,
+        # lib/multichanneltxrx.cc:430-500); idle until start_worker()
+        self._cv = threading.Condition()
+        self._worker: Optional[threading.Thread] = None
+        self._running = False
+        self._ahead: list[np.ndarray] = []   # produced, unconsumed samples
+        self._ahead_len = 0
+        self._max_ahead = 0
 
     def is_channel_ready(self, ch: int) -> bool:
         """True when channel ``ch`` has drained its queued frame
         (= !ofdmflexframegen_is_assembled, lib/multichanneltx.cc:152-162)."""
-        return len(self._queues[ch]) == 0
+        with self._cv:
+            return len(self._queues[ch]) == 0
 
     def update_data(self, ch: int, header, payload, mod=None, fec0=None,
                     fec1=None):
@@ -88,14 +99,23 @@ class MultichannelTx:
             self.params, p,
             jnp.asarray(np.asarray(header, dtype=np.uint8)),
             jnp.asarray(np.asarray(payload, dtype=np.uint8))))
-        self._queues[ch] = samples
+        with self._cv:
+            self._queues[ch] = samples
+            self._cv.notify_all()
 
     def generate_samples(self, n_channel_samples: int) -> np.ndarray:
         """Produce ``2N * n_channel_samples`` output samples.
 
         Each channel contributes ``n_channel_samples`` baseband samples from
         its queue (zeros when idle, :239); one fused synthesize + mix.
+        With the async worker running, use :meth:`read_samples` instead —
+        the worker owns the generation cursor.
         """
+        with self._cv:
+            return self._generate(n_channel_samples)
+
+    def _generate(self, n_channel_samples: int) -> np.ndarray:
+        """Core generation; caller holds ``self._cv``."""
         N = self.num_channels
         Y = np.zeros((n_channel_samples, 2 * N), dtype=np.complex64)
         for ch in range(N):
@@ -107,6 +127,74 @@ class MultichannelTx:
         self._mctx_state, y = self._mctx_step(self._mctx_state,
                                               jnp.asarray(Y))
         return np.asarray(y)
+
+    # -- async TX worker ----------------------------------------------------
+    # The reference streams TX from a dedicated worker thread that keeps
+    # the radio fed ahead of the consumption cursor while the main thread
+    # queues packets (tx_worker, lib/multichanneltxrx.cc:430-500).  Here the
+    # worker pre-generates into a bounded ahead-buffer; the consumer's
+    # read_samples() blocks on the producer, and the producer blocks when
+    # max_ahead samples are already buffered (bounded memory).
+
+    def start_worker(self, chunk: int = 256, max_ahead: int = 65536):
+        """Start ahead-of-cursor production (``chunk`` channel-samples per
+        step, at most ``max_ahead`` output samples buffered)."""
+        with self._cv:
+            if self._running:
+                return
+            self._running = True
+            self._max_ahead = int(max_ahead)
+        self._worker = threading.Thread(
+            target=self._produce_loop, args=(int(chunk),), daemon=True)
+        self._worker.start()
+
+    def _produce_loop(self, chunk: int):
+        while True:
+            with self._cv:
+                while self._running and self._ahead_len >= self._max_ahead:
+                    self._cv.wait(0.1)
+                if not self._running:
+                    return
+                y = self._generate(chunk)
+                self._ahead.append(y)
+                self._ahead_len += len(y)
+                self._cv.notify_all()
+
+    @property
+    def samples_ahead(self) -> int:
+        """Output samples produced ahead of the consumption cursor."""
+        with self._cv:
+            return self._ahead_len
+
+    def read_samples(self, n: int) -> np.ndarray:
+        """Consume ``n`` output samples from the ahead-buffer (blocking
+        while the worker produces; tops up synchronously once stopped)."""
+        with self._cv:
+            while self._running and self._ahead_len < n:
+                self._cv.wait(0.1)
+            if self._ahead_len < n:
+                # worker stopped: drain deterministically
+                miss = n - self._ahead_len
+                per_step = 2 * self.num_channels
+                y = self._generate(-(-miss // per_step))
+                self._ahead.append(y)
+                self._ahead_len += len(y)
+            buf = np.concatenate(self._ahead) if self._ahead else \
+                np.zeros(0, np.complex64)
+            out, rest = buf[:n], buf[n:]
+            self._ahead = [rest] if len(rest) else []
+            self._ahead_len = len(rest)
+            self._cv.notify_all()
+            return out
+
+    def stop_worker(self):
+        """Stop the producer; buffered samples remain readable."""
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        if self._worker is not None:
+            self._worker.join()
+            self._worker = None
 
 
 class MctxState(NamedTuple):
@@ -342,3 +430,14 @@ class MultichannelTxRx:
         out.append(self.tx.generate_samples(2 * self.tx.chz.P))
         return (np.concatenate(out) if out
                 else np.zeros(0, np.complex64))
+
+    # async-TX composition (start_tx/stop_tx, lib/multichanneltxrx.cc:
+    # 302-346): production runs ahead of the consumer on a worker thread
+    def start_tx(self, chunk: int = 256, max_ahead: int = 65536):
+        self.tx.start_worker(chunk=chunk, max_ahead=max_ahead)
+
+    def stop_tx(self):
+        self.tx.stop_worker()
+
+    def read_tx_samples(self, n: int) -> np.ndarray:
+        return self.tx.read_samples(n)
