@@ -101,12 +101,15 @@ def flex_frame_length(params: FlexParams, props: FrameProps,
 
 def flex_assemble(params: FlexParams, props: FrameProps,
                   header: jnp.ndarray, payload: jnp.ndarray,
-                  expansion: int = payload_codec.EXPANSION) -> jnp.ndarray:
+                  expansion: int = payload_codec.EXPANSION,
+                  rx_max_payload: int = None) -> jnp.ndarray:
     """Assemble one burst -> complex64 ``[flex_frame_length]``.
 
-    ``expansion`` must match the receiving sync's decode budget."""
+    ``expansion``/``rx_max_payload`` describe the receiving sync's decode
+    budget (see payload.check_budget)."""
     payload_len = payload.shape[-1]
-    payload_codec.check_budget(props, payload_len, expansion)
+    payload_codec.check_budget(props, payload_len, expansion,
+                               rx_max_payload)
     # header symbols
     henc = payload_codec.encode_header(header, payload_len, props)
     hbits = unpack_bits(henc)

@@ -181,11 +181,14 @@ def gmsk_frame_length(params: GmskParams, props: FrameProps,
 
 def gmsk_assemble(params: GmskParams, props: FrameProps,
                   header: jnp.ndarray, payload: jnp.ndarray,
-                  expansion: int = payload_codec.EXPANSION) -> jnp.ndarray:
+                  expansion: int = payload_codec.EXPANSION,
+                  rx_max_payload: int = None) -> jnp.ndarray:
     """Assemble one GMSK burst -> complex64 ``[gmsk_frame_length]``.
 
-    ``expansion`` must match the receiving sync's decode budget."""
-    payload_codec.check_budget(props, payload.shape[-1], expansion)
+    ``expansion``/``rx_max_payload`` describe the receiving sync's decode
+    budget (see payload.check_budget)."""
+    payload_codec.check_budget(props, payload.shape[-1], expansion,
+                               rx_max_payload)
     bits = _frame_bits(props, header, payload)
     # differential precoding (GSM-style): the coherent receiver's
     # derotated decision j^(S_q - q) then equals (-1)^bit directly, so

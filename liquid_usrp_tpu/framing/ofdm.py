@@ -244,16 +244,19 @@ def _symbols_to_grid(params: OfdmParams, mod_syms: jnp.ndarray,
 
 def assemble_frame(params: OfdmParams, props: FrameProps,
                    header: jnp.ndarray, payload: jnp.ndarray,
-                   expansion: int = payload_codec.EXPANSION) -> jnp.ndarray:
+                   expansion: int = payload_codec.EXPANSION,
+                   rx_max_payload: int = None) -> jnp.ndarray:
     """Assemble a complete frame -> complex64 ``[frame_length]``.
 
     ``header``: uint8 [8]; ``payload``: uint8 [payload_len] (static length).
     Matches ``ofdmflexframegen_assemble`` + drain-all-symbols semantics
     (/root/reference/lib/ofdmtxrx.cc:320-342) in one batched graph.
-    ``expansion`` must match the receiving sync's decode budget.
+    ``expansion``/``rx_max_payload`` describe the receiving sync's decode
+    budget (see payload.check_budget).
     """
     payload_len = payload.shape[-1]
-    payload_codec.check_budget(props, payload_len, expansion)
+    payload_codec.check_budget(props, payload_len, expansion,
+                               rx_max_payload)
     # --- header ---
     henc = _encode_header(header, payload_len, props)
     hbits = unpack_bits(henc)

@@ -156,32 +156,41 @@ def payload_enc_bytes(props, payload_len: int) -> int:
 
 
 def required_expansion(props, payload_len: int) -> int:
-    """Smallest ``expansion`` budget that fits this props combination.
+    """Smallest ``expansion`` budget that fits this props combination for
+    ANY conforming receiver (worst case ``max_payload == payload_len``).
 
     Both ends must be built for it when it exceeds the default
     ``EXPANSION``: ``make_*_sync(expansion=n)`` and
     ``assemble(..., expansion=n)``.  Apps use this to auto-size the TX
     budget and tell the user what to pass to the receiver.
     """
-    dec = payload_len + crc_mod.crc_width_bytes(props.check)
+    dec = payload_len + 4            # the sync dec_max formula (CRC32 allowance)
     need = payload_enc_bytes(props, payload_len)
     return max(EXPANSION, -(-need // max(dec, 1)))
 
 
-def check_budget(props, payload_len: int, expansion: int = EXPANSION):
+def check_budget(props, payload_len: int, expansion: int = EXPANSION,
+                 rx_max_payload: int = None):
     """Raise if this mod/FEC combination overflows the RX decode budget.
 
-    The synchronizers decode payloads into static max-size buffers of
-    ``expansion * (payload + CRC)`` bytes (``make_*_sync(expansion=...)``).
-    A props combination expanding beyond that (e.g. v27's rate-1/2 on top
-    of the default Hamming(12,8) outer = 3.01x) would silently truncate
-    the encoded tail — the trailing CRC bytes decode as garbage and every
-    frame fails validation even at high SNR.  Fail loudly at assemble
-    time instead.
+    The synchronizers decode payloads into static buffers of
+    ``expansion * (max_payload + 4)`` bytes (``make_*_sync``).  A frame
+    whose encoded payload exceeds that (e.g. v27's rate-1/2 on top of the
+    default Hamming(12,8) outer = 3.01x, at full payload size) would
+    silently truncate the encoded tail — the trailing CRC bytes decode as
+    garbage and every frame fails validation even at high SNR.  Fail
+    loudly at assemble time instead.
+
+    ``rx_max_payload``: the receiving sync's ``max_payload`` when known
+    (e.g. a paired transceiver) — a frame shorter than the receiver's
+    budget has headroom.  Defaults to the conservative worst case
+    ``max_payload == payload_len`` (safe for ANY receiver that can hold
+    the payload at all).
     """
-    dec = payload_len + crc_mod.crc_width_bytes(props.check)
+    rx_max = max(payload_len, rx_max_payload or 0)
     need = payload_enc_bytes(props, payload_len)
-    if need > expansion * dec:
+    if need > expansion * (rx_max + 4):
+        dec = payload_len + 4
         raise ValueError(
             f"fec0={fec_mod.fec_name(props.fec0)} + "
             f"fec1={fec_mod.fec_name(props.fec1)} expands a "

@@ -155,7 +155,8 @@ class OfdmTxRx:
         g = 10.0 ** (self.radio.tx_gain_soft / 20.0)
         samples = ofdm.assemble_frame(
             self.params, self.props, header, payload,
-            expansion=self.expansion) * g
+            expansion=self.expansion,
+            rx_max_payload=self._sync.max_payload) * g
         out = np.asarray(samples)
         self._tx_buffer.append(out)
         return out
@@ -169,7 +170,8 @@ class OfdmTxRx:
             self.params, self.props,
             jnp.asarray(np.asarray(header, dtype=np.uint8)),
             jnp.asarray(np.asarray(payload, dtype=np.uint8)),
-            expansion=self.expansion)) * g
+            expansion=self.expansion,
+            rx_max_payload=self._sync.max_payload)) * g
         self._assembled_pos = 0
 
     def write_symbol(self) -> tuple[np.ndarray, bool]:

@@ -342,8 +342,11 @@ def test_stress_mixed_props_stream(setup):
         plen = int(rng.integers(8, 400))
         header = rng.integers(0, 256, 8, dtype=np.uint8)
         payload = rng.integers(0, 256, plen, dtype=np.uint8)
+        # rx_max_payload: the paired sync's budget — random heavy pairs
+        # (e.g. g2412+h128 = 3.01x) fit because plen < max_payload
         frame = np.asarray(ofdm.assemble_frame(
-            params, props, jnp.asarray(header), jnp.asarray(payload)))
+            params, props, jnp.asarray(header), jnp.asarray(payload),
+            rx_max_payload=sync.max_payload))
         if pos + len(frame) + sync.overlap >= len(stream):
             break
         stream[pos:pos + len(frame)] = frame
