@@ -222,6 +222,86 @@ def lane_batched():
         f"equal={bool(eq)} valid={int(n_valid)}/{n_frames}"
 
 
+def lane_pallas():
+    """The fused Mosaic detect front-end (use_pallas=2) decodes the same
+    frames payload-exact as the XLA path (compiled Mosaic on TPU,
+    interpret mode elsewhere).  Decode outcomes are compared — not raw
+    candidate offsets, which may sit a few samples apart on a detection
+    plateau (float32 accumulation order; fine timing absorbs it)."""
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    props = ofdm.default_props()
+    rng = np.random.default_rng(14)
+    payloads, bursts = [], []
+    for _ in range(3):
+        h = rng.integers(0, 256, 8, dtype=np.uint8)
+        p = rng.integers(0, 256, 180, dtype=np.uint8)
+        payloads.append(p)
+        bursts.append(np.asarray(ofdm.assemble_frame(
+            params, props, jnp.asarray(h), jnp.asarray(p))))
+        bursts.append(np.zeros(2500, np.complex64))
+    stream = np.concatenate(bursts)
+    n = np.arange(len(stream))
+    stream = (stream * np.exp(1j * 2e-4 * n)).astype(np.complex64)
+    stream += (0.03 * (rng.normal(size=len(stream)) +
+                       1j * rng.normal(size=len(stream)))
+               ).astype(np.complex64)
+    details = []
+    ok = True
+    for up in (0, 2):
+        sync = ofdm_sync.make_sync(params, block_size=8192,
+                                   max_payload=256, max_frames=4,
+                                   use_pallas=up)
+        step = ofdm_sync.make_sync_step(sync)
+        weights = _fingerprint_weights(sync.max_payload)
+        cnt, fp = _device_decode_fp(step, ofdm_sync.sync_init(sync),
+                                    stream, sync.block_size, sync.overlap,
+                                    sync.max_payload, weights)
+        exp = _expected_fp(payloads, weights, sync.max_payload)
+        ok &= cnt == 3 and fp == exp
+        details.append(f"up={up}: {cnt}/3 fp_ok={fp == exp}")
+    return ok, "; ".join(details)
+
+
+def lane_soft():
+    """Soft-LLR conv decode on chip: v27 payloads decode payload-exact
+    through the channel-LLR Viterbi branch (enable_conv + soft; LLRs
+    reach the inner decoder because fec1=none)."""
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    from liquid_usrp_tpu.ops import crc as crc_mod
+    from liquid_usrp_tpu.ops import fec as fec_mod
+    from liquid_usrp_tpu.ops import modem as modem_mod
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    props = ofdm.FrameProps(check=crc_mod.CRC_32,
+                            fec0=fec_mod.FEC_CONV_V27,
+                            fec1=fec_mod.FEC_NONE,
+                            mod=modem_mod.MOD_QPSK)
+    sync = ofdm_sync.make_sync(params, block_size=8192, max_payload=128,
+                               max_frames=4, enable_conv=True, soft=True)
+    step = ofdm_sync.make_sync_step(sync)
+    rng = np.random.default_rng(15)
+    payloads, bursts = [], []
+    for _ in range(3):
+        h = rng.integers(0, 256, 8, dtype=np.uint8)
+        p = rng.integers(0, 256, 100, dtype=np.uint8)
+        payloads.append(p)
+        bursts.append(np.asarray(ofdm.assemble_frame(
+            params, props, jnp.asarray(h), jnp.asarray(p))))
+        bursts.append(np.zeros(2500, np.complex64))
+    stream = np.concatenate(bursts)
+    stream += (0.05 * (rng.normal(size=len(stream)) +
+                       1j * rng.normal(size=len(stream)))
+               ).astype(np.complex64)
+    weights = _fingerprint_weights(sync.max_payload)
+    cnt, fp = _device_decode_fp(step, ofdm_sync.sync_init(sync), stream,
+                                sync.block_size, sync.overlap,
+                                sync.max_payload, weights)
+    exp = _expected_fp(payloads, weights, sync.max_payload)
+    return cnt == 3 and fp == exp, f"decoded {cnt}/3 fp_ok={fp == exp}"
+
+
 def _healthy(timeout_s: float = 150.0) -> bool:
     """Shared tunnel-session gate (liquid_usrp_tpu/utils/tpu_session.py)."""
     from liquid_usrp_tpu.utils.tpu_session import session_healthy
@@ -229,7 +309,8 @@ def _healthy(timeout_s: float = 150.0) -> bool:
 
 
 LANES = {"ofdm": lane_ofdm, "flex": lane_flex, "gmsk": lane_gmsk,
-         "batched": lane_batched}
+         "batched": lane_batched, "pallas": lane_pallas,
+         "soft": lane_soft}
 
 
 def _child() -> int:
