@@ -51,6 +51,7 @@ __all__ = [
     "assemble_frame", "assemble_frames", "frame_length",
     "payload_symbol_count",
     "HEADER_USER_BYTES",
+    "SCTYPE_NULL", "SCTYPE_PILOT", "SCTYPE_DATA",
 ]
 
 NUM_S0 = 2                     # short-sync preamble symbols
@@ -109,9 +110,31 @@ def default_subcarrier_allocation(M: int):
             np.array(sorted(null)))
 
 
-@functools.lru_cache(maxsize=None)
+# per-subcarrier type codes (the liquid OFDMFRAME_SCTYPE_* surface for
+# the ofdmflexframegen_create(M, cp, taper, p, ...) allocation vector)
+SCTYPE_NULL = 0
+SCTYPE_PILOT = 1
+SCTYPE_DATA = 2
+
+
 def make_ofdm_params(M: int = 64, cp_len: int = 16,
-                     taper_len: int = 4) -> OfdmParams:
+                     taper_len: int = 4, alloc=None) -> OfdmParams:
+    """Build OFDM frame parameters.
+
+    ``alloc``: optional length-M per-subcarrier type vector
+    (``SCTYPE_NULL``/``SCTYPE_PILOT``/``SCTYPE_DATA``) — the custom
+    subcarrier-allocation surface of ``ofdmflexframegen_create``'s ``p``
+    argument; ``None`` selects the deterministic default allocation
+    (what the reference passes, lib/ofdmtxrx.cc:86-88).
+    """
+    if alloc is not None:
+        alloc = tuple(int(v) for v in np.asarray(alloc).ravel())
+    return _make_ofdm_params(M, cp_len, taper_len, alloc)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ofdm_params(M: int, cp_len: int, taper_len: int,
+                      alloc) -> OfdmParams:
     if M < 8:
         raise ValueError("number of subcarriers must be at least 8")
     if M % 4:
@@ -124,7 +147,31 @@ def make_ofdm_params(M: int = 64, cp_len: int = 16,
         raise ValueError("cyclic prefix must be in (0, M]")
     if taper_len > cp_len:
         raise ValueError("taper length cannot exceed cyclic prefix")
-    data_idx, pilot_idx, null_idx = default_subcarrier_allocation(M)
+    if alloc is None:
+        data_idx, pilot_idx, null_idx = default_subcarrier_allocation(M)
+    else:
+        # validation mirrors ofdmframe_validate_sctype semantics
+        if len(alloc) != M:
+            raise ValueError(f"allocation must have M={M} entries")
+        a = np.asarray(alloc)
+        if not np.isin(a, (SCTYPE_NULL, SCTYPE_PILOT, SCTYPE_DATA)).all():
+            raise ValueError("allocation entries must be SCTYPE_NULL/"
+                             "PILOT/DATA (0/1/2)")
+        data_idx = np.nonzero(a == SCTYPE_DATA)[0]
+        pilot_idx = np.nonzero(a == SCTYPE_PILOT)[0]
+        null_idx = np.nonzero(a == SCTYPE_NULL)[0]
+        if len(pilot_idx) < 2:
+            raise ValueError("allocation needs at least 2 pilot "
+                             "subcarriers (CPE slope tracking)")
+        if len(data_idx) < 1:
+            raise ValueError("allocation needs at least 1 data subcarrier")
+        # S0 lives on every 4th non-null subcarrier: without enough of
+        # them the period-M/4 detection metric has no signal to lock on
+        n_s0 = sum(1 for k in range(0, M, 4) if a[k] != SCTYPE_NULL)
+        if n_s0 < 2:
+            raise ValueError("allocation nulls (almost) every 4th "
+                             "subcarrier — the S0 detector needs >= 2 "
+                             "active multiples-of-4")
     rng = np.random.default_rng(0x5EED0FD + M)
 
     # S0: PN QPSK on every 4th active subcarrier, boosted to unit time power

@@ -495,6 +495,64 @@ def test_block_size_invariance_multiframe_stress(setup):
             np.testing.assert_array_equal(a["payload"], b["payload"])
 
 
+def test_custom_subcarrier_allocation_loopback():
+    """The ofdmflexframegen_create ``p`` surface: a hand-built allocation
+    (wider guards, denser pilots than the default) must round-trip
+    payload-exact through the standard synchronizer."""
+    M_ = 64
+    alloc = np.full(M_, ofdm.SCTYPE_DATA, np.int32)
+    alloc[0] = ofdm.SCTYPE_NULL                      # DC
+    for g in range(-6, 7):                           # wide guard band
+        alloc[(M_ // 2 + g) % M_] = ofdm.SCTYPE_NULL
+    for k in (4, 12, 20, 28, 36, 44, 52, 60):        # dense pilots
+        if alloc[k] == ofdm.SCTYPE_DATA:
+            alloc[k] = ofdm.SCTYPE_PILOT
+    params = ofdm.make_ofdm_params(M=M_, cp_len=8, taper_len=4,
+                                   alloc=alloc)
+    assert len(params.pilot_idx) >= 2
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate([params.data_idx, params.pilot_idx,
+                                params.null_idx])), np.arange(M_))
+    sync = ofdm_sync.make_sync(params, block_size=8192, max_payload=128,
+                               max_frames=2)
+    step = ofdm_sync.make_sync_step(sync)
+    props = ofdm.default_props()
+    rng = np.random.default_rng(21)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 100, dtype=np.uint8)
+    samples = np.asarray(ofdm.assemble_frame(
+        params, props, jnp.asarray(header), jnp.asarray(payload)))
+    stream = np.zeros(3000 + len(samples), np.complex64)
+    stream[900:900 + len(samples)] = samples
+    ch = chan.Channel(snr_db=20.0, cfo=0.0015)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(5), jnp.asarray(stream), signal_power=0.8))
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, frames
+    np.testing.assert_array_equal(ok[0]["payload"][:100], payload)
+    np.testing.assert_array_equal(ok[0]["header"], header)
+
+
+def test_custom_allocation_validation():
+    M_ = 48
+    with pytest.raises(ValueError, match="M=48 entries"):
+        ofdm.make_ofdm_params(M=M_, alloc=np.zeros(32, np.int32))
+    bad = np.full(M_, 7, np.int32)
+    with pytest.raises(ValueError, match="SCTYPE"):
+        ofdm.make_ofdm_params(M=M_, alloc=bad)
+    no_pilots = np.full(M_, ofdm.SCTYPE_DATA, np.int32)
+    with pytest.raises(ValueError, match="pilot"):
+        ofdm.make_ofdm_params(M=M_, alloc=no_pilots)
+    # nulling every 4th subcarrier starves the S0 detector
+    starved = np.full(M_, ofdm.SCTYPE_DATA, np.int32)
+    starved[::4] = ofdm.SCTYPE_NULL
+    starved[1] = ofdm.SCTYPE_PILOT
+    starved[2] = ofdm.SCTYPE_PILOT
+    with pytest.raises(ValueError, match="S0"):
+        ofdm.make_ofdm_params(M=M_, alloc=starved)
+
+
 def test_over_budget_props_raise_at_assemble():
     """v27 inner + default h128 outer expands 3.01x > the default
     expansion=3 receive budget; silently truncating the encoded tail used
