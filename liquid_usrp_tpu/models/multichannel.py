@@ -76,6 +76,20 @@ class MultichannelTx:
         self._ahead_len = 0
         self._max_ahead = 0
 
+    def GetNumChannels(self) -> int:
+        """Reference-casing accessor (include/multichanneltx.h:50)."""
+        return self.num_channels
+
+    def Reset(self):
+        """Drop queued packets + carried synthesis state
+        (multichanneltx::Reset, lib/multichanneltx.cc:104-126)."""
+        with self._cv:
+            self._queues = [np.zeros(0, np.complex64)
+                            for _ in range(self.num_channels)]
+            self._mctx_state = self._mctx_init()
+            self._ahead = []
+            self._ahead_len = 0
+
     def is_channel_ready(self, ch: int) -> bool:
         """True when channel ``ch`` has drained its queued frame
         (= !ofdmflexframegen_is_assembled, lib/multichanneltx.cc:152-162)."""
@@ -326,7 +340,18 @@ class MultichannelRx:
         self.callback = callback
         init, self._step = make_mcrx_step(num_channels, self.params,
                                           self.sync)
+        self._init = init
         self._state = init()
+        self._pending = np.zeros(0, np.complex64)
+
+    def GetNumChannels(self) -> int:
+        """Reference-casing accessor (include/multichannelrx.h:54)."""
+        return self.num_channels
+
+    def Reset(self):
+        """Drop carried analyzer + per-channel sync state
+        (multichannelrx::Reset, lib/multichannelrx.cc:108-131)."""
+        self._state = self._init()
         self._pending = np.zeros(0, np.complex64)
 
     @property
@@ -384,10 +409,60 @@ class MultichannelTxRx:
 
     def __init__(self, num_channels: int, M: int = 48, cp_len: int = 6,
                  taper_len: int = 4, callback=None, **rx_kwargs):
+        from .ofdmtxrx import RadioConfig
         self.tx = MultichannelTx(num_channels, M, cp_len, taper_len)
         self.rx = MultichannelRx(num_channels, M, cp_len, taper_len,
                                  callback=callback, **rx_kwargs)
         self.num_channels = num_channels
+        self.radio = RadioConfig()
+        self._rx_running = False
+
+    # -- radio parameter surface (multichanneltxrx.h:67-112) ---------------
+    def set_tx_freq(self, f: float):
+        self.radio.tx_freq = f
+
+    def set_tx_rate(self, r: float):
+        self.radio.tx_rate = r
+
+    def set_tx_gain_soft(self, g_db: float):
+        self.radio.tx_gain_soft = g_db
+
+    def set_tx_gain_uhd(self, g_db: float):
+        self.radio.tx_gain_uhd = g_db
+
+    def set_tx_antenna(self, name: str):
+        self.radio.tx_antenna = name
+
+    def set_rx_freq(self, f: float):
+        self.radio.rx_freq = f
+
+    def set_rx_rate(self, r: float):
+        self.radio.rx_rate = r
+
+    def set_rx_gain_uhd(self, g_db: float):
+        self.radio.rx_gain_uhd = g_db
+
+    def set_rx_antenna(self, name: str):
+        self.radio.rx_antenna = name
+
+    def reset_tx(self):
+        self.tx.Reset()
+
+    def reset_rx(self):
+        self.rx.Reset()
+
+    def start_rx(self):
+        self._rx_running = True
+
+    def stop_rx(self):
+        self._rx_running = False
+
+    def run_rx(self, samples) -> list:
+        """Feed mixture samples while RX is started (the rx_worker gate,
+        lib/multichanneltxrx.cc:508-554)."""
+        if not self._rx_running:
+            return []
+        return self.rx.execute(samples)
 
     def transmit_packet(self, ch: int, header, payload, mod=None,
                         fec0=None, fec1=None) -> bool:

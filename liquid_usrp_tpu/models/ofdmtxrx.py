@@ -50,6 +50,8 @@ class RadioConfig:
     rx_freq: float = 462.0e6
     rx_rate: float = 500e3
     rx_gain_uhd: float = 20.0
+    tx_antenna: str = "TX/RX"     # metadata (set_tx_antenna surface)
+    rx_antenna: str = "RX2"
 
 
 class OfdmTxRx:
@@ -124,6 +126,12 @@ class OfdmTxRx:
     def set_rx_gain_uhd(self, g_db: float):
         self.radio.rx_gain_uhd = g_db
 
+    def set_tx_antenna(self, name: str):
+        self.radio.tx_antenna = name
+
+    def set_rx_antenna(self, name: str):
+        self.radio.rx_antenna = name
+
     # -- TX ----------------------------------------------------------------
     def set_properties(self, check=None, fec0=None, fec1=None, mod=None):
         """ofdmflexframegen_setprops surface (strings or enum ids)."""
@@ -187,6 +195,23 @@ class OfdmTxRx:
             self._assembled = None
         return chunk, last
 
+    def end_transmit_frame(self) -> np.ndarray:
+        """Remaining samples of the assembled frame in one chunk (the
+        drain loop of ofdmtxrx::end_transmit_frame,
+        lib/ofdmtxrx.cc:437-449)."""
+        if self._assembled is None:
+            return np.zeros(0, dtype=np.complex64)
+        rest = self._assembled[self._assembled_pos:]
+        self._assembled = None
+        return rest
+
+    def reset_tx(self):
+        """Drop queued packets + any partially-written assembled frame
+        (ofdmtxrx::reset_tx, lib/ofdmtxrx.cc:290-294)."""
+        self._tx_buffer = []
+        self._assembled = None
+        self._assembled_pos = 0
+
     def drain_tx(self) -> np.ndarray:
         """Concatenate and clear everything queued by transmit_packet."""
         if not self._tx_buffer:
@@ -204,6 +229,37 @@ class OfdmTxRx:
 
     def reset_rx(self):
         self._rx_state = ofdm_sync.sync_init(self._sync)
+
+    # -- debug capture (ofdmtxrx::debug_enable/debug_disable,
+    #    lib/ofdmtxrx.cc:233-242 -> ofdmflexframesync_debug_*) -------------
+    def debug_enable(self):
+        """Retain the most recent RX block for :meth:`debug_print`."""
+        self._debug = True
+
+    def debug_disable(self):
+        self._debug = False
+        self._debug_samples = None
+
+    def debug_print(self, prefix: str) -> str:
+        """Write the captured block + detection metric as an octave file
+        (the ofdmflexframesync_debug_print surface); returns the path."""
+        samples = getattr(self, "_debug_samples", None)
+        if samples is None:
+            raise RuntimeError("debug_enable() first, then run_rx()")
+        metric = np.asarray(
+            ofdm_sync._detect_metric(self._sync, jnp.asarray(samples))[0])
+        path = f"{prefix}_framesync_debug.m"
+        with open(path, "w") as f:
+            f.write("%% ofdmtxrx debug capture (octave)\nclear all;\n")
+            f.write("x = [" + " ".join(
+                "(%.5g%+.5gj)" % (v.real, v.imag)
+                for v in samples[:4096]) + "];\n")
+            f.write("metric = [" + " ".join(
+                "%.4f" % v for v in metric[:4096]) + "];\n")
+            f.write("figure; subplot(2,1,1); plot(real(x)); ylabel('I'); "
+                    "subplot(2,1,2); plot(metric); "
+                    "ylabel('detect metric');\n")
+        return path
 
     def _emit_rows(self, res_np, frames: list):
         """Turn one dispatch's host-side FrameResults into dict rows +
@@ -291,5 +347,10 @@ class OfdmTxRx:
                                                  to_dev(blk, (bs,)))
                 self._emit_rows(jax.device_get(res), frames)
                 b += 1
+        if getattr(self, "_debug", False) and n_blocks:
+            # retain the last full block for debug_print (the
+            # ofdmflexframesync debug window semantics: most recent data)
+            self._debug_samples = samples[(n_blocks - 1) * bs:
+                                          n_blocks * bs].copy()
         self._pending = samples[n_blocks * bs:]
         return frames

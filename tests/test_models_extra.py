@@ -66,6 +66,51 @@ def test_write_symbol_drains_whole_frame():
     np.testing.assert_allclose(np.concatenate(chunks), whole, atol=1e-6)
 
 
+def test_symbol_tx_reset_and_end_transmit_frame():
+    """reset_tx drops queued + partial frames; end_transmit_frame drains
+    the remainder in one chunk (lib/ofdmtxrx.cc:290-294, 437-449)."""
+    txrx = OfdmTxRx(max_payload=256)
+    rng = np.random.default_rng(3)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 64, dtype=np.uint8)
+    whole = txrx.transmit_packet(header, payload)
+    txrx.assemble_frame(header, payload)
+    c0, last = txrx.write_symbol()
+    assert not last
+    rest = txrx.end_transmit_frame()
+    np.testing.assert_allclose(np.concatenate([c0, rest]), whole,
+                               atol=1e-6)
+    assert len(txrx.end_transmit_frame()) == 0      # idempotent drain
+    # reset_tx drops both the packet queue and a partial assembly
+    txrx.assemble_frame(header, payload)
+    txrx.write_symbol()
+    txrx.reset_tx()
+    assert len(txrx.drain_tx()) == 0
+    with pytest.raises(RuntimeError):
+        txrx.write_symbol()
+
+
+def test_debug_capture_roundtrip(tmp_path):
+    """debug_enable retains the last RX block; debug_print writes the
+    octave dump (the ofdmflexframesync_debug_print surface)."""
+    txrx = OfdmTxRx(max_payload=256, block_size=2048)
+    txrx.set_tx_antenna("TX/RX")
+    txrx.set_rx_antenna("RX2")
+    assert txrx.radio.tx_antenna == "TX/RX"
+    txrx.debug_enable()
+    txrx.start_rx()
+    rng = np.random.default_rng(4)
+    noise = (0.1 * (rng.normal(size=4096) + 1j * rng.normal(size=4096))
+             ).astype(np.complex64)
+    txrx.run_rx(noise)
+    path = txrx.debug_print(str(tmp_path / "cap"))
+    text = open(path).read()
+    assert "metric = [" in text and "x = [" in text
+    txrx.debug_disable()
+    with pytest.raises(RuntimeError):
+        txrx.debug_print(str(tmp_path / "cap2"))
+
+
 def test_virtual_air_frequency_mistuning():
     """Mistuned radios: the air derives CFO from the RadioConfigs and the
     synchronizer recovers it (the fullduplex over-the-air idiom)."""

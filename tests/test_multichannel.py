@@ -71,6 +71,36 @@ def test_txrx_availability_polling():
     np.testing.assert_array_equal(valid[0]["payload"], payload)
 
 
+def test_reference_surface_parity():
+    """The small reference-API corners: GetNumChannels/Reset casing,
+    radio setters, start_rx gating of run_rx."""
+    txrx = MultichannelTxRx(N, M=48, cp_len=6, taper_len=4,
+                            block_size=2048, max_payload=128)
+    assert txrx.tx.GetNumChannels() == N
+    assert txrx.rx.GetNumChannels() == N
+    txrx.set_tx_freq(462e6)
+    txrx.set_rx_freq(462.1e6)
+    txrx.set_tx_antenna("TX/RX")
+    assert txrx.radio.rx_freq == 462.1e6
+    # RX gate: execute only runs between start_rx/stop_rx
+    rng = np.random.default_rng(3)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, PAYLOAD, dtype=np.uint8)
+    assert txrx.transmit_packet(0, header, payload)
+    samples = txrx.wait_for_tx_to_complete()
+    assert txrx.run_rx(samples) == []            # not started
+    txrx.start_rx()
+    frames = txrx.run_rx(samples) + txrx.rx.flush()
+    assert any(f["payload_valid"] for f in frames)
+    txrx.stop_rx()
+    # Reset drops queued data + carried state without error
+    txrx.transmit_packet(1, header, payload)
+    txrx.reset_tx()
+    assert txrx.is_channel_available(1)
+    txrx.reset_rx()
+    assert txrx.run_rx(samples) == []            # stopped again
+
+
 def test_async_tx_worker_ahead_of_cursor():
     """start_worker produces ahead of the consumption cursor on a thread
     (the reference's tx_worker, lib/multichanneltxrx.cc:430-500): the
