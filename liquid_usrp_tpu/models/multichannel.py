@@ -182,12 +182,16 @@ class MultichannelTx:
 
     def read_samples(self, n: int) -> np.ndarray:
         """Consume ``n`` output samples from the ahead-buffer (blocking
-        while the worker produces; tops up synchronously once stopped)."""
+        while the worker produces; tops up synchronously when the worker
+        is stopped OR when ``n`` exceeds ``max_ahead`` — the producer
+        parks at the bound, so waiting past it would never progress)."""
         with self._cv:
-            while self._running and self._ahead_len < n:
+            while (self._running and self._ahead_len < n
+                   and self._ahead_len < self._max_ahead):
                 self._cv.wait(0.1)
             if self._ahead_len < n:
-                # worker stopped: drain deterministically
+                # worker stopped or demand exceeds the ahead bound:
+                # drain deterministically (generation serialized by _cv)
                 miss = n - self._ahead_len
                 per_step = 2 * self.num_channels
                 y = self._generate(-(-miss // per_step))
@@ -484,13 +488,16 @@ class MultichannelTxRx:
         """Drain samples until channel ``ch`` is ready for data.
 
         The reference blocks in a usleep-poll loop while its TX worker
-        drains (lib/multichanneltxrx.cc:270-281); here draining *is* the
-        sample generation, so the generated air is returned to the caller
-        (empty when the channel was already free).
+        drains (lib/multichanneltxrx.cc:270-281).  With the async worker
+        running this consumes from its ahead-buffer (the worker owns the
+        generation cursor); otherwise draining *is* the sample
+        generation.  Either way the drained air is returned to the
+        caller (empty when the channel was already free).
         """
         out = []
         while not self.tx.is_channel_ready(ch):
-            out.append(self.tx.generate_samples(256))
+            out.append(self.tx.read_samples(512) if self.tx._running
+                       else self.tx.generate_samples(256))
         return (np.concatenate(out) if out
                 else np.zeros(0, np.complex64))
 
@@ -500,9 +507,16 @@ class MultichannelTxRx:
         out = []
         while not all(self.tx.is_channel_ready(c)
                       for c in range(self.num_channels)):
-            out.append(self.tx.generate_samples(256))
-        # flush channelizer memory
-        out.append(self.tx.generate_samples(2 * self.tx.chz.P))
+            out.append(self.tx.read_samples(512) if self.tx._running
+                       else self.tx.generate_samples(256))
+        # flush channelizer memory; with the worker running, everything
+        # already synthesized from the queued frames still sits in the
+        # ahead-buffer — consume all of it plus the flush margin
+        flush = 2 * self.tx.chz.P
+        out.append(self.tx.read_samples(
+            self.tx.samples_ahead + 2 * self.num_channels * flush)
+                   if self.tx._running
+                   else self.tx.generate_samples(flush))
         return (np.concatenate(out) if out
                 else np.zeros(0, np.complex64))
 
