@@ -74,6 +74,27 @@ def parse_args(argv, optstring: str, long_opts=None):
     return d, rest
 
 
+def budget_note(props, payload_len: int) -> int:
+    """Auto-size the encode budget for the selected FEC pair and tell the
+    user what receiver flags it needs.  Returns the expansion to
+    assemble with (shared by the frame TX apps).
+
+    ``--conv`` is advised only when a scheme is outside the base decode
+    set (conv/RS branches are compile-heavy and otherwise useless);
+    ``-e N`` only when the pair expands past the default budget.
+    """
+    from ..framing import payload as payload_codec
+    exp = payload_codec.required_expansion(props, payload_len)
+    need_conv = any(s not in payload_codec.PAYLOAD_FECS
+                    for s in (props.fec0, props.fec1))
+    flags = ([] if not need_conv else ["--conv"]) + \
+        ([] if exp <= payload_codec.EXPANSION else [f"-e {exp}"])
+    if flags:
+        print(f"note: this FEC pair needs `{' '.join(flags)}` "
+              f"on the receiver")
+    return exp
+
+
 def print_usage_schemes(file=None):
     """List supported mod/FEC names (the liquid_print_*_schemes surface)."""
     file = file if file is not None else sys.stdout

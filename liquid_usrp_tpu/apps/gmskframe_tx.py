@@ -18,7 +18,7 @@ from ..io.streams import write_iq
 from ..ops import crc as crc_mod
 from ..ops import fec as fec_mod
 from ..ops import resamp as resamp_mod
-from .common import parse_args, print_usage_schemes
+from .common import budget_note, parse_args, print_usage_schemes
 
 USAGE = """gmskframe_tx -o out.iq [options]
   h : usage                     o : output IQ file (required)
@@ -54,13 +54,7 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(int(flags.get("s", 42)))
 
     params = gf.make_gmsk_params()
-    # heavy FEC pairs expand past the default decode budget; auto-size
-    # the TX side and tell the user what the receiver needs
-    from ..framing import payload as payload_codec
-    expansion = payload_codec.required_expansion(props, P)
-    if expansion > payload_codec.EXPANSION:
-        print(f"note: this FEC pair needs a {expansion}x decode budget — "
-              f"run the receiver with `--conv -e {expansion}`")
+    expansion = budget_note(props, P)
     gap = np.zeros(300, np.complex64)
     chunks = [gap]
     for pid in range(num_frames):

@@ -15,7 +15,7 @@ from ..io.streams import write_iq
 from ..models.ofdmtxrx import OfdmTxRx
 from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
-from .common import parse_args, print_usage_schemes
+from .common import budget_note, parse_args, print_usage_schemes
 
 USAGE = """ofdmflexframe_tx -o out.iq [options]
   h     : usage
@@ -55,17 +55,11 @@ def main(argv=None) -> int:
     fec1 = fec_mod.fec_from_name(flags.get("k", "g2412"))
     seed = int(flags.get("s", 42))
 
-    # auto-size the encode budget: heavy FEC pairs (e.g. -c v27 -k h128)
-    # expand past the default; tell the user what the receiver needs
-    from ..framing import payload as payload_codec
     from ..framing.ofdm import FrameProps
     from ..ops import crc as crc_mod
     props = FrameProps(check=crc_mod.CRC_32, fec0=fec0, fec1=fec1, mod=mod)
-    expansion = payload_codec.required_expansion(props, P)
+    expansion = budget_note(props, P)
     txrx = OfdmTxRx(M=M, cp_len=cp, taper_len=taper, expansion=expansion)
-    if expansion > payload_codec.EXPANSION:
-        print(f"note: this FEC pair needs a {expansion}x decode budget — "
-              f"run the receiver with `--conv -e {expansion}`")
     txrx.set_tx_gain_soft(gain)
     rng = np.random.default_rng(seed)
     gap = np.zeros(256, np.complex64)

@@ -163,15 +163,24 @@ class MultichannelTx:
         self._worker.start()
 
     def _produce_loop(self, chunk: int):
-        while True:
+        try:
+            while True:
+                with self._cv:
+                    while (self._running
+                           and self._ahead_len >= self._max_ahead):
+                        self._cv.wait(0.1)
+                    if not self._running:
+                        return
+                    y = self._generate(chunk)
+                    self._ahead.append(y)
+                    self._ahead_len += len(y)
+                    self._cv.notify_all()
+        finally:
+            # a generation failure must not strand consumers in their
+            # wait loops: clear the running flag and wake everyone (the
+            # exception itself surfaces via threading.excepthook)
             with self._cv:
-                while self._running and self._ahead_len >= self._max_ahead:
-                    self._cv.wait(0.1)
-                if not self._running:
-                    return
-                y = self._generate(chunk)
-                self._ahead.append(y)
-                self._ahead_len += len(y)
+                self._running = False
                 self._cv.notify_all()
 
     @property
@@ -197,13 +206,23 @@ class MultichannelTx:
                 y = self._generate(-(-miss // per_step))
                 self._ahead.append(y)
                 self._ahead_len += len(y)
-            buf = np.concatenate(self._ahead) if self._ahead else \
-                np.zeros(0, np.complex64)
-            out, rest = buf[:n], buf[n:]
-            self._ahead = [rest] if len(rest) else []
-            self._ahead_len = len(rest)
+            # consume chunk-by-chunk from the front: O(n) copied per
+            # call, not O(buffered) (the ahead buffer can be large)
+            out, taken = [], 0
+            while taken < n:
+                head = self._ahead[0]
+                take = min(len(head), n - taken)
+                out.append(head[:take])
+                if take == len(head):
+                    self._ahead.pop(0)
+                else:
+                    self._ahead[0] = head[take:]
+                taken += take
+            self._ahead_len -= n
             self._cv.notify_all()
-            return out
+            return (out[0] if len(out) == 1
+                    else np.concatenate(out) if out
+                    else np.zeros(0, np.complex64))
 
     def stop_worker(self):
         """Stop the producer; buffered samples remain readable."""
@@ -495,9 +514,15 @@ class MultichannelTxRx:
         caller (empty when the channel was already free).
         """
         out = []
+        was_waiting = not self.tx.is_channel_ready(ch)
         while not self.tx.is_channel_ready(ch):
             out.append(self.tx.read_samples(512) if self.tx._running
                        else self.tx.generate_samples(256))
+        if was_waiting and self.tx._running:
+            # the frame tail the worker synthesized past the queue-empty
+            # edge is still buffered — include it, so the returned air
+            # carries the whole packet like the non-worker path does
+            out.append(self.tx.read_samples(self.tx.samples_ahead))
         return (np.concatenate(out) if out
                 else np.zeros(0, np.complex64))
 

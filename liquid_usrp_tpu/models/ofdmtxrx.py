@@ -321,6 +321,7 @@ class OfdmTxRx:
             return jnp.asarray(arr.reshape(shape))
 
         b = 0
+        last_block = None
         while b < n_blocks:
             if n_blocks - b >= nb and nb > 1:
                 chunk = samples[b * bs:(b + nb) * bs].reshape(nb, bs)
@@ -338,6 +339,7 @@ class OfdmTxRx:
                 for j in range(nb):
                     self._emit_rows(
                         type(res_np)(*(f[j] for f in res_np)), frames)
+                last_block = chunk[-1]
                 b += nb
             else:
                 blk = samples[b * bs:(b + 1) * bs]
@@ -346,11 +348,12 @@ class OfdmTxRx:
                 self._rx_state, res = self._step(self._rx_state,
                                                  to_dev(blk, (bs,)))
                 self._emit_rows(jax.device_get(res), frames)
+                last_block = blk
                 b += 1
-        if getattr(self, "_debug", False) and n_blocks:
-            # retain the last full block for debug_print (the
-            # ofdmflexframesync debug window semantics: most recent data)
-            self._debug_samples = samples[(n_blocks - 1) * bs:
-                                          n_blocks * bs].copy()
+        if getattr(self, "_debug", False) and last_block is not None:
+            # retain the last block AS THE SYNCHRONIZER SAW IT (post
+            # rx_transform) — the debug surface exists to diagnose
+            # exactly the non-trivial ingest cases
+            self._debug_samples = np.asarray(last_block).copy()
         self._pending = samples[n_blocks * bs:]
         return frames

@@ -35,6 +35,7 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
               fec1: str = None, soft: bool = False):
     import jax
     import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import payload as payload_codec
     from liquid_usrp_tpu.io import channel_model as chan
     from liquid_usrp_tpu.ops import fec as fec_mod
 
@@ -45,46 +46,55 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
             props = props._replace(fec1=fec_mod.fec_from_name(fec1))
         return props
 
-    enable_conv = any(f is not None and f.startswith("v")
-                      for f in (fec0, fec1))
+    def sync_opts(props):
+        """enable_conv when either scheme needs the extended decode set
+        (conv/RS); expansion auto-sized to fit the pair at this payload."""
+        return dict(
+            enable_conv=any(s not in payload_codec.PAYLOAD_FECS
+                            for s in (props.fec0, props.fec1)),
+            soft=soft,
+            expansion=payload_codec.required_expansion(props, payload_len))
 
     if family == "ofdm":
         from liquid_usrp_tpu.framing import ofdm, ofdm_sync
         params = ofdm.make_ofdm_params(48, 6, 4)
         props = with_fec0(ofdm.default_props())
+        opts = sync_opts(props)
         sync = ofdm_sync.make_sync(params, block_size=8192,
                                    max_payload=max(payload_len, 64),
-                                   max_frames=4, enable_conv=enable_conv,
-                                   soft=soft)
+                                   max_frames=4, **opts)
         step = ofdm_sync.make_sync_step(sync)
         init = lambda: ofdm_sync.sync_init(sync)
         assemble = lambda h, p: ofdm.assemble_frame(
-            params, props, jnp.asarray(h), jnp.asarray(p))
+            params, props, jnp.asarray(h), jnp.asarray(p),
+            expansion=opts["expansion"])
     elif family == "flex":
         from liquid_usrp_tpu.framing import flexframe as ff
         from liquid_usrp_tpu.framing import flexframe_sync as ffs
         params = ff.make_flex_params()
         props = with_fec0(ff.default_props())
+        opts = sync_opts(props)
         sync = ffs.make_flex_sync(params, block_size=8192,
                                   max_payload=max(payload_len, 64),
-                                  max_frames=4, enable_conv=enable_conv,
-                                  soft=soft)
+                                  max_frames=4, **opts)
         step = ffs.make_flex_sync_step(sync)
         init = lambda: ffs.flex_sync_init(sync)
         assemble = lambda h, p: ff.flex_assemble(
-            params, props, jnp.asarray(h), jnp.asarray(p))
+            params, props, jnp.asarray(h), jnp.asarray(p),
+            expansion=opts["expansion"])
     elif family == "gmsk":
         from liquid_usrp_tpu.framing import gmskframe as gf
         params = gf.make_gmsk_params()
         props = with_fec0(gf.gmsk_default_props())
+        opts = sync_opts(props)
         sync = gf.make_gmsk_sync(params, block_size=8192,
                                  max_payload=max(payload_len, 64),
-                                 max_frames=4, enable_conv=enable_conv,
-                                 soft=soft)
+                                 max_frames=4, **opts)
         step = gf.make_gmsk_sync_step(sync)
         init = lambda: gf.gmsk_sync_init(sync)
         assemble = lambda h, p: gf.gmsk_assemble(
-            params, props, jnp.asarray(h), jnp.asarray(p))
+            params, props, jnp.asarray(h), jnp.asarray(p),
+            expansion=opts["expansion"])
     else:
         raise ValueError(family)
 
