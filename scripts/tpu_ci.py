@@ -1,8 +1,8 @@
 """On-TPU correctness lane: loopback decode asserts on the real chip.
 
-The CPU test suite (236 tests) proves the math; this lane proves the same
+The CPU test suite (326 tests) proves the math; this lane proves the same
 decode paths on actual TPU hardware, where FFT/accumulation numerics can
-diverge.  Four lanes, all verification reductions computed ON DEVICE (only
+diverge.  Six lanes, all verification reductions computed ON DEVICE (only
 scalars cross the flaky tunnel — ROUND2_NOTES):
 
   ofdm   : 3-frame OFDM flexframe loopback (AWGN + CFO) — payload-exact
@@ -10,6 +10,9 @@ scalars cross the flaky tunnel — ROUND2_NOTES):
   gmsk   : GMSK coherent-receiver loopback (AWGN + CFO) — payload-exact
   batched: sync_blocks_batched == scan-of-sync_block on chip (the
            production multi-block dispatch path)
+  pallas : fused Mosaic detect front-end (use_pallas=2) decodes the same
+           frames payload-exact as the XLA path
+  soft   : v27 channel-LLR Viterbi loopback — payload-exact on chip
 
 Prints one JSON line {"ok": bool, "lanes": {...}, "device": str}.
 Parent process retries fresh children through the session health gate
