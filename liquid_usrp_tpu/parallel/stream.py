@@ -31,7 +31,7 @@ from ..ops import nco as nco_mod
 from ..ops import pfb as pfb_mod
 
 __all__ = ["make_time_sharded_sync", "make_sharded_mcrx",
-           "make_sharded_mcrx_a2a", "sharded_mcrx"]
+           "make_sharded_mcrx_a2a", "sharded_mcrx", "make_sharded_mctx"]
 
 
 def _sync_ops(sync):
@@ -316,3 +316,90 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
 # every channel shard and exists as the simpler fallback / equivalence
 # oracle).  See docs/scaling.md for the efficiency argument.
 sharded_mcrx = make_sharded_mcrx_a2a
+
+
+def make_sharded_mctx(mesh: jax.sharding.Mesh, num_channels: int,
+                      chunk_samples: int):
+    """All-to-all sharded multichannel TRANSMITTER — the synthesis dual of
+    :func:`make_sharded_mcrx_a2a`.
+
+    Frame generation is per-channel independent (each channel's
+    ``assemble_frames`` batch shards over ``channel`` upstream of this
+    op), so the input arrives channel-major: baseband streams ``[N, T]``
+    with channels split over the ``channel`` mesh axis and time over
+    ``time``.  One ``all_to_all`` transposes each device's
+    ``[N_loc, n_ch * chunk]`` slab into ``[N, chunk]`` — every device
+    then synthesizes a distinct *fine* time chunk of the mixture (the
+    exact inverse reshard of the receiver).  The polyphase synthesizer's
+    carried state is just its last ``P-1`` input frames, so a
+    ``ppermute`` halo of ``P-1`` frames from the combined-order left
+    neighbor reproduces the sequential filter memory exactly; the
+    centering NCO phase is reconstructed per chunk from the global
+    sample index with the exact uint32 DDS.
+
+    Returns ``run(streams) -> mixture`` where ``streams`` is
+    ``[N, n_time * n_ch * chunk_samples]`` per-channel baseband and
+    ``mixture`` is ``[2N * n_time * n_ch * chunk_samples]`` — equal to
+    the sequential ``make_mctx_step`` scan (tested on the virtual mesh).
+    """
+    N = num_channels
+    n_time = mesh.shape["time"]
+    n_ch = mesh.shape["channel"]
+    if N % n_ch:
+        raise ValueError(f"{N} channels not divisible by {n_ch} shards")
+    chz = pfb_mod.pfbch_create(2 * N, m=13, As=60.0)
+    halo_f = chz.P - 1                    # synthesis filter memory (frames)
+    B_sub = int(chunk_samples)            # channel-samples per fine chunk
+    if B_sub < halo_f:
+        raise ValueError(
+            f"chunk ({B_sub}) must cover the filter memory ({halo_f})")
+    freq = _center_offset(N)
+    n_dev = n_time * n_ch
+
+    def shard_fn(s_local):
+        # s_local: [N_loc, n_ch * B_sub] — this channel group's baseband
+        # for this time row, fine chunks in c order along the time axis
+        N_loc = s_local.shape[0]
+        t_idx = jax.lax.axis_index("time")
+        c_idx = jax.lax.axis_index("channel")
+        flat = t_idx * n_ch + c_idx
+
+        # transpose: channel groups -> fine time chunks.  split the time
+        # row into n_ch fine chunks, exchange over 'channel', stack the
+        # received channel groups -> all N channels of ONE fine chunk
+        grp = jax.lax.all_to_all(
+            s_local.reshape(N_loc, n_ch, B_sub), "channel",
+            split_axis=1, concat_axis=0, tiled=False)
+        grp = grp.reshape(N, B_sub)         # groups stack in channel order
+        Y = jnp.zeros((B_sub, 2 * N), jnp.complex64)
+        Y = Y.at[:, :N].set(grp.T)          # channels ride bins 0..N-1
+
+        # synthesis filter memory: the previous fine chunk's last P-1
+        # input frames, fetched over the combined (time, channel) order
+        tail = Y[B_sub - halo_f:]
+        left = jax.lax.ppermute(
+            tail, ("time", "channel"),
+            [(i, i + 1) for i in range(n_dev - 1)])
+        ext = jnp.concatenate([left, Y])    # [halo_f + B_sub, 2N]
+        _, y_ext = pfb_mod.pfb_synthesize_block(
+            chz, pfb_mod.pfbch_state(chz), ext)
+        y = y_ext[2 * N * halo_f:]          # [2N * B_sub] valid samples
+
+        # centering NCO at the chunk's global output-sample index
+        g0 = flat.astype(jnp.uint32) * jnp.uint32(
+            (2 * N * B_sub) % (1 << 32))
+        nco0 = nco_mod.nco_init_at(freq, g0)
+        _, y = nco_mod.nco_mix_block(nco0, y, up=True)
+        return y[None, None, :]
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=P("channel", "time"),
+                       out_specs=P("time", "channel", None),
+                       check_vma=False)
+    jit_fn = jax.jit(fn)
+
+    def run(streams):
+        return np.asarray(jit_fn(streams)).reshape(-1)
+
+    run.jit_fn = jit_fn
+    return run

@@ -238,3 +238,48 @@ def test_time_sharded_gmsk_matches_sequential():
             jnp.asarray(p))),
         lambda: (gf.gmsk_sync_init(sync), gf.make_gmsk_sync_step(sync)),
         sync, gap=5200, seed=4)
+
+
+def test_sharded_mctx_matches_sequential():
+    """The synthesis dual (make_sharded_mctx): per-channel baseband
+    sharded [channel x time] -> all_to_all -> fine-time-sharded PFB
+    synthesis + exact-DDS centering NCO must equal the sequential
+    make_mctx_step scan sample-for-sample."""
+    from liquid_usrp_tpu.models.multichannel import make_mctx_step
+    assert jax.device_count() >= 8
+    mesh = jax.make_mesh((2, 4), ("time", "channel"))
+    N = 4
+    B_sub = 2048                       # channel-samples per fine chunk
+    T = 2 * 4 * B_sub                  # n_time * n_ch * B_sub
+
+    # per-channel baseband: real frames on ch 0/2, tones + zeros elsewhere
+    rng = np.random.default_rng(7)
+    params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
+    streams = np.zeros((N, T), np.complex64)
+    for ch in (0, 2):
+        pos = 100
+        while pos + 2000 < T:
+            f = np.asarray(ofdm.assemble_frame(
+                params, ofdm.FrameProps(),
+                jnp.asarray(rng.integers(0, 256, 8, dtype=np.uint8)),
+                jnp.asarray(rng.integers(0, 256, 64, dtype=np.uint8))))
+            streams[ch, pos:pos + len(f)] = f
+            pos += len(f) + int(rng.integers(500, 1500))
+    streams[1] = np.exp(2j * np.pi * 0.01 * np.arange(T)).astype(
+        np.complex64)
+
+    run = pstream.make_sharded_mctx(mesh, N, B_sub)
+    mix_sharded = run(jnp.asarray(streams))
+    assert mix_sharded.shape == (2 * N * T,)
+
+    init, step = make_mctx_step(N)
+    st = init()
+    out = []
+    for lo in range(0, T, 4096):
+        Y = jnp.zeros((4096, 2 * N), jnp.complex64).at[:, :N].set(
+            jnp.asarray(streams[:, lo:lo + 4096].T))
+        st, y = step(st, Y)
+        out.append(np.asarray(y))
+    mix_seq = np.concatenate(out)
+
+    np.testing.assert_allclose(mix_sharded, mix_seq, atol=2e-5)
