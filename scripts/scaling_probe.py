@@ -57,10 +57,27 @@ def child(n_dev: int):
         for _ in range(2):
             res = run(mixture)
         best = min(best, (time.perf_counter() - t0) / 2)
+
+    # TX dual on the same mesh: sharded synthesis of the same total
+    # workload (per-channel baseband -> mixture)
+    B_tx = TOTAL_CHANNEL_SAMPLES // n_dev
+    run_tx = pstream.make_sharded_mctx(mesh, N, B_tx)
+    streams = jnp.asarray(
+        (0.1 * (rng.normal(size=(N, TOTAL_CHANNEL_SAMPLES))
+                + 1j * rng.normal(size=(N, TOTAL_CHANNEL_SAMPLES))))
+        .astype(np.complex64))
+    run_tx(streams)                          # warm up (compile)
+    best_tx = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            run_tx(streams)
+        best_tx = min(best_tx, (time.perf_counter() - t0) / 2)
     print(json.dumps({
         "n_dev": n_dev, "mesh": [t, c],
         "total_mixture_samples": total, "step_s": best,
         "samples_per_s": total / best,
+        "tx_step_s": best_tx, "tx_samples_per_s": total / best_tx,
     }))
 
 
@@ -80,10 +97,14 @@ def main():
                 print(line)
     if rows:
         t1 = rows[0]["step_s"]
+        t1_tx = rows[0].get("tx_step_s")
         for r in rows:
             # < ~1.25 keeps the >=80% target reachable once the per-device
             # compute is on independent chips (see docs/scaling.md)
             r["sharding_overhead_vs_1dev"] = round(r["step_s"] / t1, 4)
+            if t1_tx and r.get("tx_step_s"):
+                r["tx_sharding_overhead_vs_1dev"] = round(
+                    r["tx_step_s"] / t1_tx, 4)
         path = os.path.join(os.path.dirname(__file__), "..", "docs",
                             "scaling_data.json")
         with open(path, "w") as f:

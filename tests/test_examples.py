@@ -1,0 +1,19 @@
+"""The examples/ scripts must keep running (executable documentation)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("script", ["01_loopback.py",
+                                    "02_sharded_receiver.py",
+                                    "03_streaming_state.py"])
+def test_example_runs(script):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=ROOT)
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", script)],
+        env=env, capture_output=True, text=True, timeout=540)
+    assert out.returncode == 0, out.stdout + out.stderr
