@@ -1,14 +1,16 @@
-"""Multi-process worker for the distributed a2a receiver test.
+"""Multi-process worker for the distributed TX->RX pipeline test.
 
 One OS process per simulated host (the real topology is one process per
 TPU host; here each process exposes N virtual CPU devices via
 ``xla_force_host_platform_device_count``).  Every process builds the same
-deterministic multichannel mixture, contributes its local shards of the
-global input array, runs the all-to-all sharded receiver
-(`parallel/stream.py::sharded_mcrx`) over the global ``(time, channel)``
-mesh — halo ``ppermute`` and the channelizer ``all_to_all`` now cross the
-process boundary over the Gloo backend, the DCN stand-in — allgathers the
-results, and verifies every injected payload decodes exactly.
+deterministic per-channel baseband, contributes its local shards, then
+the FULL pipeline runs on the global ``(time, channel)`` mesh: the
+sharded transmitter (`make_sharded_mctx`: all_to_all transpose +
+fine-time polyphase synthesis with ppermute filter-memory halos)
+synthesizes the mixture, and the all-to-all sharded receiver
+(`sharded_mcrx`) decodes it — every collective crossing the process
+boundary over the Gloo backend, the DCN stand-in.  Results are
+allgathered and every injected payload must decode exactly.
 
 Usage: multihost_worker.py <process_id> <num_processes> <port>
 (spawned by tests/test_multihost.py with 4 local devices per process).
@@ -35,7 +37,6 @@ def main() -> int:
     from jax.sharding import PartitionSpec as P
 
     from liquid_usrp_tpu.framing import ofdm, ofdm_sync
-    from liquid_usrp_tpu.models.multichannel import MultichannelTx
     from liquid_usrp_tpu.parallel import stream as pstream
 
     N = 4
@@ -53,23 +54,35 @@ def main() -> int:
     B_grp = chunk_blocks * sync.block_size * mesh.shape["channel"]
     total_mix = 2 * N * B_grp * mesh.shape["time"]
 
-    # identical deterministic mixture on every process
-    tx = MultichannelTx(N, M=48, cp_len=6, taper_len=4)
+    # identical deterministic PER-CHANNEL BASEBAND on every process; the
+    # mixture itself is synthesized ON the mesh by the sharded TX, so the
+    # whole TX->RX pipeline (all_to_all transpose, synthesis halos,
+    # analysis halos, channel reshard) crosses the process boundary
     rng = np.random.default_rng(7)
+    T = total_mix // (2 * N)                 # channel-samples
+    streams = np.zeros((N, T), np.complex64)
     sent = {}
     for ch in range(N):
         header = rng.integers(0, 256, 8, dtype=np.uint8)
         header[2] = ch
         payload = rng.integers(0, 256, 48, dtype=np.uint8)
-        tx.update_data(ch, header, payload)
+        frame = np.asarray(ofdm.assemble_frame(
+            params, ofdm.default_props(),
+            jax.numpy.asarray(header), jax.numpy.asarray(payload)))
+        streams[ch, 100 + 37 * ch:100 + 37 * ch + len(frame)] = frame
         sent[ch] = payload
-    mixture = np.asarray(tx.generate_samples(total_mix // (2 * N)))
+
+    tx_run = pstream.make_sharded_mctx(mesh, N, T // n_dev)
+    tx_sharding = NamedSharding(mesh, P("channel", "time"))
+    global_streams = jax.make_array_from_callback(
+        streams.shape, tx_sharding, lambda idx: streams[idx])
+    mix3d = tx_run.jit_fn(global_streams)    # [t, c, chunk] sharded
+    flatten = jax.jit(lambda a: jax.lax.reshape(
+        a, (total_mix,),
+        out_sharding=NamedSharding(mesh, P(("time", "channel")))))
+    global_in = flatten(mix3d)
 
     run = pstream.sharded_mcrx(mesh, N, sync, chunk_blocks)
-    sharding = NamedSharding(mesh, P(("time", "channel")))
-    global_in = jax.make_array_from_callback(
-        mixture.shape, sharding, lambda idx: mixture[idx])
-
     res = run.jit_fn(global_in)              # sharded across processes
     res = multihost_utils.process_allgather(res, tiled=True)
     res = jax.tree.map(run.regroup, jax.tree.map(np.asarray, res))
