@@ -64,10 +64,18 @@ def iter_sync_results(step, init_state, stream, block_size: int,
 
 
 def parse_args(argv, optstring: str, long_opts=None):
-    """getopt wrapper returning (dict, positional).  Last flag wins."""
-    opts, rest = _getopt.getopt(argv, optstring,
-                                long_opts or ["snr=", "cfo=", "delay=",
-                                              "seed="])
+    """getopt wrapper returning (dict, positional).  Last flag wins.
+
+    Unknown/malformed flags exit with a one-line error + a pointer to
+    ``-h`` (liquid's getopt apps print usage and exit; a Python
+    traceback is not an acceptable CLI failure mode)."""
+    try:
+        opts, rest = _getopt.getopt(argv, optstring,
+                                    long_opts or ["snr=", "cfo=", "delay=",
+                                                  "seed="])
+    except _getopt.GetoptError as e:
+        print(f"error: {e} (use -h for usage)", file=sys.stderr)
+        raise SystemExit(1)
     d = {}
     for k, v in opts:
         d[k.lstrip("-")] = v

@@ -105,6 +105,14 @@ def test_usage_screens():
         assert "usage" in out or "options" in out, mod.__name__
 
 
+def test_bad_flag_exits_cleanly():
+    """Unknown flags exit 1 with a one-line error (not a traceback)."""
+    from liquid_usrp_tpu.apps import ofdmflexframe_tx
+    with pytest.raises(SystemExit) as exc:
+        ofdmflexframe_tx.main(["-Z"])
+    assert exc.value.code == 1
+
+
 def test_fullduplex_behavior():
     """Both directions decode over the derived-CFO duplex links, and -R
     measurably swaps the carrier-role plan (VERDICT round-1 item 4)."""
