@@ -355,11 +355,16 @@ class MultichannelRx:
 
     def __init__(self, num_channels: int, M: int = 48, cp_len: int = 6,
                  taper_len: int = 4, callback=None, block_size: int = 4096,
-                 max_payload: int = 1024):
+                 max_payload: int = 1024, enable_conv: bool = False,
+                 soft: bool = False,
+                 expansion: int = None):
+        from ..framing import payload as payload_codec
         self.num_channels = num_channels
         self.params = ofdm.make_ofdm_params(M, cp_len, taper_len)
-        self.sync = ofdm_sync.make_sync(self.params, block_size=block_size,
-                                        max_payload=max_payload)
+        self.sync = ofdm_sync.make_sync(
+            self.params, block_size=block_size, max_payload=max_payload,
+            enable_conv=enable_conv, soft=soft,
+            expansion=expansion or payload_codec.EXPANSION)
         self.callback = callback
         init, self._step = make_mcrx_step(num_channels, self.params,
                                           self.sync)
