@@ -123,3 +123,31 @@ def test_sync_block_fused_pallas_end_to_end():
     assert len(results[0]) == len(results[2]) == 1
     np.testing.assert_array_equal(results[2][0][1], payload)
     assert abs(results[0][0][0] - results[2][0][0]) <= 3
+
+
+def test_batched_dispatch_composes_with_fused_kernel():
+    """sync_blocks_batched vmaps the detect front-end over the block
+    axis; with use_pallas=2 that is a vmap over the fused Mosaic
+    pallas_call (batching rule must hold) — the frame still decodes
+    payload-exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=64,
+                               max_frames=2, use_pallas=2)
+    rng = np.random.default_rng(2)
+    h = rng.integers(0, 256, 8, dtype=np.uint8)
+    p = rng.integers(0, 256, 40, dtype=np.uint8)
+    f = np.asarray(ofdm.assemble_frame(
+        params, ofdm.default_props(), jnp.asarray(h), jnp.asarray(p)))
+    stream = np.zeros(3 * 4096, np.complex64)
+    stream[500:500 + len(f)] = f
+    _, res = ofdm_sync.sync_blocks_batched(
+        sync, ofdm_sync.sync_init(sync),
+        jnp.asarray(stream.reshape(3, 4096)))
+    ok = np.nonzero(np.asarray(res.payload_valid))
+    assert len(ok[0]) == 1
+    b, k = int(ok[0][0]), int(ok[1][0])
+    np.testing.assert_array_equal(
+        np.asarray(res.payload[b, k])[:40], p)
