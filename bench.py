@@ -149,10 +149,10 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
                                max_payload=512, max_frames=max_frames,
                                use_pallas=use_pallas)
     if batched_blocks > 1:
-        init_state, step = make_mcrx_batched_step(N, params, sync,
+        init_state, step = make_mcrx_batched_step(N, sync,
                                                   batched_blocks)
     else:
-        init_state, step = make_mcrx_step(N, params, sync)
+        init_state, step = make_mcrx_step(N, sync)
     g = 2 * N * sync.block_size * batched_blocks
     SCAN = scan
     # order-independent device-side payload fingerprints: the correctness

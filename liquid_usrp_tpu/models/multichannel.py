@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..framing import ofdm, ofdm_sync
+from ..framing import payload as payload_codec
 from ..ops import iqfmt
 from ..ops import nco as nco_mod
 from ..ops import pfb as pfb_mod
@@ -114,6 +115,11 @@ class MultichannelTx:
             jnp.asarray(np.asarray(header, dtype=np.uint8)),
             jnp.asarray(np.asarray(payload, dtype=np.uint8))))
         with self._cv:
+            # re-check under the lock: the early fail-fast check above
+            # raced any concurrent producer (check-then-act), and a
+            # silent overwrite would drop their packet
+            if len(self._queues[ch]):
+                raise RuntimeError(f"channel {ch} not ready for data")
             self._queues[ch] = samples
             self._cv.notify_all()
 
@@ -273,8 +279,7 @@ class McrxState(NamedTuple):
     syncs: ofdm_sync.OfdmSyncState      # stacked leading axis [N]
 
 
-def make_mcrx_step(num_channels: int, params: ofdm.OfdmParams,
-                   sync: ofdm_sync.OfdmSync):
+def make_mcrx_step(num_channels: int, sync: ofdm_sync.OfdmSync):
     """Build ``(init_state, step)`` for the fused multichannel RX.
 
     ``step(state, x[2N*B]) -> (state', FrameResults[N, max_frames])`` where
@@ -308,7 +313,7 @@ def make_mcrx_step(num_channels: int, params: ofdm.OfdmParams,
     return init_state, step
 
 
-def make_mcrx_batched_step(num_channels: int, params: ofdm.OfdmParams,
+def make_mcrx_batched_step(num_channels: int,
                            sync: ofdm_sync.OfdmSync, n_blocks: int):
     """Multi-block batched multichannel RX step (one dispatch, no scan).
 
@@ -357,17 +362,14 @@ class MultichannelRx:
                  taper_len: int = 4, callback=None, block_size: int = 4096,
                  max_payload: int = 1024, enable_conv: bool = False,
                  soft: bool = False,
-                 expansion: int = None):
-        from ..framing import payload as payload_codec
+                 expansion: int = payload_codec.EXPANSION):
         self.num_channels = num_channels
         self.params = ofdm.make_ofdm_params(M, cp_len, taper_len)
         self.sync = ofdm_sync.make_sync(
             self.params, block_size=block_size, max_payload=max_payload,
-            enable_conv=enable_conv, soft=soft,
-            expansion=expansion or payload_codec.EXPANSION)
+            enable_conv=enable_conv, soft=soft, expansion=expansion)
         self.callback = callback
-        init, self._step = make_mcrx_step(num_channels, self.params,
-                                          self.sync)
+        init, self._step = make_mcrx_step(num_channels, self.sync)
         self._init = init
         self._state = init()
         self._pending = np.zeros(0, np.complex64)
@@ -416,7 +418,9 @@ class MultichannelRx:
                 frames.append(row)
                 if self.callback is not None:
                     self.callback(**row)
-        self._pending = buf
+        # copy: a view would pin the whole concatenated input buffer
+        # until the next call
+        self._pending = buf.copy()
         return frames
 
     def flush(self) -> list[dict]:
@@ -521,12 +525,14 @@ class MultichannelTxRx:
         out = []
         was_waiting = not self.tx.is_channel_ready(ch)
         while not self.tx.is_channel_ready(ch):
-            out.append(self.tx.read_samples(512) if self.tx._running
-                       else self.tx.generate_samples(256))
-        if was_waiting and self.tx._running:
-            # the frame tail the worker synthesized past the queue-empty
-            # edge is still buffered — include it, so the returned air
-            # carries the whole packet like the non-worker path does
+            # read_samples drains any worker ahead-buffer FIRST and only
+            # then generates — correct whether the worker is running,
+            # stopped-with-buffered-samples, or was never started
+            out.append(self.tx.read_samples(512))
+        if was_waiting:
+            # the frame tail synthesized past the queue-empty edge may
+            # still be buffered — include it, so the returned air
+            # carries the whole packet
             out.append(self.tx.read_samples(self.tx.samples_ahead))
         return (np.concatenate(out) if out
                 else np.zeros(0, np.complex64))
@@ -537,16 +543,12 @@ class MultichannelTxRx:
         out = []
         while not all(self.tx.is_channel_ready(c)
                       for c in range(self.num_channels)):
-            out.append(self.tx.read_samples(512) if self.tx._running
-                       else self.tx.generate_samples(256))
-        # flush channelizer memory; with the worker running, everything
-        # already synthesized from the queued frames still sits in the
-        # ahead-buffer — consume all of it plus the flush margin
+            out.append(self.tx.read_samples(512))
+        # drain whatever is still buffered (the synthesized frame tail
+        # when a worker ran) plus the channelizer-memory flush margin
         flush = 2 * self.tx.chz.P
         out.append(self.tx.read_samples(
-            self.tx.samples_ahead + 2 * self.num_channels * flush)
-                   if self.tx._running
-                   else self.tx.generate_samples(flush))
+            self.tx.samples_ahead + 2 * self.num_channels * flush))
         return (np.concatenate(out) if out
                 else np.zeros(0, np.complex64))
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..framing import ofdm, ofdm_sync
+from ..framing import ofdm_sync
 from ..models.multichannel import _center_offset
 from ..ops import iqfmt
 from ..ops import nco as nco_mod
@@ -238,6 +238,13 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
     if B_grp < halo:
         raise ValueError(
             f"time-row chunk ({B_grp}) must cover the sync halo ({halo})")
+    if B_sub < ana_halo:
+        raise ValueError(
+            f"fine chunk ({B_sub} channel-samples) must cover the "
+            f"analysis filter memory ({ana_halo}); raise chunk_blocks "
+            f"or block_size")
+    if ingest not in ("c64", "bf16"):
+        raise ValueError(f"unknown ingest {ingest!r} (c64 or bf16)")
     mix_sub = 2 * N * B_sub
     freq = -_center_offset(N)
     planes = ingest == "bf16"

@@ -112,7 +112,7 @@ def main():
     from liquid_usrp_tpu.models.multichannel import make_mcrx_step
     from liquid_usrp_tpu.ops import iqfmt
     N = 4
-    init_state, step = make_mcrx_step(N, params, sync)
+    init_state, step = make_mcrx_step(N, sync)
 
     @jax.jit
     def run_mcrx(state, blocks):

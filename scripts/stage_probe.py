@@ -157,8 +157,8 @@ def batched_vs_scan():
         x = jnp.asarray((rng.normal(size=nb * g) +
                          1j * rng.normal(size=nb * g))
                         .astype(np.complex64) * 0.1)
-        init_s, step = make_mcrx_step(N, params, sync)
-        init_b, bstep = make_mcrx_batched_step(N, params, sync, nb)
+        init_s, step = make_mcrx_step(N, sync)
+        init_b, bstep = make_mcrx_batched_step(N, sync, nb)
 
         @jax.jit
         def run_scan(state, xs):

@@ -63,7 +63,7 @@ def test_mcrx_decodes_from_bf16_planes():
     x = (x + 0.01 * (rng.normal(size=x.shape) +
                      1j * rng.normal(size=x.shape))).astype(np.complex64)
 
-    init_state, step = make_mcrx_step(N, params, sync)
+    init_state, step = make_mcrx_step(N, sync)
 
     def run(blocks_iter):
         st = init_state()

@@ -210,8 +210,8 @@ def test_mcrx_batched_step_equals_scan():
     x = (x + 0.01 * (rng.normal(size=x.shape) +
                      1j * rng.normal(size=x.shape))).astype(np.complex64)
 
-    init_s, step = make_mcrx_step(N, params, sync)
-    init_b, bstep = make_mcrx_batched_step(N, params, sync, n_blocks)
+    init_s, step = make_mcrx_step(N, sync)
+    init_b, bstep = make_mcrx_batched_step(N, sync, n_blocks)
     st = init_s()
     seq = []
     for b in range(n_blocks):
