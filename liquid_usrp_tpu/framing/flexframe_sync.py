@@ -80,6 +80,8 @@ def make_flex_sync(params: FlexParams, block_size: int = 16384,
                    threshold: float = 0.5, enable_conv: bool = False,
                    soft: bool = False,
                    expansion: int = _EXPANSION) -> FlexSync:
+    if expansion < 1:
+        raise ValueError(f"expansion must be >= 1 (got {expansion})")
     dec_max = max_payload + 4
     enc_max = expansion * dec_max   # see payload.check_budget
     # +1 point: DPSK payloads lead with a phase-reference point

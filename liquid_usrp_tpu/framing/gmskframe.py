@@ -238,6 +238,8 @@ def make_gmsk_sync(params: GmskParams, block_size: int = 16384,
                    threshold: float = 0.5, enable_conv: bool = False,
                    soft: bool = False,
                    expansion: int = _EXPANSION) -> GmskSync:
+    if expansion < 1:
+        raise ValueError(f"expansion must be >= 1 (got {expansion})")
     dec_max = max_payload + 4
     enc_max = expansion * dec_max   # see payload.check_budget
     max_bits = (payload_codec.HEADER_ENC_BYTES + enc_max) * 8

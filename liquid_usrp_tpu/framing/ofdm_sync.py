@@ -100,6 +100,8 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
               enable_conv: bool = False, soft: bool = False,
               use_pallas="auto",
               expansion: int = _EXPANSION) -> OfdmSync:
+    if expansion < 1:
+        raise ValueError(f"expansion must be >= 1 (got {expansion})")
     M, cp = params.M, params.cp_len
     n_data = len(params.data_idx)
     dec_max = max_payload + 4

@@ -25,7 +25,7 @@ import numpy as np
 from ..ops import crc as crc_mod
 from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
-from ..utils.bits import pack_bits
+from ..utils.bits import pack_bits, unpack_bits
 
 __all__ = [
     "PAYLOAD_FECS", "PAYLOAD_FECS_FULL", "PAYLOAD_MODS",
@@ -187,16 +187,25 @@ def check_budget(props, payload_len: int, expansion: int = EXPANSION,
     ``max_payload == payload_len`` (safe for ANY receiver that can hold
     the payload at all).
     """
-    rx_max = max(payload_len, rx_max_payload or 0)
+    if expansion < 1:
+        raise ValueError(f"expansion must be >= 1 (got {expansion})")
+    if rx_max_payload is not None and payload_len > rx_max_payload:
+        raise ValueError(
+            f"{payload_len}-byte payload exceeds the receiver's "
+            f"max_payload={rx_max_payload} — it would transmit but the "
+            f"decoded header's length field fails validation on every "
+            f"frame")
+    rx_max = payload_len if rx_max_payload is None else rx_max_payload
     need = payload_enc_bytes(props, payload_len)
-    if need > expansion * (rx_max + 4):
-        dec = payload_len + 4
+    budget = expansion * (rx_max + 4)
+    if need > budget:
         raise ValueError(
             f"fec0={fec_mod.fec_name(props.fec0)} + "
-            f"fec1={fec_mod.fec_name(props.fec1)} expands a "
-            f"{payload_len}-byte payload {need / dec:.2f}x — beyond the "
-            f"expansion={expansion} receive budget.  Build both ends for "
-            f"it: make_*_sync(..., expansion=<n>) and "
+            f"fec1={fec_mod.fec_name(props.fec1)} encodes a "
+            f"{payload_len}-byte payload to {need} bytes — beyond the "
+            f"expansion={expansion} receive budget of {budget} bytes "
+            f"(max_payload={rx_max}).  Build both ends for it: "
+            f"make_*_sync(..., expansion=<n>) and "
             f"assemble(..., expansion=<n>), or pick a lighter outer FEC "
             f"(the reference pairs conv inner codes with fec1=none).")
 
@@ -494,14 +503,19 @@ def decode_payload_batch_soft(sync_enc_max: int, dec_max: int,
                 n -= 1
             need = fec_mod.encoded_length(s, n)
             if fec_mod._is_conv(s) and bufs_llr is not None:
-                dec = jax.vmap(
-                    lambda L: conv_mod.conv_decode_soft(s, L[:need * 8], n)
-                )(bufs_llr)
+                L = bufs_llr[:, :need * 8]
                 if llr_ok is not None:
-                    hard_dec = jax.vmap(
-                        lambda b: fec_mod.fec_decode(s, b, n))(
-                            bufs[:, :need])
-                    dec = jnp.where(llr_ok[:, None], dec, hard_dec)
+                    # rows without valid channel LLRs decode from their
+                    # hard bytes as +-1 pseudo-LLRs — constant magnitude
+                    # makes soft Viterbi metric-equivalent to hard, so
+                    # ONE soft pass covers both row classes (running a
+                    # separate full-batch hard Viterbi would double the
+                    # most expensive decode stage)
+                    bits = jax.vmap(unpack_bits)(
+                        bufs[:, :need]).astype(jnp.float32)
+                    L = jnp.where(llr_ok[:, None], L, 2.0 * bits - 1.0)
+                dec = jax.vmap(
+                    lambda Lr: conv_mod.conv_decode_soft(s, Lr, n))(L)
             elif fec_mod._is_conv(s) or s == fec_mod.FEC_RS8:
                 dec = jax.vmap(lambda b: fec_mod.fec_decode(s, b, n))(
                     bufs[:, :need])

@@ -57,9 +57,11 @@ class MultichannelTx:
     """N-channel OFDM downlink synthesizer (host scheduling + jitted DSP)."""
 
     def __init__(self, num_channels: int, M: int = 48, cp_len: int = 6,
-                 taper_len: int = 4):
+                 taper_len: int = 4,
+                 expansion: int = payload_codec.EXPANSION):
         self.num_channels = num_channels
         self.params = ofdm.make_ofdm_params(M, cp_len, taper_len)
+        self.expansion = int(expansion)
         self.props = [ofdm.default_props() for _ in range(num_channels)]
         self.chz = pfb_mod.pfbch_create(2 * num_channels, m=13, As=60.0)
         self._mctx_init, self._mctx_step = make_mctx_step(num_channels)
@@ -113,7 +115,8 @@ class MultichannelTx:
         samples = np.asarray(ofdm.assemble_frame(
             self.params, p,
             jnp.asarray(np.asarray(header, dtype=np.uint8)),
-            jnp.asarray(np.asarray(payload, dtype=np.uint8))))
+            jnp.asarray(np.asarray(payload, dtype=np.uint8)),
+            expansion=self.expansion))
         with self._cv:
             # re-check under the lock: the early fail-fast check above
             # raced any concurrent producer (check-then-act), and a
@@ -442,7 +445,9 @@ class MultichannelTxRx:
     def __init__(self, num_channels: int, M: int = 48, cp_len: int = 6,
                  taper_len: int = 4, callback=None, **rx_kwargs):
         from .ofdmtxrx import RadioConfig
-        self.tx = MultichannelTx(num_channels, M, cp_len, taper_len)
+        self.tx = MultichannelTx(
+            num_channels, M, cp_len, taper_len,
+            expansion=rx_kwargs.get("expansion", payload_codec.EXPANSION))
         self.rx = MultichannelRx(num_channels, M, cp_len, taper_len,
                                  callback=callback, **rx_kwargs)
         self.num_channels = num_channels

@@ -223,9 +223,16 @@ def conv_decode_soft(scheme: int, llr_bits: jnp.ndarray,
     total = R * nbits
     keep = _keep_mask(p, total)
     nkept = int(keep.sum())
-    # quantize LLRs to 5-bit ints (scaled by the mean magnitude)
+    # quantize LLRs to 5-bit ints, scaled by the mean magnitude of the
+    # LIVE entries only: callers hand in static max-size slices whose
+    # zero padding tail would otherwise inflate the scale and saturate
+    # every real LLR to +-15 (uniform confidence = hard-equivalent,
+    # silently erasing the soft gain for short payloads)
     L = llr_bits[:nkept]
-    scale = 7.0 / jnp.maximum(jnp.mean(jnp.abs(L)), 1e-9)
+    absL = jnp.abs(L)
+    live = absL > 1e-6 * jnp.maximum(jnp.max(absL), 1e-9)
+    mean_live = jnp.sum(absL * live) / jnp.maximum(jnp.sum(live), 1.0)
+    scale = 7.0 / jnp.maximum(mean_live, 1e-9)
     q = jnp.clip(jnp.round(L * scale), -15, 15).astype(jnp.int32)
     full = jnp.zeros((total,), jnp.int32)
     full = full.at[jnp.asarray(np.nonzero(keep)[0])].set(q)
