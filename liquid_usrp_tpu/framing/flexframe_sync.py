@@ -353,7 +353,10 @@ def flex_sync_blocks_batched(sync: FlexSync, state: FlexSyncState,
     matched-filter + detect front-end vmaps over strided stream windows
     (each identical to what the sequential path sees), and every
     candidate decodes against its own block's mf/metric arrays — results
-    are bit-identical to a scan of :func:`flex_sync_block`."""
+    are bit-identical to a scan of :func:`flex_sync_block` on the
+    DETECTED rows (masks, t_start, payloads, carried state); undetected
+    rows' unmasked fields differ because the scan's per-block decode
+    gate zeroes them for detection-free blocks."""
     blocks = iqfmt.iq_from_any(blocks)    # accepts [2, n_blocks, bs] planes
     n_blocks, bs = blocks.shape
     assert bs == sync.block_size

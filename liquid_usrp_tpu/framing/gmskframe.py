@@ -246,9 +246,14 @@ def make_gmsk_sync(params: GmskParams, block_size: int = 16384,
     max_frame = (PRE_BITS + SYNC_BITS + max_bits + 4 * params.m) * params.k
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
             else payload_codec.PAYLOAD_FECS)
+    # overlap margin beyond the frame: the +-4k mf_lag search plus the
+    # fractional-delay interpolation read one sample past the last
+    # symbol.  8k alone left small-m geometries (m=1) short by ~3k
+    # samples — the tail read clipped at the buffer edge and the final
+    # CRC bits intermittently decoded as garbage; 24k covers every m.
     return GmskSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
-                    threshold=threshold, overlap=max_frame + 8 * params.k,
+                    threshold=threshold, overlap=max_frame + 24 * params.k,
                     max_bits=max_bits, dec_max=dec_max, enc_max=enc_max,
                     fecs=fecs, soft=soft)
 
@@ -394,9 +399,12 @@ def _gated_decode(sync: GmskSync, z, metric, ext, gate, locs,
         snr_est = 10.0 * jnp.log10(
             jnp.maximum(amp ** 2 / jnp.maximum(
                 jnp.mean((samp[:n_t] - amp * sgn) ** 2), 1e-9), 1e-9))
+        # RSSI averaged over the whole preamble-template span (a single
+        # sample's power carries the full noise variance — several dB of
+        # frame-to-frame scatter)
+        ridx = jnp.clip(n0 + jnp.arange(n_t * k), 0, ext.shape[0] - 1)
         rssi = 10.0 * jnp.log10(jnp.maximum(
-            jnp.mean(jnp.abs(ext[jnp.clip(n0, 0, ext.shape[0] - 1)]) ** 2),
-            1e-12))
+            jnp.mean(jnp.abs(ext[ridx]) ** 2), 1e-12))
         evm = -snr_est
         cfo_rad = dw  # rad/sample (MF-domain template estimate)
         return (user, ppts, plen, mod_f, f0, f1, check, hvalid,
@@ -471,7 +479,10 @@ def gmsk_sync_blocks_batched(sync: GmskSync, state: GmskSyncState,
     the MF + differential-template front-end vmaps over strided stream
     windows and every candidate decodes against its own block's
     ``z``/``metric``/``ext`` rows — bit-identical to a scan of
-    :func:`gmsk_sync_block`."""
+    :func:`gmsk_sync_block` on the DETECTED rows (detected/valid masks,
+    t_start, payloads, carried state).  Undetected rows differ in the
+    unmasked fields: the scan's per-block decode gate zeroes them for
+    detection-free blocks while the fused batch decodes every row."""
     from .flexframe_sync import FlexResults
     blocks = iqfmt.iq_from_any(blocks)    # accepts [2, n_blocks, bs] planes
     n_blocks, bs = blocks.shape

@@ -26,7 +26,8 @@ import numpy as np
 
 from ..utils.bits import pack_bits, unpack_bits
 
-__all__ = ["encoded_length", "conv_encode", "conv_decode"]
+__all__ = ["encoded_length", "conv_encode", "conv_decode",
+           "conv_decode_soft"]
 
 
 class _ConvCode(NamedTuple):

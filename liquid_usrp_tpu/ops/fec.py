@@ -29,6 +29,7 @@ import functools
 import itertools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -307,9 +308,11 @@ def fec_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
         return coded[..., :n_bytes]
     if scheme == FEC_RS8:
         from . import rs
+        if coded.ndim > 1:     # the RS core is 1-D; honor the [..., n]
+            flat = coded.reshape(-1, coded.shape[-1])        # contract
+            out = jax.vmap(lambda c: rs.rs_decode(c, n_bytes))(flat)
+            return out.reshape(*coded.shape[:-1], n_bytes)
         return rs.rs_decode(coded, n_bytes)
-    if _is_conv(scheme):
-        pass  # handled below
     if _is_rep(scheme):
         r = 3 if scheme == FEC_REP3 else 5
         copies = coded[..., : n_bytes * r].reshape(
@@ -320,6 +323,11 @@ def fec_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
             *coded.shape[:-1], n_bytes * 8))
     if _is_conv(scheme):
         from . import conv
+        if coded.ndim > 1:     # the Viterbi core is 1-D (see RS above)
+            flat = coded.reshape(-1, coded.shape[-1])
+            out = jax.vmap(
+                lambda c: conv.conv_decode(scheme, c, n_bytes))(flat)
+            return out.reshape(*coded.shape[:-1], n_bytes)
         return conv.conv_decode(scheme, coded, n_bytes)
     c = _block_code(scheme)
     nbits = n_bytes * 8

@@ -179,3 +179,17 @@ def test_soft_viterbi_beats_hard():
         hard_fails += int((hard != data).any())
     assert soft_fails == 0, soft_fails
     assert hard_fails >= 2, hard_fails
+
+
+def test_rs_conv_batched_dispatch():
+    """fec_decode honors its documented [..., n] contract for the 1-D
+    RS/Viterbi cores by auto-vmapping the batch axes."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    for s in (fec.FEC_RS8, fec.FEC_CONV_V27):
+        data = rng.integers(0, 256, (3, 20), dtype=np.uint8)
+        enc = jax.vmap(lambda d: fec.fec_encode(s, d))(jnp.asarray(data))
+        dec = fec.fec_decode(s, enc, 20)
+        assert dec.shape == (3, 20)
+        np.testing.assert_array_equal(np.asarray(dec), data)

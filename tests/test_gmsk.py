@@ -148,3 +148,32 @@ def test_gmsk_batched_blocks_equal_sequential(setup):
     np.testing.assert_allclose(np.asarray(state2.tail),
                                np.asarray(st_seq.tail), atol=1e-6)
     assert int(state2.base) == int(st_seq.base)
+
+
+def test_small_m_frames_decode_at_every_block_position():
+    """m=1 geometry: frames whose tail reaches deep into the overlap
+    margin must still decode (the old 8k margin clipped the final
+    samples at the buffer edge for small m — intermittent CRC garbage)."""
+    params = gf.make_gmsk_params(k=2, m=1, bt=0.5)
+    sync = gf.make_gmsk_sync(params, block_size=4096, max_payload=64,
+                             max_frames=2)
+    step = gf.make_gmsk_sync_step(sync)
+    rng = np.random.default_rng(6)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 48, dtype=np.uint8)
+    frame = np.asarray(gf.gmsk_assemble(
+        params, gf.gmsk_default_props(), jnp.asarray(header),
+        jnp.asarray(payload)))
+    bs = sync.block_size
+    # sweep the frame start across the block seam region
+    for pos in range(bs - len(frame) - 40, bs - len(frame) + 40, 8):
+        stream = np.zeros(3 * bs, np.complex64)
+        stream[pos:pos + len(frame)] = frame
+        st = gf.gmsk_sync_init(sync)
+        got = []
+        for b in range(3):
+            st, r = step(st, jnp.asarray(stream[b * bs:(b + 1) * bs]))
+            for i in np.nonzero(np.asarray(r.payload_valid))[0]:
+                got.append(np.asarray(r.payload[i])[:48])
+        assert len(got) == 1, f"pos={pos}: {len(got)} frames"
+        np.testing.assert_array_equal(got[0], payload, err_msg=str(pos))
