@@ -55,7 +55,9 @@ class FlexSync(NamedTuple):
 
 class FlexSyncState(NamedTuple):
     tail: jnp.ndarray          # [overlap] complex64 raw samples
-    base: jnp.ndarray          # int32
+    base: jnp.ndarray          # int32 stream index; t_start timestamps
+    # inherit its wrap at 2^31 samples (~3.6 min at 10 MS/s) — matching
+    # the fixed-width counters of a long-running framesync
 
 
 class FlexResults(NamedTuple):
@@ -91,10 +93,16 @@ def make_flex_sync(params: FlexParams, block_size: int = 16384,
     max_frame = n_syms * params.k + 4 * params.m * params.k
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
             else payload_codec.PAYLOAD_FECS)
+    # overlap margin beyond the frame: detect-region inset + matched-
+    # filter group delay + fractional-delay interpolation reads.  The
+    # old 8k margin only cleared the default k=2/m=7 geometry (by 4.5
+    # samples); smaller m (shorter MF group delay shifts n0 later
+    # relative to the symbol reads) ran up to ~50 samples past the
+    # buffer and clipped payload tails at block seams.
     return FlexSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold,
-                    overlap=max_frame + 8 * params.k,
+                    overlap=max_frame + 32 * params.k + 32,
                     max_slots=max_slots, dec_max=dec_max, enc_max=enc_max,
                     fecs=fecs, soft=soft)
 

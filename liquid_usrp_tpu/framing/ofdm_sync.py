@@ -73,7 +73,8 @@ class OfdmSync(NamedTuple):
 
 class OfdmSyncState(NamedTuple):
     tail: jnp.ndarray          # [overlap] complex64
-    base: jnp.ndarray          # int32: stream index of tail[0]
+    base: jnp.ndarray          # int32: stream index of tail[0]; t_start
+    # timestamps inherit its wrap at 2^31 samples (fixed-width counter)
 
 
 class FrameResults(NamedTuple):

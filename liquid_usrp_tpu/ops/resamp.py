@@ -116,12 +116,15 @@ def resamp_create(rate: float, m: int = 7, fc: float = 0.45,
     P = 2 * m + 1
     L = npfb * P
     cutoff = fc * min(1.0, rate) / npfb
-    proto = firdes_kaiser(L, cutoff, As) * npfb * min(1.0, rate) * 2 * fc
-    # normalize passband gain to ~1: firdes_kaiser has DC gain ~= 2*fc*L/...;
-    # easier: normalize so each phase sums to ~1
+    proto = firdes_kaiser(L, cutoff, As)
+    # normalize so each phase sums to ~1 (unit passband gain)
     proto = proto / np.sum(proto) * npfb
     pfb = proto.reshape(P, npfb).T  # pfb[phase, tap] = proto[phase + npfb*tap]
-    pfb = np.concatenate([pfb, pfb[:1]], axis=0)  # wrap row for lerp
+    # lerp wrap row = the phase->npfb limit, i.e. the phase-0 subfilter
+    # ADVANCED one tap (proto[npfb*(tap+1)]); using the unshifted row 0
+    # here puts a full-sample delay discontinuity at frac ~= 1
+    wrap = np.concatenate([pfb[0, 1:], [0.0]])
+    pfb = np.concatenate([pfb, wrap[None, :]], axis=0)
     frac = Fraction(rate).limit_denominator(max_den)
     # input stride per output = 1/rate = q/p as a fraction
     stride = Fraction(frac.denominator, frac.numerator)
@@ -193,9 +196,13 @@ def resamp_block(rs: Resamp, state: ResampState, x: jnp.ndarray):
     valid = i < n
 
     i_safe = jnp.minimum(i, n - 1)
-    # window for output j: x[i - P + 1 .. i] = ext[i .. i + P - 1]
+    # window for output j: x[i - P + 1 .. i] = ext[i .. i + P - 1],
+    # REVERSED so tap q multiplies x[i - q] — convolution orientation.
+    # (Ascending pairing is correlation: the fractional phase enters
+    # with inverted sign and output timing sawtooths by ~2 samples at
+    # the phase-wrap rate — a ~-23 dB reconstruction floor.)
     win_idx = i_safe[:, None] + jnp.arange(rs.P)[None, :]
-    windows = ext[win_idx]                          # [max_out, P]
+    windows = ext[win_idx][:, ::-1]                 # [max_out, P]
 
     ph = frac * rs.npfb
     ph_lo = jnp.floor(ph).astype(jnp.int32)
@@ -279,6 +286,15 @@ def msresamp_block(ms: Msresamp, state: MsresampState, x: jnp.ndarray):
     """``[N] -> (state', y[max_out], valid, count)``.
 
     For decimation N must be divisible by ``2**num_halfband``.
+
+    Stage order note: liquid runs the arbitrary stage at the LOW-rate end
+    (before the interpolators) to save compute.  Here the arbitrary stage
+    always runs LAST on purpose: its output length is data-dependent
+    (masked static-shape slots), and feeding a masked tail into streaming
+    half-band stages would poison their carried filter state with padding
+    zeros — the fixed-rate stages must see the gapless stream.  The extra
+    arb-stage work at the high rate is the price of exact block-size
+    invariance under XLA static shapes (SURVEY hard part 3).
     """
     hb_states = []
     cur = x

@@ -251,3 +251,31 @@ def test_extended_scheme_frame_loopback(setup, mod_name):
     ok = [f for f in frames if f["payload_valid"]]
     assert len(ok) == 1, (mod_name, frames)
     np.testing.assert_array_equal(ok[0]["payload"], payload)
+
+
+def test_small_m_frames_decode_across_block_seam():
+    """m=3 geometry: the old 8k overlap margin read up to ~30 samples
+    past the matched-filter buffer for frames at the detect-region end,
+    clipping payload tails.  Sweep a frame across the seam region."""
+    params = ff.make_flex_params(k=2, m=3, beta=0.3)
+    sync = ffs.make_flex_sync(params, block_size=4096, max_payload=64,
+                              max_frames=2)
+    step = ffs.make_flex_sync_step(sync)
+    rng = np.random.default_rng(8)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 48, dtype=np.uint8)
+    frame = np.asarray(ff.flex_assemble(
+        params, ff.default_props(), jnp.asarray(header),
+        jnp.asarray(payload)))
+    bs = sync.block_size
+    for pos in range(bs - len(frame) - 40, bs - len(frame) + 40, 8):
+        stream = np.zeros(3 * bs, np.complex64)
+        stream[pos:pos + len(frame)] = frame
+        st = ffs.flex_sync_init(sync)
+        got = []
+        for b in range(3):
+            st, r = step(st, jnp.asarray(stream[b * bs:(b + 1) * bs]))
+            for i in np.nonzero(np.asarray(r.payload_valid))[0]:
+                got.append(np.asarray(r.payload[i])[:48])
+        assert len(got) == 1, f"pos={pos}: {len(got)}"
+        np.testing.assert_array_equal(got[0], payload, err_msg=str(pos))
