@@ -148,6 +148,15 @@ def _make_ofdm_params(M: int, cp_len: int, taper_len: int,
     if taper_len > cp_len:
         raise ValueError("taper length cannot exceed cyclic prefix")
     if alloc is None:
+        if M < 12:
+            # the M>=8 ctor check matches the reference's message, but
+            # the default allocation needs >= 2 pilots among the active
+            # carriers, which M=8 cannot provide; smaller grids need a
+            # custom alloc
+            raise ValueError(
+                "default subcarrier allocation needs M >= 12 (only one "
+                "pilot fits at M=8); pass a custom alloc= with >= 2 "
+                "pilots for smaller grids")
         data_idx, pilot_idx, null_idx = default_subcarrier_allocation(M)
     else:
         # validation mirrors ofdmframe_validate_sctype semantics
@@ -338,13 +347,18 @@ def assemble_frame(params: OfdmParams, props: FrameProps,
 
 
 def assemble_frames(params: OfdmParams, props: FrameProps,
-                    headers: jnp.ndarray, payloads: jnp.ndarray):
+                    headers: jnp.ndarray, payloads: jnp.ndarray,
+                    expansion: int = payload_codec.EXPANSION,
+                    rx_max_payload: int = None):
     """Batched assembly: ``[B, 8]`` headers + ``[B, P]`` payloads ->
     ``[B, frame_length]``.
 
     The frame-batch (DP) axis of SURVEY.md §2.2: frames are independent
     given per-frame params, so a whole batch is generated in one vmapped
     graph and the batch axis shards across devices for throughput.
+    ``expansion``/``rx_max_payload`` forward to the per-frame budget
+    check (same contract as :func:`assemble_frame`).
     """
-    return jax.vmap(lambda h, p: assemble_frame(params, props, h, p))(
-        headers, payloads)
+    return jax.vmap(lambda h, p: assemble_frame(
+        params, props, h, p, expansion=expansion,
+        rx_max_payload=rx_max_payload))(headers, payloads)

@@ -74,16 +74,11 @@ def _tables():
         L[_fftshift_index(k)] = L_seq[i]
     long_t = np.fft.ifft(L) * _N_FFT / np.sqrt(52)
 
-    # pilot polarity PN (127-periodic, standard sequence generator
-    # x^7 + x^4 + 1 seeded all-ones)
-    state = 0x7F
-    pn = []
-    for _ in range(127):
-        b = ((state >> 6) ^ (state >> 3)) & 1
-        state = ((state << 1) | b) & 0x7F
-        pn.append(1.0 - 2.0 * b)
+    # pilot polarity PN: the SAME x^7 + x^4 + 1 sequence as the
+    # scrambler, seeded all-ones, as +-1 (standard 17.3.5.9)
+    pn = 1.0 - 2.0 * _scramble_seq(0x7F).astype(np.float32)
     return short.astype(np.complex64), long_t.astype(np.complex64), \
-        np.array(pn, dtype=np.float32)
+        pn.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -106,10 +101,13 @@ def _scramble_bits(bits: np.ndarray, seed: int = 0x5D) -> np.ndarray:
     return bits ^ np.tile(seq, reps)[: len(bits)]
 
 
-# taps[j] multiplies b[i-j]: the shift register keeps the newest bit in
-# the LSB, so tap j is polynomial bit j (not reversed)
-_G0_TAPS = np.array([(0o133 >> j) & 1 for j in range(7)], np.uint8)
-_G1_TAPS = np.array([(0o171 >> j) & 1 for j in range(7)], np.uint8)
+# taps[j] multiplies b[i-j].  The 802.11a generators g0=133, g1=171
+# (IEEE 802.11-1999 17.3.5.5) are written MSB = delay 0, so tap j is
+# polynomial bit (6-j): delays {0,2,3,5,6} and {0,1,2,3,6}.  (Reading
+# the octal LSB-first yields the reciprocal code — self-consistent in
+# loopback but not wire-compatible with compliant equipment.)
+_G0_TAPS = np.array([(0o133 >> (6 - j)) & 1 for j in range(7)], np.uint8)
+_G1_TAPS = np.array([(0o171 >> (6 - j)) & 1 for j in range(7)], np.uint8)
 
 
 def _conv_encode_bits(bits: np.ndarray) -> np.ndarray:
@@ -231,7 +229,7 @@ def wlan_assemble(rate: int, psdu: np.ndarray,
     sig_pts = _map_bits(sig_inter, 1)
 
     # --- DATA field ---
-    n_sym = -(-(16 + 8 * length + 6) // ndbps)
+    n_sym = wlan_n_symbols(rate, length)
     n_data_bits = n_sym * ndbps
     service = np.zeros(16, np.uint8)
     psdu_bits = np.unpackbits(psdu[:, None], axis=1,
@@ -253,10 +251,10 @@ def wlan_assemble(rate: int, psdu: np.ndarray,
     pidx = [_fftshift_index(k) for k in _PILOT_IDX]
     grids[0, didx] = sig_pts
     grids[0, pidx] = np.array([1, 1, 1, -1]) * pilot_pn[0]
-    for s in range(n_sym):
-        grids[1 + s, didx] = pts[s * 48:(s + 1) * 48]
-        grids[1 + s, pidx] = (np.array([1, 1, 1, -1]) *
-                              pilot_pn[(1 + s) % 127])
+    # all DATA symbols in two vectorized assignments
+    grids[1:, didx] = pts.reshape(n_sym, 48)
+    grids[1:, pidx] = (np.array([1, 1, 1, -1])[None, :] *
+                       pilot_pn[(1 + np.arange(n_sym)) % 127][:, None])
     body = _symbols_to_time(grids)
 
     return jnp.asarray(np.concatenate([short_pre, long_pre, body]))
@@ -327,8 +325,11 @@ def _viterbi_tables():
         for b in range(2):
             reg = ((s << 1) | b) & 0x7F
             ns[s, b] = reg & 0x3F
-            o0[s, b] = 2.0 * (bin(reg & 0o133).count("1") & 1) - 1.0
-            o1[s, b] = 2.0 * (bin(reg & 0o171).count("1") & 1) - 1.0
+            # reg bit d = input delayed d -> mask = bit-reversed octal
+            # generator (delay sets {0,2,3,5,6} / {0,1,2,3,6}; see
+            # _G0_TAPS note)
+            o0[s, b] = 2.0 * (bin(reg & 0o155).count("1") & 1) - 1.0
+            o1[s, b] = 2.0 * (bin(reg & 0o117).count("1") & 1) - 1.0
     return ns, o0, o1
 
 
@@ -396,6 +397,11 @@ def wlan_decode(samples: np.ndarray) -> dict:
     this receive path exists for loopback verification and completeness.)
     """
     samples = np.asarray(samples)
+    if len(samples) < 400:
+        # too short for preamble + channel estimate + SIGNAL symbol:
+        # report an invalid frame instead of crashing on the FFT windows
+        return {"rate": 0, "length": 0, "signal_valid": False,
+                "psdu": None, "psdu_valid": False}
     short, long_t, pilot_pn = _tables()
     scale = _N_FFT / np.sqrt(52)
     didx = [_fftshift_index(k) for k in _DATA_IDX]

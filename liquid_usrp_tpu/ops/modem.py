@@ -201,8 +201,10 @@ def _apsk(rings: list[tuple[int, float, float]], bps: int) -> np.ndarray:
     c = np.concatenate(pts)
     assert c.shape[0] == 1 << bps
     c = c / np.sqrt(np.mean(np.abs(c) ** 2))
-    # gray-ish mapping: order points by (ring, angle) and apply gray perm
-    return c[_inv_gray_perm(bps).argsort()]
+    # gray-ish mapping: table[sym] = c[angular position], same convention
+    # as _psk (the inverted .argsort() form put 2-bit flips between
+    # several angularly adjacent points)
+    return c[_inv_gray_perm(bps)]
 
 
 def _v29() -> np.ndarray:
@@ -223,8 +225,8 @@ def _v29() -> np.ndarray:
 _APSK_RINGS = {
     MOD_APSK4: (1, 3),
     MOD_APSK8: (1, 7),
-    MOD_APSK16: (4, 12),
-    MOD_APSK32: (4, 12, 16),
+    # APSK16/32 are NOT here: _table_np hands them hard-coded ring specs
+    # (radius/phase tuned) before reaching this generic table.
     MOD_APSK64: (4, 14, 20, 26),
     MOD_APSK128: (8, 18, 24, 36, 42),
     MOD_APSK256: (6, 18, 32, 36, 46, 54, 64),
@@ -297,7 +299,8 @@ def modulate(scheme: int, symbols: jnp.ndarray) -> jnp.ndarray:
     """Map symbol indices ``[...]`` (ints < 2^bps) to complex64 points.
 
     Differential schemes here map the *phase increment*; cumulative rotation
-    is applied by the caller (see :func:`dpsk_tx_rotate`).
+    is applied by the caller (see :func:`dpsk_modulate` /
+    ``payload.diff_encode_points``).
     """
     return constellation(scheme)[symbols]
 

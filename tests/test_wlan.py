@@ -104,14 +104,19 @@ def test_wlan_signal_field_rejects_corruption():
 
 
 def test_wlan_conv_encoder_vectorized_matches_serial():
+    """Independent serial reference with the 802.11a delay taps written
+    out explicitly (17.3.5.5: g0=133 -> A = b[i]^b[i-2]^b[i-3]^b[i-5]^
+    b[i-6], g1=171 -> B = b[i]^b[i-1]^b[i-2]^b[i-3]^b[i-6]; octal MSB =
+    delay 0)."""
     def conv_ref(bits):
-        g0, g1 = 0o133, 0o171
-        reg = 0
+        b = np.concatenate([np.zeros(6, np.uint8), bits])
         out = np.empty(2 * len(bits), np.uint8)
-        for i, b in enumerate(bits):
-            reg = ((reg << 1) | int(b)) & 0x7F
-            out[2 * i] = bin(reg & g0).count("1") & 1
-            out[2 * i + 1] = bin(reg & g1).count("1") & 1
+        for i in range(len(bits)):
+            j = i + 6
+            out[2 * i] = (b[j] ^ b[j - 2] ^ b[j - 3] ^
+                          b[j - 5] ^ b[j - 6])
+            out[2 * i + 1] = (b[j] ^ b[j - 1] ^ b[j - 2] ^
+                              b[j - 3] ^ b[j - 6])
         return out
     rng = np.random.default_rng(0)
     b = rng.integers(0, 2, 500).astype(np.uint8)
