@@ -45,8 +45,13 @@ def channel_apply(ch: Channel, key: jax.Array, x: jnp.ndarray,
     y = x * ch.gain
     if ch.sro_ppm != 0.0:
         from ..ops import resamp as resamp_mod
+        # max_den bounded so resamp_block's int32 timing stays safe at
+        # ordinary block sizes (10**6 denominators overflowed the guard
+        # past ~2k samples); the <=3e-10/sample rate rounding drifts
+        # under 1e-3 samples over a million-sample stream — far below
+        # the ppm-scale effect being modeled
         rs = resamp_mod.resamp_create(1.0 + ch.sro_ppm * 1e-6,
-                                      max_den=10**6)
+                                      max_den=1 << 15)
         st = resamp_mod.resamp_state(rs)
         st, out, valid, count = resamp_mod.resamp_block(rs, st, y)
         y = out  # trailing invalid slots are zeros (harmless tail)

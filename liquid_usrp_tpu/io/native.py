@@ -24,13 +24,22 @@ FORMAT_SC16 = 1
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libiqstream.so"))
 _lib = None
+_load_failed_mtime = None    # source mtime at the last failed build
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed_mtime
     if _lib is not None:
         return _lib
     src = os.path.join(os.path.abspath(_NATIVE_DIR), "iqstream.cc")
+    if _load_failed_mtime is not None:
+        # a failed build is cached until the source changes — without
+        # this every read/write/available() call re-runs the compiler
+        try:
+            if os.path.getmtime(src) <= _load_failed_mtime:
+                return None
+        except OSError:
+            return None
     stale = (not os.path.exists(_LIB_PATH) or
              (os.path.exists(src) and
               os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
@@ -40,10 +49,14 @@ def _load():
                            check=True, capture_output=True, timeout=120)
         except Exception:
             if not os.path.exists(_LIB_PATH):
+                _load_failed_mtime = os.path.getmtime(src) \
+                    if os.path.exists(src) else 0.0
                 return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _load_failed_mtime = os.path.getmtime(src) \
+            if os.path.exists(src) else 0.0
         return None
     lib.iq_reader_open.restype = ctypes.c_void_p
     lib.iq_reader_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
@@ -79,8 +92,16 @@ def available() -> bool:
 
 
 def read_file(path: str, fmt: int = FORMAT_CF32) -> np.ndarray:
+    if not os.path.isfile(path):
+        # the C engine reports fopen failure as size 0 — surface the
+        # same error the NumPy fallback raises, not an empty capture
+        raise FileNotFoundError(path)
     lib = _load()
     if lib is None:
+        if fmt == FORMAT_SC16:
+            raw = np.fromfile(path, dtype=np.int16).astype(np.float32)
+            raw /= 32767.0
+            return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
         from .streams import read_iq
         return read_iq(path)
     n = lib.iq_file_size_samples(path.encode(), fmt)
@@ -95,20 +116,26 @@ def write_file(path: str, samples: np.ndarray,
                fmt: int = FORMAT_CF32) -> None:
     lib = _load()
     samples = np.asarray(samples, dtype=np.complex64)
-    inter = np.empty(2 * samples.size, dtype=np.float32)
-    inter[0::2] = samples.real
-    inter[1::2] = samples.imag
     if lib is None:
         if fmt != FORMAT_CF32:
             raise RuntimeError("SC16 output requires the native engine")
         from .streams import write_iq
         write_iq(path, samples)
         return
+    inter = _interleave(samples)
     rc = lib.iq_write_file(path.encode(), fmt,
                            inter.ctypes.data_as(ctypes.c_void_p),
                            samples.size)
     if rc != 0:
         raise IOError(f"iq_write_file failed for {path}")
+
+
+def _interleave(samples: np.ndarray) -> np.ndarray:
+    """complex64 [n] -> interleaved float32 [2n] (the C ABI layout)."""
+    inter = np.empty(2 * samples.size, dtype=np.float32)
+    inter[0::2] = samples.real
+    inter[1::2] = samples.imag
+    return inter
 
 
 def cf32_to_bf16_planes(samples: np.ndarray) -> np.ndarray:
@@ -168,6 +195,20 @@ class NativeReader:
             self._lib.iq_reader_close(self._h)
             self._h = None
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        # an abandoned reader would leak the C++ fill thread (parked on
+        # its condvar), both block buffers, and the FILE handle
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter shutdown
+            pass
+
 
 class NativeWriter:
     """Background-thread block writer (the TX-side mirror of NativeReader).
@@ -189,9 +230,7 @@ class NativeWriter:
         if self._h is None:
             raise RuntimeError("writer closed")
         samples = np.asarray(samples, dtype=np.complex64)
-        inter = np.empty(2 * samples.size, dtype=np.float32)
-        inter[0::2] = samples.real
-        inter[1::2] = samples.imag
+        inter = _interleave(samples)
         rc = self._lib.iq_writer_push(
             self._h, inter.ctypes.data_as(ctypes.c_void_p), samples.size)
         if rc != 0:

@@ -33,6 +33,10 @@ class BlockPrefetcher:
         try:
             for blk in self._src:
                 self._q.put(blk)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            # a source failure must reach the consumer, not end the
+            # stream silently as if the capture were simply shorter
+            self._q.put(("__error__", e))
         finally:
             self._q.put(self._done)
 
@@ -41,6 +45,9 @@ class BlockPrefetcher:
             item = self._q.get()
             if item is self._done:
                 return
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] == "__error__":
+                raise item[1]
             yield item
 
 
@@ -147,17 +154,36 @@ class AsyncTxProducer:
                 # end-of-burst drain, lib/multichanneltxrx.cc:478-494)
                 taps = getattr(getattr(tx, "chz", None), "P", 0)
                 if taps:
-                    self._out.put(tx.generate_samples(2 * taps))
-                self._out.put(self._DONE)
+                    self._put(tx.generate_samples(2 * taps))
+                self._put(self._DONE)
                 return
-            # generate ahead of the cursor (blocks when the queue is full)
-            self._out.put(tx.generate_samples(self._block))
+            # generate ahead of the cursor (blocks when the queue is
+            # full, but keeps checking the stop flag so stop() can
+            # always unblock the thread)
+            if self._put(tx.generate_samples(self._block)):
+                return
+
+    def _put(self, item) -> bool:
+        """Bounded put that aborts on stop(); returns True when stopped."""
+        while True:
+            try:
+                self._out.put(item, timeout=0.1)
+                return False
+            except queue.Full:
+                if self._stop.is_set():
+                    return True
 
     # -- consumer side ------------------------------------------------------
     def blocks(self) -> Iterator[np.ndarray]:
-        """Yield generated sample blocks until the producer drains."""
+        """Yield generated sample blocks until the producer drains (or
+        stop() interrupts it)."""
         while True:
-            item = self._out.get()
+            try:
+                item = self._out.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set() and not self._t.is_alive():
+                    return   # stopped with a full queue: no _DONE came
+                continue
             if item is self._DONE:
                 return
             yield item
@@ -167,4 +193,14 @@ class AsyncTxProducer:
         return self._out.qsize()
 
     def stop(self):
+        """Abandon production: unblocks a worker parked on the full
+        output queue and terminates blocks() iteration (buffered blocks
+        are drained first)."""
         self._stop.set()
+        self._t.join(timeout=5.0)
+        # wake any consumer blocked in blocks(): the worker may have
+        # exited without enqueueing _DONE
+        try:
+            self._out.put_nowait(self._DONE)
+        except queue.Full:
+            pass

@@ -46,7 +46,8 @@ class VirtualAir:
         f_err = (tx_radio.tx_freq - rx_radio.rx_freq +
                  tx_radio.tx_freq * ppm_error * 1e-6)
         cfo = 2.0 * np.pi * f_err / rx_radio.rx_rate
-        power = float(np.mean(np.abs(samples) ** 2)) or 1.0
+        power = (float(np.mean(np.abs(samples) ** 2))
+                 if samples.size else 1.0) or 1.0
         ch = Channel(snr_db=self.snr_db, cfo=float(cfo), delay=self.delay)
         self._uses += 1
         key = jax.random.PRNGKey(self._seed + self._uses)

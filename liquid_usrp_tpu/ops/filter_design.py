@@ -132,21 +132,24 @@ def _nyq_fsech(fa, beta):
 
 
 def _nyq_farcsech(fa, beta):
+    """Flipped-arcsech Nyquist spectrum — the functional flip of fsech:
+    ``H(f1+d) + H(f2-d) = 1`` with the arcsech transition measured from
+    the OPPOSITE band edge, normalized so H(0.5) = 1/2 exactly
+    (``asech(1/2) = log(2+sqrt(3))``).  Continuous and monotone across
+    the whole transition band."""
     out = np.zeros_like(fa)
     f1, f2 = (1 - beta) / 2.0, (1 + beta) / 2.0
-    g = np.log(np.sqrt(3) + 2) / (beta / 2.0) if beta > 0 else 1.0
 
     def asech(x):
         x = np.clip(x, 1e-12, 1.0)
         return np.log((1 + np.sqrt(1 - x ** 2)) / x)
 
+    A2 = 2.0 * np.log(2.0 + np.sqrt(3.0))        # 2 asech(1/2)
     out[fa <= f1] = 1.0
     lo = (fa > f1) & (fa <= 0.5)
-    out[lo] = 1.0 - asech(np.clip((fa[lo] - f1) / (beta / 2.0), 1e-9, 1)) / g
-    out[lo] = np.clip(out[lo], 0, 1)
+    out[lo] = 1.0 - asech((f2 - fa[lo]) / max(beta, 1e-12)) / A2
     hi = (fa > 0.5) & (fa < f2)
-    out[hi] = asech(np.clip((f2 - fa[hi]) / (beta / 2.0), 1e-9, 1)) / g
-    out[hi] = np.clip(out[hi], 0, 1)
+    out[hi] = asech((fa[hi] - f1) / max(beta, 1e-12)) / A2
     return out
 
 
@@ -193,6 +196,10 @@ def stopband_atten_db(h: np.ndarray, k: int, beta: float,
     H = np.abs(np.fft.rfft(h / np.sum(h), nfft))
     f = np.fft.rfftfreq(nfft) * k       # cycles/symbol
     sb = H[f > (1 + beta) / 2.0 * 1.05]
+    if not sb.size:
+        # the stopband edge sits beyond Nyquist (k=1, or k=2 with very
+        # large beta): there is no stopband to violate
+        return float("inf")
     return float(-20.0 * np.log10(np.max(sb) + 1e-30))
 
 
