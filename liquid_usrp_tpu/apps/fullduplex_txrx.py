@@ -51,7 +51,8 @@ def main(argv=None) -> int:
     offset = float(flags.get("offset", 100e6))
     swap = "R" in flags
     verbose = "q" not in flags
-    rng = np.random.default_rng(13)
+    seed = int(flags.get("seed", 13))
+    rng = np.random.default_rng(seed)
 
     a = OfdmTxRx(M=M, cp_len=cp, taper_len=min(4, cp), max_payload=2048)
     b = OfdmTxRx(M=M, cp_len=cp, taper_len=min(4, cp), max_payload=2048)
@@ -66,8 +67,8 @@ def main(argv=None) -> int:
     b.set_tx_freq(f_hi)
     b.set_rx_freq(f_lo)
 
-    air_ab = VirtualAir(snr_db=snr, seed=1)
-    air_ba = VirtualAir(snr_db=snr, seed=2)
+    air_ab = VirtualAir(snr_db=snr, seed=seed + 1)
+    air_ba = VirtualAir(snr_db=snr, seed=seed + 2)
 
     def build_timeline(node: OfdmTxRx, stagger: int):
         """Continuous TX sample timeline: frames + idle gaps."""
@@ -92,7 +93,8 @@ def main(argv=None) -> int:
     tx_b = np.concatenate([tx_b, np.zeros(T - len(tx_b), np.complex64)])
 
     # node B's reference oscillator is `ppm` off; both directions see the
-    # derived CFO with opposite signs (B receives high, transmits low)
+    # derived CFO with opposite signs (default plan: B transmits on the
+    # high carrier and receives the low one)
     rx_at_b = air_ab.propagate(a.radio, b.radio, tx_a, ppm_error=-ppm)
     rx_at_a = air_ba.propagate(b.radio, a.radio, tx_b, ppm_error=+ppm)
     cfo_ab = 2 * np.pi * (a.radio.tx_freq - b.radio.rx_freq
@@ -100,6 +102,8 @@ def main(argv=None) -> int:
     cfo_ba = 2 * np.pi * (b.radio.tx_freq * (1 + ppm * 1e-6)
                           - a.radio.rx_freq) / a.radio.rx_rate
 
+    import time as _time
+    t0 = _time.time()
     a.start_rx()
     b.start_rx()
     stats_ab, stats_ba = RxStats(), RxStats()
@@ -131,7 +135,7 @@ def main(argv=None) -> int:
     for name, stats, exp, meas in (("a->b", stats_ab, cfo_ab, cfo_meas["ab"]),
                                    ("b->a", stats_ba, cfo_ba, cfo_meas["ba"])):
         print("fullduplex_txrx results (%s):" % name)
-        stats.report(float(num_frames))
+        stats.report(_time.time() - t0)
         if meas:
             print("    derived cfo         : %+.5f rad/sample "
                   "(measured %+.5f)" % (exp, float(np.mean(meas))))

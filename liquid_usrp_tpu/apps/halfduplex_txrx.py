@@ -68,11 +68,16 @@ def main(argv=None) -> int:
             rx = air.propagate(node_a.radio, node_b.radio,
                                node_a.drain_tx(), ppm_error=-ppm)
             frames = node_b.run_rx(rx, flush=True)
-            rx_ok = any(f["header_valid"] for f in frames)
-            if not rx_ok:
+            # ACK only a fully valid packet — a frame whose payload CRC
+            # failed must be retransmitted, that is the point of ARQ
+            good = [f for f in frames if f["payload_valid"]]
+            if not good:
                 continue
-            # B acks by echoing the header back to A
-            node_b.transmit_packet(header, np.zeros(1, np.uint8))
+            # B acks by echoing the header IT DECODED back to A (B has
+            # no access to A's ground truth)
+            node_b.transmit_packet(np.asarray(good[0]["header"],
+                                              dtype=np.uint8),
+                                   np.zeros(1, np.uint8))
             ack = air.propagate(node_b.radio, node_a.radio,
                                 node_b.drain_tx(), ppm_error=+ppm)
             acks = node_a.run_rx(ack, flush=True)

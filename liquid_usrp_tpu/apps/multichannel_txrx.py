@@ -34,6 +34,8 @@ USAGE = """multichannel_txrx [options]
 
 
 def main(argv=None) -> int:
+    import time as _time
+    _t0 = _time.time()
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
                           "hn:R:P:M:C:q", ["snr=", "ppm=", "seed="])
     if "h" in flags:
@@ -100,7 +102,7 @@ def main(argv=None) -> int:
                        fpid, "ok" if f["payload_valid"] else "FAIL",
                        f["payload_len"]))
     print("multichannel_txrx results:")
-    stats.report(float(rounds))
+    stats.report(_time.time() - _t0)
     print("    payload-exact       : %6u / %u sent" % (ok_payload, pid))
     return 0 if ok_payload == pid else 1
 

@@ -205,7 +205,12 @@ def _detect_candidates(sync: OfdmSync, ext: jnp.ndarray):
     fused path may place the candidate a few samples off the XLA pick
     (float32 accumulation order), which downstream fine timing absorbs.
     """
-    if int(sync.use_pallas) == 2:
+    if int(sync.use_pallas) == 2 and sync.params.M >= 32:
+        # M < 32 falls through to the XLA path: the fused kernel's
+        # fixed 64-sample reduction segments (CAND_SEG) are only
+        # equivalent to topk_peaks when min(64, 2M+1) == 64 — wider
+        # segments than the NMS radius could swallow a surviving
+        # candidate
         from ..ops.pallas_kernels import detect_candidates_onepass
         M = sync.params.M
         d = M // 4

@@ -39,6 +39,18 @@ def load_state(path: str, like):
     data = np.load(_norm(path))
     leaves_like, treedef = jax.tree.flatten(like)
     n = len(leaves_like)
+    n_stored = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n_stored != n:
+        raise ValueError(
+            f"checkpoint holds {n_stored} leaves, pipeline state has "
+            f"{n} — config mismatch")
+    if "__treedef__" in data.files:
+        stored = json.loads(bytes(data["__treedef__"]).decode())
+        if stored != str(treedef):
+            raise ValueError(
+                "checkpoint pytree structure differs from the pipeline "
+                f"state — config mismatch\n  stored:  {stored}\n"
+                f"  current: {treedef}")
     leaves = []
     for i in range(n):
         arr = data[f"leaf_{i}"]

@@ -91,6 +91,16 @@ class SingleCarrierConfig:
     props: FramePropsConfig = field(default_factory=FramePropsConfig)
     sync: SyncConfig = field(default_factory=SyncConfig)
 
+    def validate(self):
+        if self.samples_per_symbol < 1:
+            raise ValueError("samples_per_symbol must be >= 1")
+        if self.filter_semilength < 1:
+            raise ValueError("filter_semilength must be >= 1")
+        if not (0.0 < self.excess_bandwidth < 1.0):
+            raise ValueError("excess_bandwidth must be in (0, 1)")
+        self.sync.validate()
+        return self
+
 
 @dataclass
 class GmskConfig:
@@ -103,3 +113,13 @@ class GmskConfig:
         default_factory=lambda: FramePropsConfig(check="crc16", fec1="h74",
                                                  mod="bpsk"))
     sync: SyncConfig = field(default_factory=SyncConfig)
+
+    def validate(self):
+        if self.samples_per_symbol < 1:
+            raise ValueError("samples_per_symbol must be >= 1")
+        if not (0.0 < self.bt <= 1.0):
+            raise ValueError("bt must be in (0, 1]")
+        if self.filter_semilength < 1:
+            raise ValueError("filter_semilength must be >= 1")
+        self.sync.validate()
+        return self

@@ -42,6 +42,8 @@ class ThroughputMeter:
         self._t0 = time.perf_counter()
 
     def stop(self, n_samples: int):
+        if self._t0 is None:
+            raise RuntimeError("ThroughputMeter.stop() without start()")
         dt = time.perf_counter() - self._t0
         self.total_samples += n_samples
         self.total_time += dt
