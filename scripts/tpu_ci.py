@@ -1,6 +1,6 @@
 """On-TPU correctness lane: loopback decode asserts on the real chip.
 
-The CPU test suite (326 tests) proves the math; this lane proves the same
+The CPU test suite (336 tests) proves the math; this lane proves the same
 decode paths on actual TPU hardware, where FFT/accumulation numerics can
 diverge.  Six lanes, all verification reductions computed ON DEVICE (only
 scalars cross the flaky tunnel — ROUND2_NOTES):
