@@ -174,12 +174,25 @@ def resamp_max_out(rs: Resamp, n_in: int) -> int:
     return int(np.ceil(n_in * rs.rate)) + 2
 
 
-# rates whose stride denominator is at most this use the rational
+# rates whose stride denominator is at most this can use the rational
 # fast path: per-phase-class strided CONVOLUTIONS with per-class
 # interpolated filters, instead of the [max_out, P] window gather.
 # App-chain rates (2.0, 0.5, 1.5, 4/3, ...) all qualify; only
 # arbitrary/set_rate values with large snapped denominators fall back.
+# Backend gating: the conv form targets TPU (where the big gather is
+# the known weak spot); on CPU the gather form measures 3-4x FASTER
+# (40 vs 12 MS/s at rate 1.5), so CPU keeps it.  Tests force the
+# rational path with _RATIONAL_ON_CPU to pin numerical equality.
 _RATIONAL_Q_MAX = 64
+_RATIONAL_ON_CPU = False
+
+
+def _use_rational(rs: Resamp) -> bool:
+    if rs.q > _RATIONAL_Q_MAX:
+        return False
+    if _RATIONAL_ON_CPU:
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _resamp_block_rational(rs: Resamp, state: ResampState, x: jnp.ndarray):
@@ -258,7 +271,7 @@ def resamp_block(rs: Resamp, state: ResampState, x: jnp.ndarray):
     Small stride denominators route through the gather-free rational
     fast path (see :func:`_resamp_block_rational`).
     """
-    if rs.q <= _RATIONAL_Q_MAX:
+    if _use_rational(rs):
         return _resamp_block_rational(rs, state, x)
     n = x.shape[-1]
     max_out = resamp_max_out(rs, n)

@@ -81,6 +81,51 @@ def pallas_check():
     return err_m < 1e-3 and err_c < 1e-2
 
 
+def resamp_rational_check():
+    """On-chip: the gather-free rational fast path vs the general
+    windows-gather form — numerical match + timing (decides whether the
+    TPU backend gate in ops/resamp.py points the right way)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from liquid_usrp_tpu.ops import resamp as rs_mod
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.normal(size=1 << 17) +
+                     1j * rng.normal(size=1 << 17)).astype(np.complex64))
+    results = {}
+    for rate in (1.5, 4.0 / 3.0):
+        rs = rs_mod.resamp_create(rate)
+        outs = {}
+        for name, on in (("rational", True), ("general", False)):
+            rs_mod._RATIONAL_ON_CPU = on      # forces the path on TPU too
+            if not on:
+                rs_mod._RATIONAL_Q_MAX = -1
+            f = jax.jit(lambda s, v: rs_mod.resamp_block(rs, s, v))
+            st = rs_mod.resamp_state(rs)
+            r = f(st, x)
+            jax.block_until_ready(r)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    r = f(st, x)
+                jax.block_until_ready(r)
+                best = min(best, (time.perf_counter() - t0) / 10)
+            outs[name] = (np.asarray(r[1]), best)
+            rs_mod._RATIONAL_Q_MAX = 64
+        rs_mod._RATIONAL_ON_CPU = False
+        err = float(np.abs(outs["rational"][0] - outs["general"][0]).max())
+        tr, tg = outs["rational"][1], outs["general"][1]
+        print(f"  resamp rate {rate:.3f}: err {err:.2e}  rational "
+              f"{x.shape[0]/tr/1e6:7.0f} MS/s  general "
+              f"{x.shape[0]/tg/1e6:7.0f} MS/s  ({tg/tr:.2f}x)")
+        results[rate] = err < 2e-5
+    return all(results.values())
+
+
 def _child() -> int:
     if not _healthy():
         print("session unhealthy", flush=True)
@@ -89,6 +134,8 @@ def _child() -> int:
     print("devices:", jax.devices(), flush=True)
     ok = pallas_check()
     print("pallas ok:", ok, flush=True)
+    ok_r = resamp_rational_check()
+    print("resamp rational ok:", ok_r, flush=True)
     import stage_probe
     print("--- granular ---", flush=True)
     stage_probe.granular()

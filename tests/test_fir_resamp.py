@@ -247,6 +247,7 @@ def test_rational_fast_path_equals_general():
     general path: identical timing integers (valid/count/carried state),
     float outputs to ~1 ulp, across a block split."""
     rng = np.random.default_rng(2)
+    resamp._RATIONAL_ON_CPU = True        # the path is TPU-gated
     for rate in (1.5, 0.75, 2.0, 4 / 3, 1.25, 64 / 63):
         rs = resamp.resamp_create(rate)
         assert rs.q <= resamp._RATIONAL_Q_MAX
@@ -257,14 +258,13 @@ def test_rational_fast_path_equals_general():
         st = resamp.resamp_state(rs)
         st, ya, va, ca = resamp.resamp_block(rs, st, jnp.asarray(x1))
         st_f, yb, vb, cb = resamp.resamp_block(rs, st, jnp.asarray(x2))
-        old = resamp._RATIONAL_Q_MAX
         try:
-            resamp._RATIONAL_Q_MAX = -1          # force the general path
+            resamp._RATIONAL_ON_CPU = False      # force the general path
             st = resamp.resamp_state(rs)
             st, Ya, Va, Ca = resamp.resamp_block(rs, st, jnp.asarray(x1))
             st_g, Yb, Vb, Cb = resamp.resamp_block(rs, st, jnp.asarray(x2))
         finally:
-            resamp._RATIONAL_Q_MAX = old
+            resamp._RATIONAL_ON_CPU = True
         assert int(ca) == int(Ca) and int(cb) == int(Cb), rate
         np.testing.assert_array_equal(np.asarray(va), np.asarray(Va))
         np.testing.assert_allclose(np.asarray(ya), np.asarray(Ya),
@@ -273,3 +273,4 @@ def test_rational_fast_path_equals_general():
                                    atol=2e-5, err_msg=str(rate))
         assert int(st_f.i0) == int(st_g.i0)
         assert int(st_f.num0) == int(st_g.num0)
+    resamp._RATIONAL_ON_CPU = False
