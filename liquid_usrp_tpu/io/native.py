@@ -21,6 +21,8 @@ __all__ = ["available", "read_file", "write_file", "NativeReader",
 FORMAT_CF32 = 0
 FORMAT_SC16 = 1
 
+_SIZE_ERR = (1 << 64) - 1     # the C ABI's (size_t)-1 I/O-error signal
+
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libiqstream.so"))
 _lib = None
@@ -105,9 +107,13 @@ def read_file(path: str, fmt: int = FORMAT_CF32) -> np.ndarray:
         from .streams import read_iq
         return read_iq(path)
     n = lib.iq_file_size_samples(path.encode(), fmt)
+    if n == _SIZE_ERR:
+        raise IOError(f"cannot determine size of {path} (non-seekable?)")
     buf = np.empty(2 * n, dtype=np.float32)
     got = lib.iq_read_file(path.encode(), fmt,
                            buf.ctypes.data_as(ctypes.c_void_p), n)
+    if got == _SIZE_ERR:
+        raise IOError(f"read error in {path}")
     buf = buf[: 2 * got]
     return (buf[0::2] + 1j * buf[1::2]).astype(np.complex64)
 
@@ -181,6 +187,9 @@ class NativeReader:
             raise StopIteration
         n = self._lib.iq_reader_next(
             self._h, self._buf.ctypes.data_as(ctypes.c_void_p))
+        if n == _SIZE_ERR:
+            self.close()
+            raise IOError("read error mid-stream (not end-of-file)")
         if n == 0:
             self.close()
             raise StopIteration

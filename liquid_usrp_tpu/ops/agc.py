@@ -36,10 +36,9 @@ def agc_block(state: AgcState, x: jnp.ndarray):
     Returns ``(state', y, level[N], rssi_db[N])`` where ``y = x / level`` is
     the unity-target output and ``rssi_db = 20 log10(level)``.
     """
-    p = jnp.abs(x) ** 2
     a = state.alpha
-    # level recurrence: L[n] = (1-a) L[n-1] + a * sqrt(p[n])  (amplitude dmn)
-    amp = jnp.sqrt(jnp.maximum(p, 1e-20))
+    # level recurrence: L[n] = (1-a) L[n-1] + a * |x[n]|  (amplitude dmn)
+    amp = jnp.maximum(jnp.abs(x), 1e-10)
 
     def combine(c1, c2):
         # each element is (m, b) representing L -> m*L + b

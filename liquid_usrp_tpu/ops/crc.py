@@ -113,7 +113,14 @@ def _build_tables(scheme: int):
     ``MAX_LEN*8 - 1 - i`` from the message end, so for an ``n``-byte message
     the slice ``basis_desc[-n*8:]`` aligns with its MSB-first unpacked bits.
     """
-    p = _CRC16 if scheme == CRC_16 else _CRC32
+    if scheme == CRC_16:
+        p = _CRC16
+    elif scheme == CRC_32:
+        p = _CRC32
+    else:
+        # an unknown (or CRC_NONE) scheme must not silently compute a
+        # plausible-looking CRC-32
+        raise ValueError(f"unknown CRC scheme id {scheme}")
     w = p.width
     nbits = MAX_LEN * 8
 

@@ -37,5 +37,12 @@ def iq_from_any(x: jnp.ndarray) -> jnp.ndarray:
     if x.ndim < 2 or x.shape[0] != 2:
         raise ValueError(
             f"planes input must be [2, ...] real (got {x.shape} {x.dtype})")
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # raw integer planes (e.g. SC16 wire format) would cast to
+        # +-32767-scale floats and silently break every downstream
+        # threshold; integer ingest must be scaled by the caller
+        raise ValueError(
+            f"planes must be float (bf16/f16/f32), got {x.dtype}; "
+            f"scale integer wire formats first (io.native converters)")
     xf = x.astype(jnp.float32)
     return jax.lax.complex(xf[0], xf[1])

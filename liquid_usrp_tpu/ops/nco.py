@@ -53,6 +53,11 @@ def nco_init_at(freq_rad: float, index) -> NcoState:
     integer precision past 2^24 samples).
     """
     f = jnp.uint32(freq_to_u32(freq_rad))
+    if isinstance(index, (int, np.integer)):
+        # host ints >= 2^31 would overflow the default int32 conversion
+        # inside jnp.asarray; reduce mod 2^32 first (exact: the DDS is
+        # modular anyway)
+        index = np.uint32(int(index) % (1 << 32))
     idx = jnp.asarray(index).astype(jnp.uint32)
     return NcoState(phase=f * idx, freq=f)
 

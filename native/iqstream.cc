@@ -17,6 +17,7 @@
 // C ABI only (consumed via ctypes from liquid_usrp_tpu.io.native).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -30,10 +31,18 @@ namespace {
 
 constexpr float kSc16Scale = 32767.0f;
 
+inline int16_t quantize_sc16(float v) {
+  v = v * kSc16Scale;
+  if (v > 32767.0f) v = 32767.0f;
+  if (v < -32768.0f) v = -32768.0f;
+  return static_cast<int16_t>(lroundf(v));  // nearest, not truncation
+}
+
 struct Block {
   std::vector<float> data;  // interleaved I/Q, 2 * n_samples floats
   size_t n_samples = 0;
   bool eof = false;
+  bool error = false;       // ferror() on the short read (not a real EOF)
 };
 
 struct Reader {
@@ -77,6 +86,7 @@ struct Reader {
       }
       b.n_samples = got;
       b.eof = (got < block_samples);
+      b.error = b.eof && ferror(f);  // short read from I/O failure
 
       lk.lock();
       next_fill ^= 1;
@@ -122,10 +132,13 @@ size_t iq_reader_next(void* h, float* out) {
   size_t n = b.n_samples;
   memcpy(out, b.data.data(), 2 * n * sizeof(float));
   bool eof = b.eof;
+  bool err = b.error;
   r->next_read ^= 1;
   r->filled.fetch_sub(1);
   r->cv_fill.notify_one();
   if (eof) r->stop.store(true);
+  // an I/O error mid-file must not masquerade as a clean end-of-stream
+  if (err) return static_cast<size_t>(-1);
   return n;
 }
 
@@ -175,12 +188,8 @@ struct Writer {
         put = fwrite(blk.data(), 2 * sizeof(float), n, f);
       } else {
         tmp.resize(blk.size());
-        for (size_t i = 0; i < blk.size(); i++) {
-          float v = blk[i] * kSc16Scale;
-          if (v > 32767.0f) v = 32767.0f;
-          if (v < -32768.0f) v = -32768.0f;
-          tmp[i] = static_cast<int16_t>(v);
-        }
+        for (size_t i = 0; i < blk.size(); i++)
+          tmp[i] = quantize_sc16(blk[i]);
         put = fwrite(tmp.data(), 2 * sizeof(int16_t), n, f);
       }
       if (put != n) {
@@ -226,8 +235,10 @@ int iq_writer_close(void* h) {
     w->cv_space.notify_all();
   }
   if (w->worker.joinable()) w->worker.join();
-  fclose(w->f);
-  int rc = w->error ? -1 : 0;
+  // fclose flushes stdio's buffer — a full disk surfaces HERE, not at
+  // the fwrite that merely buffered the tail
+  int close_rc = fclose(w->f);
+  int rc = (w->error || close_rc != 0) ? -1 : 0;
   delete w;
   return rc;
 }
@@ -237,9 +248,10 @@ int iq_writer_close(void* h) {
 size_t iq_file_size_samples(const char* path, int format) {
   FILE* f = fopen(path, "rb");
   if (!f) return 0;
-  fseek(f, 0, SEEK_END);
-  long bytes = ftell(f);
+  long bytes = -1;
+  if (fseek(f, 0, SEEK_END) == 0) bytes = ftell(f);
   fclose(f);
+  if (bytes < 0) return static_cast<size_t>(-1);  // non-seekable / error
   return static_cast<size_t>(bytes) /
          (format == 0 ? 2 * sizeof(float) : 2 * sizeof(int16_t));
 }
@@ -257,7 +269,9 @@ size_t iq_read_file(const char* path, int format, float* out,
     for (size_t i = 0; i < 2 * got; i++)
       out[i] = static_cast<float>(tmp[i]) / kSc16Scale;
   }
+  bool err = (got < max_samples) && ferror(f);
   fclose(f);
+  if (err) return static_cast<size_t>(-1);
   return got;
 }
 
@@ -270,16 +284,12 @@ int iq_write_file(const char* path, int format, const float* data,
     put = fwrite(data, 2 * sizeof(float), n_samples, f);
   } else {
     std::vector<int16_t> tmp(2 * n_samples);
-    for (size_t i = 0; i < 2 * n_samples; i++) {
-      float v = data[i] * kSc16Scale;
-      if (v > 32767.0f) v = 32767.0f;
-      if (v < -32768.0f) v = -32768.0f;
-      tmp[i] = static_cast<int16_t>(v);
-    }
+    for (size_t i = 0; i < 2 * n_samples; i++)
+      tmp[i] = quantize_sc16(data[i]);
     put = fwrite(tmp.data(), 2 * sizeof(int16_t), n_samples, f);
   }
-  fclose(f);
-  return put == n_samples ? 0 : -1;
+  int close_rc = fclose(f);
+  return (put == n_samples && close_rc == 0) ? 0 : -1;
 }
 
 // ---- cf32 -> bfloat16 I/Q planes (TPU reduced-precision ingest) ----
@@ -292,6 +302,14 @@ int iq_write_file(const char* path, int format, const float* data,
 static inline uint16_t f32_to_bf16(float v) {
   uint32_t bits;
   memcpy(&bits, &v, 4);
+  if ((bits & 0x7F800000u) == 0x7F800000u) {
+    // NaN/Inf: truncate (rounding's mantissa carry can ripple through
+    // the exponent into the sign, turning NaN into +-0); keep a quiet
+    // bit so a payload-less NaN stays NaN
+    uint16_t hi = static_cast<uint16_t>(bits >> 16);
+    if ((bits & 0x007FFFFFu) != 0 && (hi & 0x7Fu) == 0) hi |= 0x40u;
+    return hi;
+  }
   uint32_t lsb = (bits >> 16) & 1u;
   bits += 0x7FFFu + lsb;  // round to nearest, ties to even
   return static_cast<uint16_t>(bits >> 16);
@@ -313,12 +331,8 @@ void iq_sc16_to_cf32(const int16_t* in, float* out, size_t n_samples) {
 }
 
 void iq_cf32_to_sc16(const float* in, int16_t* out, size_t n_samples) {
-  for (size_t i = 0; i < 2 * n_samples; i++) {
-    float v = in[i] * kSc16Scale;
-    if (v > 32767.0f) v = 32767.0f;
-    if (v < -32768.0f) v = -32768.0f;
-    out[i] = static_cast<int16_t>(v);
-  }
+  for (size_t i = 0; i < 2 * n_samples; i++)
+    out[i] = quantize_sc16(in[i]);
 }
 
 }  // extern "C"
