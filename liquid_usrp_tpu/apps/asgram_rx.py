@@ -45,14 +45,20 @@ def main(argv=None) -> int:
     n_frames = len(stream) // nfft
     take = min(rows, n_frames)
     stride = max(n_frames // max(take, 1), 1)
-    x = jnp.asarray(stream[: n_frames * nfft])
-    psd, peak_db, peak_f = spec_mod.spectrogram_block(sg, x)
+    # only the `take` strided display frames are computed/transferred —
+    # FFT-ing every frame of a long capture to print ~20 rows would be
+    # thousands of times more compute + a huge host copy
+    sel = np.concatenate([stream[i * stride * nfft:
+                                 i * stride * nfft + nfft]
+                          for i in range(take)]) if take else \
+        np.zeros(0, np.complex64)
+    psd, peak_db, peak_f = spec_mod.spectrogram_block(
+        sg, jnp.asarray(sel))
     psd = np.asarray(psd)
     for r in range(take):
-        i = r * stride
-        row = spec_mod.ascii_row(sg, psd[i])
+        row = spec_mod.ascii_row(sg, psd[r])
         print("[%s] peak: %6.1f dB @ f=%+.3f" %
-              (row, float(peak_db[i]), float(peak_f[i])))
+              (row, float(peak_db[r]), float(peak_f[r])))
     if flags.get("O"):
         # IQ ring-log dump (the reference writes raw IQ on SIGINT,
         # /root/reference/src/asgram_rx.cc:233-253)

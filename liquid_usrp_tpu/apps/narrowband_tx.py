@@ -55,13 +55,22 @@ def main(argv=None) -> int:
     syms = modem_mod.modulate(mod, jnp.asarray(
         rng.integers(0, Mc, n_syms)))
     st = fir_mod.firinterp_init(len(taps), k)
-    _, samples = fir_mod.firinterp_block(jnp.asarray(taps), k, st, syms)
+    # flush the interpolator with m zero symbols: the last pulses'
+    # trailing energy lives in the carried filter state and would be
+    # truncated from the file otherwise
+    syms_f = jnp.concatenate([syms, jnp.zeros(2 * m, syms.dtype)])
+    _, samples = fir_mod.firinterp_block(jnp.asarray(taps), k, st, syms_f)
     baseband = np.asarray(samples) * gain
     if rate != 1.0:
         ms = resamp_mod.msresamp_create(rate)
         rst = resamp_mod.msresamp_state(ms)
+        # zero-pad for the resampler chain's group delay as well
+        pad = np.zeros(64, np.complex64)
+        div = 2 ** ms.num_halfband if not ms.is_interp else 1
+        full = np.concatenate([baseband, pad])
+        full = full[: len(full) - len(full) % max(div, 1)]
         rst, y, valid, count = resamp_mod.msresamp_block(
-            ms, rst, jnp.asarray(baseband))
+            ms, rst, jnp.asarray(full))
         baseband = np.asarray(y)[: int(count)]
     write_iq(out, baseband)
     print(f"narrowband_tx: wrote {n_syms} {modem_mod.mod_name(mod)} symbols "

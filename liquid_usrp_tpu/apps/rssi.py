@@ -44,17 +44,35 @@ def main(argv=None) -> int:
     rssi_log = window_mod.ring_init(1024, dtype=jnp.float32)
     iq_log = window_mod.ring_init(1024)
     printed = 0
+    did_print = False
     block = 4096
+    # zero-pad to a whole block: the tail (or a sub-block file) must
+    # still be measured, not silently dropped.  Prints and logs stay
+    # clamped to the real samples — measuring the padding would report
+    # a meaningless -200 dB floor.
+    orig_len = len(stream)
+    if orig_len % block:
+        stream = np.concatenate(
+            [stream, np.zeros(block - orig_len % block, np.complex64)])
+    last = max(orig_len - 1, 0)
     for i in range(0, len(stream) - block + 1, block):
         x = jnp.asarray(stream[i:i + block])
         state, y, level, rssi = agc_mod.agc_block(state, x)
-        rssi_log = window_mod.ring_push(rssi_log, rssi[::16])
-        iq_log = window_mod.ring_push(iq_log, x[::16])
+        n_real = min(block, orig_len - i)
+        if n_real > 0:
+            rssi_log = window_mod.ring_push(rssi_log, rssi[:n_real:16])
+            iq_log = window_mod.ring_push(iq_log, x[:n_real:16])
         while printed + interval <= i + block:
             printed += interval
             j = printed - i - 1
-            if 0 <= j < block:
+            if 0 <= j < min(block, orig_len - i):
                 print("  rssi = %8.2f dB" % float(rssi[j]))
+                did_print = True
+    if not did_print and orig_len > 0:
+        # file shorter than one print interval: report the level at the
+        # last real sample once (rssi still holds the final block)
+        print("  rssi = %8.2f dB" % float(rssi[last - (len(stream) -
+                                                       block)]))
     if dump:
         r = np.asarray(window_mod.ring_read(rssi_log))
         q = np.asarray(window_mod.ring_read(iq_log))

@@ -13,12 +13,12 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-__all__ = ["RingLog", "ring_init", "ring_push", "ring_read"]
+__all__ = ["RingLog", "ring_init", "ring_push", "ring_read", "ring_valid"]
 
 
 class RingLog(NamedTuple):
     buf: jnp.ndarray     # [capacity]
-    count: jnp.ndarray   # int32: total samples ever pushed (saturates view)
+    count: jnp.ndarray   # int32: VALID samples, saturated at capacity
 
 
 def ring_init(capacity: int, dtype=jnp.complex64) -> RingLog:
@@ -30,13 +30,22 @@ def ring_push(ring: RingLog, x: jnp.ndarray) -> RingLog:
     """Append a block (keeps the newest ``capacity`` samples)."""
     cap = ring.buf.shape[0]
     n = x.shape[-1]
+    # saturating count: an unbounded total would wrap int32 on long
+    # streams, and only the valid-fill level is useful to callers
+    new_count = jnp.minimum(ring.count + n, cap).astype(jnp.int32)
     if n >= cap:
-        return RingLog(buf=x[-cap:], count=ring.count + n)
+        return RingLog(buf=x[-cap:], count=new_count)
     buf = jnp.roll(ring.buf, -n)
     buf = buf.at[cap - n:].set(x)
-    return RingLog(buf=buf, count=ring.count + n)
+    return RingLog(buf=buf, count=new_count)
 
 
 def ring_read(ring: RingLog) -> jnp.ndarray:
-    """Time-ordered contents (oldest first; zeros before first wrap)."""
+    """Time-ordered contents (oldest first; zeros before first wrap —
+    the valid suffix has :func:`ring_valid` samples)."""
     return ring.buf
+
+
+def ring_valid(ring: RingLog) -> jnp.ndarray:
+    """Number of valid samples in the view (<= capacity)."""
+    return ring.count

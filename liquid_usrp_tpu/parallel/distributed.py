@@ -52,9 +52,26 @@ def init(coordinator_address: str | None = None,
         kwargs["process_id"] = int(
             process_id if process_id is not None
             else os.environ["JAX_PROCESS_ID"])
+    ran = False
     if kwargs.get("num_processes", 1) > 1 or "coordinator_address" in kwargs:
         jax.distributed.initialize(**kwargs)
-    _initialized = True
+        ran = True
+    elif not kwargs and jax.default_backend() == "tpu":
+        # TPU pod auto-discovery: initialize() self-discovers the
+        # coordinator from TPU metadata.  Without this call a pod-slice
+        # launch silently runs as independent single-host processes.
+        # (Skipped off-TPU, where argless initialize() would fail on a
+        # plain single host — the common CPU/test environment.)
+        try:
+            jax.distributed.initialize()
+            ran = True
+        except Exception:  # noqa: BLE001 — single-host TPU (e.g. v5e-1)
+            ran = False
+    # only latch when a process group actually formed (or was properly
+    # attempted with full args): otherwise a later explicit init() with
+    # real coordinator args must still work
+    if ran:
+        _initialized = True
 
 
 def is_distributed() -> bool:

@@ -35,6 +35,9 @@ def make_sdr_mesh(n_devices: int | None = None,
     """Mesh with named axes ``('time', 'channel')``."""
     devices = jax.devices()
     n = n_devices if n_devices is not None else len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested {n} devices but only {len(devices)} available")
     t, c = axis_shapes if axis_shapes is not None else factor_devices(n)
     if t * c != n:
         raise ValueError(f"axis shapes {t}x{c} != {n} devices")

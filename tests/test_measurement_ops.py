@@ -51,7 +51,12 @@ def test_ring_log():
     r = window.ring_push(r, (10 + jnp.arange(10)).astype(jnp.complex64))
     out = np.asarray(window.ring_read(r))
     np.testing.assert_array_equal(out.real, np.arange(4, 20))
-    assert int(r.count) == 20
+    # count saturates at capacity (valid-fill level, no int32 overflow
+    # on long streams)
+    assert int(window.ring_valid(r)) == 16
+    half = window.ring_push(window.ring_init(16),
+                            jnp.arange(5).astype(jnp.complex64))
+    assert int(window.ring_valid(half)) == 5
     # oversized push keeps the newest samples
     r = window.ring_push(r, jnp.arange(100).astype(jnp.complex64))
     np.testing.assert_array_equal(
