@@ -103,6 +103,25 @@ def budget_note(props, payload_len: int) -> int:
     return exp
 
 
+def occupied_power(stream: np.ndarray) -> float:
+    """Mean |x|^2 over the OCCUPIED samples (the frames, not the
+    inter-frame zero gaps) — the SNR definition `--snr` calibrates
+    against.  Whole-stream mean power dilutes by the idle fraction
+    (~0.65 dB at default gaps, several dB for sparse captures), so the
+    injected noise would miss the requested per-frame SNR.  Returns 1.0
+    for empty/silent input (also avoids the NaN `np.mean([])`).
+    """
+    stream = np.asarray(stream)
+    if not stream.size:
+        return 1.0
+    mag2 = np.abs(stream) ** 2
+    floor = 1e-6 * float(mag2.max())
+    occ = mag2[mag2 > floor]
+    if not occ.size:
+        return 1.0
+    return float(np.mean(occ)) or 1.0
+
+
 def print_usage_schemes(file=None):
     """List supported mod/FEC names (the liquid_print_*_schemes surface)."""
     file = file if file is not None else sys.stdout

@@ -16,7 +16,7 @@ from ..framing import gmskframe as gf
 from ..framing.payload import EXPANSION
 from ..io.streams import read_iq
 from ..ops import resamp as resamp_mod
-from .common import (RxStats, apply_channel, iter_sync_results,
+from .common import (occupied_power, RxStats, apply_channel, iter_sync_results,
                      parse_args)
 
 USAGE = """gmskframe_rx -i in.iq [options]
@@ -47,7 +47,7 @@ def main(argv=None) -> int:
     stream = read_iq(path)
     stream = apply_channel(
         stream, flags,
-        signal_power=float(np.mean(np.abs(stream) ** 2)) or 1.0)
+        signal_power=occupied_power(stream))
     if rate != 1.0:
         ms = resamp_mod.msresamp_create(rate)
         st = resamp_mod.msresamp_state(ms)

@@ -13,7 +13,8 @@ import numpy as np
 
 from ..io.streams import read_iq
 from ..models.multichannel import MultichannelRx
-from .common import RxStats, apply_channel, parse_args
+from .common import (RxStats, apply_channel, occupied_power,
+                     parse_args)
 
 USAGE = """multichannel_rx -i in.iq [options]
   h : usage                     i : input IQ file (required)
@@ -43,7 +44,7 @@ def main(argv=None) -> int:
     stream = read_iq(path)
     stream = apply_channel(
         stream, flags,
-        signal_power=float(np.mean(np.abs(stream) ** 2)) or 1.0)
+        signal_power=occupied_power(stream))
     stats = RxStats()
     t0 = time.time()
     frames = rx.execute(stream) + rx.flush()

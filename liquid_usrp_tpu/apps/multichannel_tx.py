@@ -34,6 +34,10 @@ def main(argv=None) -> int:
         print(USAGE)
         return 1
     N = int(flags.get("n", 2))
+    if not (1 <= N <= 255):
+        print("error: -n must be in [1, 255] (channel id rides a header "
+              "byte)", file=sys.stderr)
+        return 1
     num_packets = int(flags.get("N", 4))
     gain = 10 ** (float(flags.get("g", -12.0)) / 20.0) / N
     P = int(flags.get("P", 256))

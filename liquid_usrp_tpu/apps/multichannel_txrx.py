@@ -42,6 +42,9 @@ def main(argv=None) -> int:
         print(USAGE)
         return 0
     N = int(flags.get("n", 2))
+    if not (1 <= N <= 255):
+        print("error: -n must be in [1, 255]", file=sys.stderr)
+        return 1
     rounds = int(flags.get("R", 2))
     P = int(flags.get("P", 200))
     M = int(flags.get("M", 48))
@@ -82,7 +85,8 @@ def main(argv=None) -> int:
                 header[3:] = rng.integers(0, 256, 5, dtype=np.uint8)
                 plen = int(rng.integers(1, P + 1))
                 payload = rng.integers(0, 256, plen, dtype=np.uint8)
-                assert tx_node.transmit_packet(ch, header, payload)
+                if not tx_node.transmit_packet(ch, header, payload):
+                    raise RuntimeError(f"channel {ch} refused packet")
                 sent[pid] = payload
                 pid += 1
         burst.append(tx_node.wait_for_tx_to_complete())

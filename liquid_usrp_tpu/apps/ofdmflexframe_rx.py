@@ -15,7 +15,8 @@ import numpy as np
 from ..framing.payload import EXPANSION
 from ..io.streams import read_iq
 from ..models.ofdmtxrx import OfdmTxRx
-from .common import RxStats, apply_channel, parse_args
+from .common import (RxStats, apply_channel, occupied_power,
+                     parse_args)
 
 USAGE = """ofdmflexframe_rx -i in.iq [options]
   h     : usage
@@ -117,7 +118,7 @@ def main(argv=None) -> int:
         stream = read_iq(path)
         stream = apply_channel(
             stream, flags,
-            signal_power=float(np.mean(np.abs(stream) ** 2)))
+            signal_power=occupied_power(stream))
     bs = txrx._sync.block_size
     if "load-state" in flags:
         from ..utils.checkpoint import load_state

@@ -56,8 +56,11 @@ def main(argv=None) -> int:
     if rate != 1.0:
         ms = resamp_mod.msresamp_create(rate)
         st = resamp_mod.msresamp_state(ms)
+        # decimation requires input divisible by the half-band factor
+        div = 2 ** ms.num_halfband if not ms.is_interp else 1
+        n = len(baseband) - len(baseband) % max(div, 1)
         st, y, valid, count = resamp_mod.msresamp_block(
-            ms, st, jnp.asarray(baseband))
+            ms, st, jnp.asarray(baseband[:n]))
         baseband = np.asarray(y)[: int(count)]
     write_iq(out, baseband)
     print(f"packet_tx: wrote {num_frames} frame64 bursts "

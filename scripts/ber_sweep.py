@@ -141,18 +141,21 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
                 det += 1
                 if bool(res.header_valid[i]):
                     hok += 1
-                if bool(res.payload_valid[i]):
-                    pok += 1
                 t = int(res.t_start[i])
-                # match to the nearest transmitted frame for BER
+                # match to the nearest transmitted frame for BER/PER
                 j = int(np.argmin([abs(t - p) for p in positions]))
-                if abs(t - positions[j]) < 50:
+                if abs(t - positions[j]) < 50 and j not in got:
+                    # dedup: a duplicate detection of an already-matched
+                    # frame must not double-count packets or bits (a
+                    # double-counted pok made PER go negative)
+                    got[j] = True
+                    if bool(res.payload_valid[i]):
+                        pok += 1
                     dec = np.asarray(res.payload[i])[:payload_len]
                     if len(dec) == payload_len:
                         bit_errs += int(np.unpackbits(
                             dec ^ payloads[j]).sum())
                         bits_tot += payload_len * 8
-                        got[j] = True
         results.append({
             "snr_db": float(snr),
             "frames_sent": n_frames,
@@ -233,6 +236,8 @@ def implementation_loss_db(results, family, payload_len,
     th = np.array([theory_per(family, s, payload_len) for s in fine])
 
     def cross(x, y):
+        order = np.argsort(x)                 # sweep may be unsorted
+        x, y = np.asarray(x)[order], np.asarray(y)[order]
         idx = np.where(y <= per_level)[0]
         return float(x[idx[0]]) if len(idx) else None
 
