@@ -127,8 +127,10 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
 
     ``ingest="bf16"`` feeds the mixture as bfloat16 I/Q planes (half the
     input HBM read of complex64 — the pipeline is bandwidth-bound, see
-    docs/roofline.md); the on-chip decode assertions below then also
-    prove the quantized ingest is payload-exact.
+    docs/roofline.md); ``ingest="sc8"`` feeds AGC-normalized int8 wire
+    codes (UHD sc8 OTW analog — a quarter of the complex64 input read).
+    The on-chip decode assertions below then also prove the quantized
+    ingest is payload-exact.
     """
     import jax
     import jax.numpy as jnp
@@ -196,6 +198,14 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
         to_planes = lambda v: np.stack(   # noqa: E731 — [SCAN, 2, g]
             [v.real, v.imag], axis=1).astype(ml_dtypes.bfloat16)
         blocks, flush = to_planes(blocks), to_planes(flush)
+    elif ingest == "sc8":
+        # host plays the AGC: normalize the stream to ADC full scale,
+        # then quantize to ±127 int8 wire codes ([SCAN, 2, g])
+        peak = max(np.abs(blocks.real).max(), np.abs(blocks.imag).max())
+        to_sc8 = lambda v: np.clip(np.round(   # noqa: E731
+            np.stack([v.real, v.imag], axis=1) * (127.0 / peak)),
+            -127, 127).astype(np.int8)
+        blocks, flush = to_sc8(blocks), to_sc8(flush)
     blocks = jnp.asarray(blocks)
     flush = jnp.asarray(flush)
     state = init_state()
@@ -321,6 +331,8 @@ def _bench_best():
          "batched_xl"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
               ingest="bf16"), "batched_xl_bf16"),
+        (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
+              ingest="sc8"), "batched_xl_sc8"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
               ingest="bf16", use_pallas=2), "batched_xl_bf16_pallas"),
         (dict(block_size=32768, max_frames=48, scan=1, batched_blocks=4),

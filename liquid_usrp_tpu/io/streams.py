@@ -8,6 +8,9 @@ arrays with the same sample format:
   SDR interchange format; also what the reference's octave dumps use),
 * ``.sc16``: interleaved int16 I/Q (UHD's over-the-wire format; handled by
   the native engine when built, NumPy otherwise),
+* ``.sc8``: interleaved int8 I/Q (UHD's reduced-rate sc8 wire mode;
+  ±127 full scale — the on-device ingest twin is ``ops/iqfmt.py`` SC8
+  planes),
 * ``.npy``: NumPy complex64.
 
 Block-oriented read/write mirrors the reference's 256-sample send buffers
@@ -34,6 +37,13 @@ def write_iq(path: str, samples: np.ndarray) -> None:
         inter[1::2] = samples.imag
         np.clip(inter * 32767.0, -32768, 32767).astype(np.int16).tofile(path)
         return
+    if path.endswith(".sc8"):
+        inter = np.empty(samples.size * 2, dtype=np.float32)
+        inter[0::2] = samples.real
+        inter[1::2] = samples.imag
+        np.clip(np.round(inter * 127.0), -127, 127).astype(np.int8) \
+            .tofile(path)
+        return
     inter = np.empty(samples.size * 2, dtype=np.float32)
     inter[0::2] = samples.real
     inter[1::2] = samples.imag
@@ -45,6 +55,11 @@ def read_iq(path: str) -> np.ndarray:
         return np.load(path).astype(np.complex64)
     if path.endswith(".sc16"):
         raw = np.fromfile(path, dtype=np.int16).astype(np.float32) / 32767.0
+        if raw.size % 2:
+            raw = raw[:-1]
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+    if path.endswith(".sc8"):
+        raw = np.fromfile(path, dtype=np.int8).astype(np.float32) / 127.0
         if raw.size % 2:
             raw = raw[:-1]
         return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)

@@ -30,6 +30,52 @@ def test_bf16_quantization_snr():
     assert snr_db > 40.0, snr_db
 
 
+def test_sc8_quantization_snr():
+    """±127 int8 wire codes: ~40 dB floor for a full-scale-normalized
+    stream (the AGC convention of iq_to_planes_sc8)."""
+    rng = np.random.default_rng(3)
+    x = (rng.normal(size=65536) + 1j * rng.normal(size=65536)) \
+        .astype(np.complex64)
+    x /= np.abs(np.stack([x.real, x.imag])).max()     # AGC to full scale
+    back = np.asarray(iqfmt.iq_from_any(iqfmt.iq_to_planes_sc8(
+        jnp.asarray(x))))
+    err = back - x
+    snr_db = 10 * np.log10(np.mean(np.abs(x) ** 2) /
+                           np.mean(np.abs(err) ** 2))
+    assert snr_db > 35.0, snr_db
+    # and the codes really are one byte per plane value
+    assert iqfmt.iq_to_planes_sc8(jnp.asarray(x)).dtype == jnp.int8
+
+
+def test_sc16_planes_dequantize_near_exact():
+    """int16 planes at the ±32767 wire convention: > 80 dB — effectively
+    transparent, same width as bf16 but more mantissa."""
+    rng = np.random.default_rng(4)
+    x = (rng.normal(size=4096) + 1j * rng.normal(size=4096)) \
+        .astype(np.complex64)
+    x /= np.abs(np.stack([x.real, x.imag])).max()
+    codes = np.clip(np.round(np.stack([x.real, x.imag]) * 32767.0),
+                    -32767, 32767).astype(np.int16)
+    back = np.asarray(iqfmt.iq_from_any(jnp.asarray(codes)))
+    err = back - x
+    snr_db = 10 * np.log10(np.mean(np.abs(x) ** 2) /
+                           np.mean(np.abs(err) ** 2))
+    assert snr_db > 80.0, snr_db
+
+
+def test_sc8_file_roundtrip(tmp_path):
+    """.sc8 files (UHD sc8 wire mode twin) round-trip within one code."""
+    from liquid_usrp_tpu.io import streams
+    rng = np.random.default_rng(6)
+    x = (rng.uniform(-0.9, 0.9, 512) +
+         1j * rng.uniform(-0.9, 0.9, 512)).astype(np.complex64)
+    p = str(tmp_path / "a.sc8")
+    streams.write_iq(p, x)
+    import os
+    assert os.path.getsize(p) == 2 * 512          # 2 B/sample on disk
+    np.testing.assert_allclose(streams.read_iq(p), x, atol=1.5 / 127)
+
+
 def test_iq_from_any_passthrough_and_validation():
     x = jnp.asarray(np.array([1 + 2j, 3 - 1j], np.complex64))
     np.testing.assert_array_equal(np.asarray(iqfmt.iq_from_any(x)),
@@ -40,6 +86,12 @@ def test_iq_from_any_passthrough_and_validation():
         pass
     else:  # pragma: no cover
         raise AssertionError("bad plane shape accepted")
+    try:
+        iqfmt.iq_from_any(jnp.zeros((2, 4), jnp.int32))
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("int32 planes accepted without a convention")
 
 
 def test_mcrx_decodes_from_bf16_planes():
@@ -76,20 +128,31 @@ def test_mcrx_decodes_from_bf16_planes():
     c64_blocks = [jnp.asarray(x[b * g:(b + 1) * g])
                   for b in range(n_blocks)]
     bf16_blocks = [iqfmt.iq_to_planes(b) for b in c64_blocks]
+    peak = float(np.abs(np.stack([x.real, x.imag])).max())
+    sc8_blocks = [iqfmt.iq_to_planes_sc8(b / peak)     # AGC to full scale
+                  for b in c64_blocks]
     res_c, res_b = run(c64_blocks), run(bf16_blocks)
+    res_s = run(sc8_blocks)
 
-    got = {}
-    for r in res_b:
-        for ch in range(N):
-            for k in range(sync.max_frames):
-                if r.payload_valid[ch, k]:
-                    got[ch] = r.payload[ch, k][: int(r.payload_len[ch, k])]
-    assert set(got) == set(range(N)), sorted(got)
-    for ch, payload in sent.items():
-        np.testing.assert_array_equal(got[ch], payload)
+    def recovered(rs):
+        got = {}
+        for r in rs:
+            for ch in range(N):
+                for k in range(sync.max_frames):
+                    if r.payload_valid[ch, k]:
+                        got[ch] = r.payload[ch, k][
+                            : int(r.payload_len[ch, k])]
+        return got
+
+    for res in (res_b, res_s):                 # bf16 AND sc8 payload-exact
+        got = recovered(res)
+        assert set(got) == set(range(N)), sorted(got)
+        for ch, payload in sent.items():
+            np.testing.assert_array_equal(got[ch], payload)
     # same frames recovered as the complex64 path
     tot = lambda rs: sum(int(r.payload_valid.sum()) for r in rs)  # noqa:E731
     assert tot(res_b) == tot(res_c) > 0
+    assert tot(res_s) == tot(res_c)
 
 
 def test_a2a_sharded_mcrx_bf16_ingest():
