@@ -24,3 +24,19 @@ Layering (mirrors the reference's L0-L3, SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Restore stock-JAX semantics for the JAX_PLATFORMS environment variable:
+# this image's JAX distribution ignores it and always initializes its
+# bundled TPU-tunnel platform, which makes `JAX_PLATFORMS=cpu <app>`
+# silently hit the (flaky) tunnel.  An explicit config.update is the only
+# override that sticks (ROUND2_NOTES.md), so honor the env var here, at
+# package import, before any backend is touched.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:                          # already initialized: keep
+        pass

@@ -38,6 +38,9 @@ USAGE = """ofdmflexframe_rx -i in.iq [options]
   --bf16 : ship RX blocks to the device as bfloat16 I/Q planes (half the
           host->device transfer + input HBM read; ~45 dB quantization
           floor — see ops/iqfmt.py)
+  --ingest c64|bf16|sc8 : general form of --bf16; sc8 ships int8 wire
+          codes (UHD sc8 OTW analog — a quarter of the input read;
+          full-scale ADC convention, keep |I|,|Q| <= 1)
   --conv : enable convolutional/RS payload FEC decode branches
   --soft : soft-decision (LLR) decode for conv payload FECs
   e      : decode budget (encoded/decoded expansion), default 3; the
@@ -74,7 +77,7 @@ def main(argv=None) -> int:
                           "hi:M:C:T:p:d:e:qv",
                           ["snr=", "cfo=", "delay=", "seed=",
                            "save-state=", "load-state=", "stream",
-                           "bf16", "conv", "soft"])
+                           "bf16", "ingest=", "conv", "soft"])
     if "h" in flags:
         print(USAGE)
         return 0
@@ -107,7 +110,8 @@ def main(argv=None) -> int:
 
     txrx = OfdmTxRx(M=M, cp_len=cp, taper_len=taper,
                     max_payload=max_payload, callback=callback,
-                    rx_ingest="bf16" if "bf16" in flags else "c64",
+                    rx_ingest=flags.get(
+                        "ingest", "bf16" if "bf16" in flags else "c64"),
                     enable_conv="conv" in flags, soft="soft" in flags,
                     expansion=int(flags.get("e", EXPANSION)))
     streaming = "stream" in flags

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["WLAN_RATES", "wlan_frame_length", "wlan_assemble",
-           "wlan_decode"]
+           "wlan_decode", "wlan_sync"]
 
 # rate Mb/s -> (bits/subcarrier BPSC, coding rate (num, den),
 #               coded bits/symbol NCBPS, data bits/symbol NDBPS)
@@ -385,6 +385,102 @@ def _descramble(bits: np.ndarray) -> np.ndarray:
         state = ((state << 1) | s) & 0x7F
     out[7:] = bits[7:] ^ seq
     return out
+
+
+def wlan_sync(stream: np.ndarray, max_frames: int = 8,
+              thresh: float = 0.5) -> list:
+    """Streaming 802.11a receiver front-end: detect frames anywhere in
+    ``stream``, estimate and correct CFO, align, and decode each.
+
+    Detection is the classic short-training structure metric (Schmidl &
+    Cox over the 16-sample ST period): ``M(t) = |P(t)|^2 / R(t)^2`` with
+    ``P`` the lag-16 autocorrelation and ``R`` the window energy, both as
+    vectorized windowed cumulative sums.  A sustained plateau marks the
+    short preamble; coarse CFO comes from ``angle(P)/16`` on the plateau
+    (range ±1/32 cycles/sample), timing from cross-correlating the
+    coarse-corrected stream against the known long-training symbol, and
+    fine CFO from the lag-64 product of the two long symbols (the classic
+    two-stage estimator).  Each aligned, CFO-corrected frame goes through
+    :func:`wlan_decode` (LT channel EQ + pilot tracking + soft Viterbi).
+
+    Returns a list of :func:`wlan_decode` dicts, each with added
+    ``start`` (sample index of the frame's first ST sample) and ``cfo``
+    (radians/sample applied).  The reference's liquid-wlan has no
+    receiver at all; this is the capability its TX side implies.
+    """
+    x = np.asarray(stream).astype(np.complex64)
+    n = len(x)
+    short, long_t, _ = _tables()
+    W = 48                                     # metric window
+    results: list = []
+    pos = 0
+    min_tail = 480                             # preamble + SIGNAL
+    while len(results) < max_frames and n - pos >= min_tail:
+        seg = x[pos:]
+        c = seg[16:] * np.conj(seg[:-16])
+        e = np.abs(seg[16:]) ** 2
+        cw = np.cumsum(np.concatenate([[0], c]))
+        ew = np.cumsum(np.concatenate([[0], e]))
+        m = len(c) - W
+        if m <= 0:
+            break
+        P = cw[W:W + m] - cw[:m]
+        R = (ew[W:W + m] - ew[:m]).real
+        M = np.abs(P) ** 2 / np.maximum(R, 1e-12) ** 2
+        # sustained plateau: metric above threshold for >= 64 consecutive
+        # samples (rejects single-sample noise spikes)
+        above = M > thresh
+        run = np.convolve(above.astype(np.int32), np.ones(64, np.int32),
+                          "valid")
+        hits = np.nonzero(run >= 64)[0]
+        if len(hits) == 0:
+            break
+        t0 = int(hits[0])                      # inside the short preamble
+        # coarse CFO from the plateau autocorrelation phase
+        cfo_c = float(np.angle(P[t0 + 32] if t0 + 32 < m else P[t0])) / 16.0
+        # LT cross-correlation on the coarse-corrected stream: search a
+        # window that must contain the first long symbol
+        lo = pos + t0
+        hi = min(n, lo + 420)
+        win = x[lo:hi] * np.exp(-1j * cfo_c * np.arange(lo, hi))
+        if len(win) < 64 + 64:
+            break
+        lt = long_t / np.linalg.norm(long_t)
+        num = np.abs(np.convolve(win, np.conj(lt[::-1]), "valid"))
+        den = np.sqrt(np.convolve(np.abs(win) ** 2, np.ones(64), "valid"))
+        corr = num / np.maximum(den, 1e-9)
+        # two LT peaks 64 apart: score joint alignment
+        if len(corr) < 65:
+            break
+        joint = corr[:-64] + corr[64:]
+        p1 = int(np.argmax(joint))
+        if joint[p1] < 1.0:                    # each peak ~1 when aligned
+            pos = lo + 160
+            continue
+        start = lo + p1 - 192                  # LT1 begins 192 in
+        if start < 0:
+            pos = lo + 160
+            continue
+        # fine CFO from the two long symbols (lag 64), after coarse
+        lt1 = x[start + 192:start + 256] * np.exp(
+            -1j * cfo_c * np.arange(start + 192, start + 256))
+        lt2 = x[start + 256:start + 320] * np.exp(
+            -1j * cfo_c * np.arange(start + 256, start + 320))
+        if len(lt2) < 64:
+            break
+        cfo = cfo_c + float(np.angle(np.vdot(lt1, lt2))) / 64.0
+        # correct + decode as much of the stream as could be one frame
+        frame = x[start:] * np.exp(
+            -1j * cfo * np.arange(start, n))
+        d = wlan_decode(frame)
+        d["start"] = start
+        d["cfo"] = cfo
+        if d["signal_valid"]:
+            results.append(d)
+            pos = start + wlan_frame_length(d["rate"], d["length"])
+        else:
+            pos = start + 320                  # skip past this preamble
+    return results
 
 
 def wlan_decode(samples: np.ndarray) -> dict:

@@ -94,9 +94,11 @@ class OfdmTxRx:
         # handshake that lets a third thread mutate the rx buffer
         # (/root/reference/lib/ofdmtxrx.cc:642-739)
         self.rx_transform = rx_transform
-        # device-ingest format for RX blocks: "c64" or "bf16" planes
-        # (half the host->device transfer + input HBM read; ops/iqfmt.py)
-        if rx_ingest not in ("c64", "bf16"):
+        # device-ingest format for RX blocks: "c64", "bf16" planes (half
+        # the host->device transfer + input HBM read) or "sc8" int8 wire
+        # codes (a quarter; ±127 ↔ ±1.0 ADC convention — the caller is
+        # the AGC, out-of-range samples clip; ops/iqfmt.py)
+        if rx_ingest not in ("c64", "bf16", "sc8"):
             raise ValueError(f"unknown rx_ingest {rx_ingest!r}")
         self.rx_ingest = rx_ingest
         self._tx_buffer: list[np.ndarray] = []
@@ -313,11 +315,18 @@ class OfdmTxRx:
         def to_dev(arr, shape):
             # arr: host complex64; shape: target block layout ([bs] or
             # [nb, bs]).  bf16 ingest ships [2, ...] planes instead —
-            # half the host->device bytes + input HBM read (ops/iqfmt.py)
+            # half the host->device bytes + input HBM read; sc8 ships
+            # int8 wire codes — a quarter (ops/iqfmt.py)
             if self.rx_ingest == "bf16":
                 from ..io.native import cf32_to_bf16_planes
                 return jnp.asarray(cf32_to_bf16_planes(arr.reshape(-1))
                                    .reshape((2,) + shape))
+            if self.rx_ingest == "sc8":
+                flat = arr.reshape(-1)
+                codes = np.clip(
+                    np.round(np.stack([flat.real, flat.imag]) * 127.0),
+                    -127, 127).astype(np.int8)
+                return jnp.asarray(codes.reshape((2,) + shape))
             return jnp.asarray(arr.reshape(shape))
 
         b = 0

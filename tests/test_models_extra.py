@@ -175,3 +175,32 @@ def test_run_rx_batched_dispatch_matches_per_block():
         assert s["stats"] == b["stats"]
     for (h, p), f in zip(truth, sorted(bat, key=lambda r: r["t"])):
         np.testing.assert_array_equal(f["payload"], p)
+
+
+def test_run_rx_ingest_formats_decode_identically():
+    """rx_ingest="bf16" and "sc8" recover the same frames payload-exact
+    as the complex64 path (quantization floors far above channel SNR)."""
+    rng = np.random.default_rng(7)
+    tx = OfdmTxRx(max_payload=128, block_size=8192)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 80, dtype=np.uint8)
+    burst = tx.transmit_packet(header, payload)
+    tx.drain_tx()
+    air = np.concatenate([np.zeros(2000, np.complex64), burst,
+                          np.zeros(2000, np.complex64)])
+    air = air + (0.01 * (rng.normal(size=air.shape) +
+                         1j * rng.normal(size=air.shape))
+                 ).astype(np.complex64)
+    air = air / np.abs(np.stack([air.real, air.imag])).max()  # sc8 AGC
+
+    def decode(ingest):
+        rx = OfdmTxRx(max_payload=128, block_size=8192, rx_ingest=ingest)
+        rx.start_rx()
+        frames = rx.run_rx(air, flush=True)
+        return [f for f in frames if f["payload_valid"]]
+
+    for ingest in ("c64", "bf16", "sc8"):
+        frames = decode(ingest)
+        assert len(frames) == 1, ingest
+        np.testing.assert_array_equal(frames[0]["payload"], payload)
+        np.testing.assert_array_equal(frames[0]["header"], header)

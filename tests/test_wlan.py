@@ -140,3 +140,56 @@ def test_wlanframe_tx_output_decodes(tmp_path):
         assert d["signal_valid"] and d["rate"] == 24 and d["psdu_valid"]
         assert np.array_equal(d["psdu"], want)
         pos += flen + 200
+
+
+def test_wlan_sync_finds_frames_with_offset_cfo_noise():
+    """Streaming front-end: unknown frame starts + CFO + phase/gain +
+    noise -> sample-exact timing, CFO corrected, PSDU-exact decode, and
+    no false detections on noise-only input."""
+    rng = np.random.default_rng(21)
+    psdu1 = rng.integers(0, 256, 100, dtype=np.uint8)
+    psdu2 = rng.integers(0, 256, 60, dtype=np.uint8)
+    f1 = np.asarray(wlan.wlan_assemble(24, psdu1))
+    f2 = np.asarray(wlan.wlan_assemble(12, psdu2))
+    stream = np.zeros(723 + len(f1) + 911 + len(f2) + 500, np.complex64)
+    stream[723:723 + len(f1)] = f1
+    p2 = 723 + len(f1) + 911
+    stream[p2:p2 + len(f2)] = f2
+    cfo = 2 * np.pi * 0.003                      # rad/sample
+    stream = (0.7 * np.exp(1j * 0.9) * stream *
+              np.exp(1j * cfo * np.arange(len(stream)))
+              ).astype(np.complex64)
+    stream += (0.02 * (rng.normal(size=stream.shape) +
+                       1j * rng.normal(size=stream.shape))
+               ).astype(np.complex64)
+    res = wlan.wlan_sync(stream)
+    assert [d["start"] for d in res] == [723, p2]
+    assert [d["rate"] for d in res] == [24, 12]
+    assert all(d["psdu_valid"] for d in res)
+    np.testing.assert_array_equal(res[0]["psdu"], psdu1)
+    np.testing.assert_array_equal(res[1]["psdu"], psdu2)
+    assert abs(res[0]["cfo"] - cfo) < 5e-4
+    noise = (0.1 * (rng.normal(size=20000) +
+                    1j * rng.normal(size=20000))).astype(np.complex64)
+    assert wlan.wlan_sync(noise) == []
+
+
+def test_wlan_sync_large_cfo_two_stage():
+    """CFO near the coarse estimator's range edge exercises the
+    coarse(ST)+fine(LT) two-stage combination."""
+    rng = np.random.default_rng(22)
+    psdu = rng.integers(0, 256, 80, dtype=np.uint8)
+    f = np.asarray(wlan.wlan_assemble(36, psdu))
+    stream = np.zeros(400 + len(f) + 400, np.complex64)
+    stream[400:400 + len(f)] = f
+    cfo = 0.15                                   # rad/sample (max ~0.196)
+    stream = (stream * np.exp(1j * cfo * np.arange(len(stream)))
+              ).astype(np.complex64)
+    stream += (0.01 * (rng.normal(size=stream.shape) +
+                       1j * rng.normal(size=stream.shape))
+               ).astype(np.complex64)
+    res = wlan.wlan_sync(stream)
+    assert len(res) == 1 and res[0]["start"] == 400
+    assert res[0]["rate"] == 36 and res[0]["psdu_valid"]
+    np.testing.assert_array_equal(res[0]["psdu"], psdu)
+    assert abs(res[0]["cfo"] - cfo) < 1e-3
