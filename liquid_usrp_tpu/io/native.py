@@ -16,7 +16,7 @@ import numpy as np
 
 __all__ = ["available", "read_file", "write_file", "NativeReader",
            "NativeWriter", "FORMAT_CF32", "FORMAT_SC16",
-           "cf32_to_bf16_planes"]
+           "cf32_to_bf16_planes", "cf32_to_sc8_planes"]
 
 FORMAT_CF32 = 0
 FORMAT_SC16 = 1
@@ -85,6 +85,9 @@ def _load():
     lib.iq_cf32_to_bf16_planes.argtypes = [ctypes.c_void_p,
                                            ctypes.c_void_p,
                                            ctypes.c_size_t]
+    lib.iq_cf32_to_sc8_planes.argtypes = [ctypes.c_void_p,
+                                          ctypes.c_void_p,
+                                          ctypes.c_size_t]
     _lib = lib
     return lib
 
@@ -162,6 +165,25 @@ def cf32_to_bf16_planes(samples: np.ndarray) -> np.ndarray:
         samples.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p), samples.size)
     return out.view(ml_dtypes.bfloat16)
+
+
+def cf32_to_sc8_planes(samples: np.ndarray) -> np.ndarray:
+    """Complex64 stream -> ``[2, n]`` int8 SC8 wire-code planes
+    (``ops/iqfmt.py`` convention: ±127 ↔ ±1.0 full scale, caller is the
+    AGC; nearest-even rounding matches the np/jnp quantizers).  Native
+    one-pass deinterleave+quantize; NumPy fallback otherwise.  Quarter
+    the host->device transfer of a streaming RX app."""
+    samples = np.ascontiguousarray(samples, dtype=np.complex64)
+    lib = _load()
+    if lib is None:
+        return np.clip(np.round(np.stack(
+            [samples.real, samples.imag]) * 127.0), -127, 127) \
+            .astype(np.int8)
+    out = np.empty((2, samples.size), dtype=np.int8)
+    lib.iq_cf32_to_sc8_planes(
+        samples.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), samples.size)
+    return out
 
 
 class NativeReader:

@@ -322,11 +322,9 @@ class OfdmTxRx:
                 return jnp.asarray(cf32_to_bf16_planes(arr.reshape(-1))
                                    .reshape((2,) + shape))
             if self.rx_ingest == "sc8":
-                flat = arr.reshape(-1)
-                codes = np.clip(
-                    np.round(np.stack([flat.real, flat.imag]) * 127.0),
-                    -127, 127).astype(np.int8)
-                return jnp.asarray(codes.reshape((2,) + shape))
+                from ..io.native import cf32_to_sc8_planes
+                return jnp.asarray(cf32_to_sc8_planes(arr.reshape(-1))
+                                   .reshape((2,) + shape))
             return jnp.asarray(arr.reshape(shape))
 
         b = 0

@@ -323,6 +323,22 @@ void iq_cf32_to_bf16_planes(const float* in, uint16_t* out,
   }
 }
 
+// cf32 -> int8 "SC8" wire-code planes (ops/iqfmt.py convention:
+// +-127 <-> +-1.0 full scale, caller is the AGC).  nearbyintf under the
+// default FP environment rounds to nearest-even, matching np.round /
+// jnp.round in the Python quantizers bit-exactly; out-of-range clips.
+void iq_cf32_to_sc8_planes(const float* in, int8_t* out,
+                           size_t n_samples) {
+  for (size_t i = 0; i < n_samples; i++) {
+    for (int p = 0; p < 2; p++) {
+      float v = nearbyintf(in[2 * i + p] * 127.0f);
+      if (v > 127.0f) v = 127.0f;
+      if (v < -127.0f) v = -127.0f;
+      out[p * n_samples + i] = static_cast<int8_t>(v);
+    }
+  }
+}
+
 // ---- sc16 <-> cf32 buffer converters (wire-format boundary) ----
 
 void iq_sc16_to_cf32(const int16_t* in, float* out, size_t n_samples) {

@@ -97,3 +97,18 @@ def test_bf16_planes_feed_iqfmt():
     planes = native.cf32_to_bf16_planes(x)      # native or NumPy fallback
     back = np.asarray(iqfmt.iq_from_any(jnp.asarray(planes)))
     assert np.mean(np.abs(back - x) ** 2) < 1e-4 * np.mean(np.abs(x) ** 2)
+
+
+def test_cf32_to_sc8_planes_matches_numpy(lib_ok):
+    """Native deinterleave+quantize == NumPy round-half-even quantizer,
+    bit-exact, including tie and clip cases."""
+    rng = np.random.default_rng(8)
+    x = (rng.uniform(-1.2, 1.2, 4096) +
+         1j * rng.uniform(-1.2, 1.2, 4096)).astype(np.complex64)
+    # exact .5-in-code-space ties + clip edges
+    x[:4] = np.array([0.5 / 127, -1.5 / 127, 1.5, -2.0], np.complex64)
+    got = native.cf32_to_sc8_planes(x)
+    want = np.clip(np.round(np.stack([x.real, x.imag]) * 127.0),
+                   -127, 127).astype(np.int8)
+    assert got.dtype == np.int8 and got.shape == (2, x.size)
+    np.testing.assert_array_equal(got, want)
