@@ -335,6 +335,8 @@ def _bench_best():
               ingest="sc8"), "batched_xl_sc8"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
               ingest="bf16", use_pallas=2), "batched_xl_bf16_pallas"),
+        (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
+              ingest="sc8", use_pallas=2), "batched_xl_sc8_pallas"),
         (dict(block_size=32768, max_frames=48, scan=1, batched_blocks=4),
          "batched"),
     ]:
