@@ -1,12 +1,16 @@
 """Tunnel-session health gate shared by every on-TPU measurement script.
 
 The axon TPU tunnel backend fails nondeterministically per process session
-(ROUND1_NOTES/ROUND2_NOTES).  Two observed bad-session modes: (a) any
+(ROUND1_NOTES/ROUND2_NOTES).  Three observed bad-session modes: (a) any
 device->host fetch fails UNIMPLEMENTED or hangs; (b) elementwise ops work
 but EVERY nontrivial fresh compile (matmul/conv/fft/gather/cumsum) fails
-UNIMPLEMENTED — so the gate must exercise the compile path, not just
-transport.  Detecting either in seconds lets retry harnesses sample many
-more sessions within their budget than burning a full per-child timeout.
+UNIMPLEMENTED; (c) — round-2 session 4 — matmul and elementwise compiles
+PASS while everything structurally interesting (pad/gather/cumsum/fft/
+scan/cond/sort/...) fails UNIMPLEMENTED, and session goodness is fixed at
+init (bimodal: a session either passes all of these or only matmul).  So
+the gate must probe the ops that actually discriminate, not just matmul.
+Detecting a bad session in seconds lets retry harnesses sample many more
+sessions within their budget than burning a full per-child timeout.
 
 Deliberately imports jax lazily and only inside the probe thread so a
 hanging backend init cannot block the caller past ``timeout_s``.
@@ -17,8 +21,10 @@ __all__ = ["session_healthy"]
 
 
 def session_healthy(timeout_s: float = 150.0) -> bool:
-    """True iff this process's backend session passes a tiny fetch AND a
-    fresh jitted-matmul compile within ``timeout_s`` seconds."""
+    """True iff this process's backend session passes a tiny fetch, a
+    fresh jitted-matmul compile, AND a discriminating structured-op
+    compile (pad+gather+cumsum+fft — the ops bad-mode (c) rejects)
+    within ``timeout_s`` seconds."""
     import threading
 
     import numpy as np
@@ -31,7 +37,16 @@ def session_healthy(timeout_s: float = 150.0) -> bool:
             v = np.asarray(jnp.ones(16) * 2.0)
             m = np.asarray(jax.jit(
                 lambda: jnp.ones((128, 128)) @ jnp.ones((128, 128)))())
-            ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0))
+
+            # bad-mode (c) discriminator: matmul passes there, these fail
+            def structured():
+                x = jnp.pad(jnp.arange(1024, dtype=jnp.float32), (3, 5))
+                y = jnp.cumsum(x)[jnp.arange(0, 1024, 8)]
+                return jnp.fft.fft(y.astype(jnp.complex64)).real.sum()
+
+            s = float(jax.jit(structured)())
+            ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0)
+                      and bool(np.isfinite(s)))
         except Exception:
             ok.append(False)
 
