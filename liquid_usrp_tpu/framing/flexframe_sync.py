@@ -109,7 +109,7 @@ def make_flex_sync(params: FlexParams, block_size: int = 16384,
 
 def flex_sync_init(sync: FlexSync) -> FlexSyncState:
     return FlexSyncState(
-        tail=jnp.zeros((sync.overlap,), dtype=jnp.complex64),
+        tail=iqfmt.czeros((sync.overlap,)),
         base=jnp.int32(-sync.overlap))
 
 

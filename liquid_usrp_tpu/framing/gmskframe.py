@@ -260,7 +260,7 @@ def make_gmsk_sync(params: GmskParams, block_size: int = 16384,
 
 def gmsk_sync_init(sync: GmskSync) -> GmskSyncState:
     return GmskSyncState(
-        tail=jnp.zeros((sync.overlap,), dtype=jnp.complex64),
+        tail=iqfmt.czeros((sync.overlap,)),
         base=jnp.int32(-sync.overlap))
 
 

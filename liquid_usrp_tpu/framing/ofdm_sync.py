@@ -132,7 +132,7 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
 
 def sync_init(sync: OfdmSync) -> OfdmSyncState:
     return OfdmSyncState(
-        tail=jnp.zeros((sync.overlap,), dtype=jnp.complex64),
+        tail=iqfmt.czeros((sync.overlap,)),
         base=jnp.int32(-sync.overlap))
 
 

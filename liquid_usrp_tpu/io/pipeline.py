@@ -16,6 +16,8 @@ from typing import Callable, Iterable, Iterator
 
 import numpy as np
 
+from ..ops import iqfmt
+
 __all__ = ["BlockPrefetcher", "run_pipelined", "AsyncTxProducer"]
 
 
@@ -61,8 +63,6 @@ def run_pipelined(source: Iterable[np.ndarray], step: Callable, state,
     ``block_size`` when given); ``on_results`` receives each step's results
     while the next device step is already in flight (async dispatch).
     """
-    import jax.numpy as jnp
-
     def rechunk(it):
         if block_size is None:
             yield from it
@@ -79,7 +79,7 @@ def run_pipelined(source: Iterable[np.ndarray], step: Callable, state,
 
     pending = None
     for blk in rechunk(BlockPrefetcher(source, depth)):
-        state, results = step(state, jnp.asarray(blk))
+        state, results = step(state, iqfmt.device_put_c64(blk))
         if pending is not None and on_results is not None:
             on_results(pending)      # consume previous while device runs
         pending = results

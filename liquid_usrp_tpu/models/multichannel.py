@@ -148,8 +148,8 @@ class MultichannelTx:
                 Y[:take, ch] = q[:take]
                 self._queues[ch] = q[take:]
         self._mctx_state, y = self._mctx_step(self._mctx_state,
-                                              jnp.asarray(Y))
-        return np.asarray(y)
+                                              iqfmt.device_put_c64(Y))
+        return iqfmt.device_get_c64(y)
 
     # -- async TX worker ----------------------------------------------------
     # The reference streams TX from a dedicated worker thread that keeps
@@ -259,6 +259,7 @@ def make_mctx_step(num_channels: int):
     N = num_channels
     chz = pfb_mod.pfbch_create(2 * N, m=13, As=60.0)
 
+    @jax.jit                      # compiled init (see make_mcrx_step)
     def init_state() -> MctxState:
         return MctxState(nco=nco_mod.nco_init(_center_offset(N)),
                          chz=pfb_mod.pfbch_state(chz))
@@ -291,8 +292,9 @@ def make_mcrx_step(num_channels: int, sync: ofdm_sync.OfdmSync):
     N = num_channels
     chz = pfb_mod.pfbch_create(2 * N, m=7, As=60.0)
 
-    def init_state() -> McrxState:
-        one = ofdm_sync.sync_init(sync)
+    @jax.jit                      # compiled init: complex state is
+    def init_state() -> McrxState:   # created on device, never crossing
+        one = ofdm_sync.sync_init(sync)   # the transport (ops/iqfmt.py)
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (N,) + x.shape), one)
         return McrxState(
@@ -332,8 +334,9 @@ def make_mcrx_batched_step(num_channels: int,
     chz = pfb_mod.pfbch_create(2 * N, m=7, As=60.0)
     bs = sync.block_size
 
-    def init_state() -> McrxState:
-        one = ofdm_sync.sync_init(sync)
+    @jax.jit                      # compiled init: complex state is
+    def init_state() -> McrxState:   # created on device, never crossing
+        one = ofdm_sync.sync_init(sync)   # the transport (ops/iqfmt.py)
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (N,) + x.shape), one)
         return McrxState(
@@ -402,7 +405,8 @@ class MultichannelRx:
         frames = []
         while len(buf) >= g:
             chunk, buf = buf[:g], buf[g:]
-            self._state, res = self._step(self._state, jnp.asarray(chunk))
+            self._state, res = self._step(self._state,
+                                          iqfmt.device_put_c64(chunk))
             det = np.asarray(res.detected)
             for ch, i in zip(*np.nonzero(det)):
                 row = {

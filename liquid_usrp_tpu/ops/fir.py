@@ -31,13 +31,20 @@ class FirState(NamedTuple):
     tail: jnp.ndarray  # last (L-1) inputs, complex64 [L-1]
 
 
+def _state_zeros(n: int, dtype) -> jnp.ndarray:
+    if jnp.dtype(dtype) == jnp.complex64:
+        from .iqfmt import czeros     # transport-safe compiled fill
+        return czeros((n,))
+    return jnp.zeros((n,), dtype=dtype)
+
+
 def fir_init(ntaps: int, dtype=jnp.complex64) -> FirState:
-    return FirState(tail=jnp.zeros((ntaps - 1,), dtype=dtype))
+    return FirState(tail=_state_zeros(ntaps - 1, dtype))
 
 
 def firinterp_init(ntaps: int, k: int, dtype=jnp.complex64) -> FirState:
     P = -(-ntaps // k)  # taps per polyphase branch
-    return FirState(tail=jnp.zeros((P - 1,), dtype=dtype))
+    return FirState(tail=_state_zeros(P - 1, dtype))
 
 
 def _conv_valid(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:

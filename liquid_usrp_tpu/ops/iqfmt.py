@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["iq_to_planes", "iq_to_planes_sc8", "iq_from_any",
-           "SC8_FULL_SCALE", "SC16_FULL_SCALE"]
+           "device_put_c64", "SC8_FULL_SCALE", "SC16_FULL_SCALE"]
 
 SC8_FULL_SCALE = 127.0      # symmetric: -128 never emitted by the quantizer
 SC16_FULL_SCALE = 32767.0   # matches io/streams.py .sc16 files + UHD OTW
@@ -49,6 +49,70 @@ def iq_to_planes_sc8(x: jnp.ndarray) -> jnp.ndarray:
     """
     planes = jnp.stack([x.real, x.imag]) * SC8_FULL_SCALE
     return jnp.clip(jnp.round(planes), -127.0, 127.0).astype(jnp.int8)
+
+
+def czeros(shape) -> jnp.ndarray:
+    """Complex64 zeros created by a compiled on-device fill.
+
+    Eager ``jnp.zeros(..., complex64)`` materializes the complex scalar
+    constant through the host->device transport, which the tunnel bad
+    mode rejects (see :func:`device_put_c64`); a jitted fill never moves
+    complex across the transport.  Used by every streaming-state
+    initializer so state creation works in that mode; identical result
+    on every backend.
+    """
+    if isinstance(shape, int):
+        shape = (shape,)
+    shape = tuple(int(s) for s in shape)
+    fn = _CZEROS_CACHE.get(shape)
+    if fn is None:
+        fn = _CZEROS_CACHE[shape] = jax.jit(
+            lambda: jnp.zeros(shape, jnp.complex64))
+    return fn()
+
+
+_CZEROS_CACHE: dict = {}
+
+
+def device_put_c64(x) -> jnp.ndarray:
+    """Stage a host complex array onto the default device as complex64.
+
+    On TPU backends the host array crosses the transport as float32 I/Q
+    planes and is combined to complex64 by a tiny jitted kernel (same
+    total bytes; the result is an ordinary complex64 device array).  This
+    sidesteps a tunnel-backend failure mode observed in this image where
+    complex64 host<->device transfers fail UNIMPLEMENTED while float/int
+    transfers and all on-device complex math work — and where the failed
+    put is ASYNC, so it poisons every subsequent op in the session
+    (ROUND2_NOTES.md).  Never attempting the complex put is therefore the
+    only safe strategy; on CPU and other backends the direct put is fine.
+    """
+    import numpy as np
+    x = np.asarray(x)
+    if jax.default_backend() != "tpu":
+        return jnp.asarray(x.astype(np.complex64))
+    planes = jnp.asarray(
+        np.stack([x.real, x.imag]).astype(np.float32))
+    return jax.jit(lambda p: jax.lax.complex(p[0], p[1]))(planes)
+
+
+def device_get_c64(x):
+    """Fetch a complex array to host numpy complex64 — the reverse of
+    :func:`device_put_c64`: on TPU the values cross the transport as a
+    float32 plane stack (complex device->host fetches fail in the same
+    tunnel mode).  Host numpy inputs pass straight through."""
+    import numpy as np
+    if isinstance(x, np.ndarray):
+        return np.asarray(x)
+    try:   # decide per-array: a CPU-device array fetches directly
+        plat = next(iter(x.devices())).platform
+    except Exception:
+        plat = jax.default_backend()
+    if plat != "tpu":
+        return np.asarray(x)
+    planes = np.asarray(jax.jit(
+        lambda v: jnp.stack([v.real, v.imag]))(x))
+    return (planes[0] + 1j * planes[1]).astype(np.complex64)
 
 
 def iq_from_any(x: jnp.ndarray) -> jnp.ndarray:

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import iqfmt
 from .filter_design import pfb_channelizer_prototype
 
 __all__ = [
@@ -62,7 +63,7 @@ def pfbch_create(num_channels: int, m: int = 7, As: float = 60.0) -> Pfbch:
 
 def pfbch_state(ch: Pfbch) -> PfbchState:
     return PfbchState(
-        frames=jnp.zeros((ch.P - 1, ch.M), dtype=jnp.complex64))
+        frames=iqfmt.czeros((ch.P - 1, ch.M)))
 
 
 def _branch_filter(ch: Pfbch, state_frames: jnp.ndarray,

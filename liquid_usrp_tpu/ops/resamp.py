@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import iqfmt
 from .filter_design import firdes_kaiser, halfband_kaiser
 from .fir import FirState, fir_init, fir_block, firinterp_block, \
     firinterp_init
@@ -137,7 +138,7 @@ def resamp_create(rate: float, m: int = 7, fc: float = 0.45,
 
 
 def resamp_state(rs: Resamp) -> ResampState:
-    return ResampState(tail=jnp.zeros((rs.P - 1,), dtype=jnp.complex64),
+    return ResampState(tail=iqfmt.czeros((rs.P - 1,)),
                        i0=jnp.int32(0), num0=jnp.int32(0))
 
 

@@ -13,6 +13,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from . import iqfmt
+
 __all__ = ["RingLog", "ring_init", "ring_push", "ring_read", "ring_valid"]
 
 
@@ -22,8 +24,11 @@ class RingLog(NamedTuple):
 
 
 def ring_init(capacity: int, dtype=jnp.complex64) -> RingLog:
-    return RingLog(buf=jnp.zeros((capacity,), dtype=dtype),
-                   count=jnp.int32(0))
+    if jnp.dtype(dtype) == jnp.complex64:
+        buf = iqfmt.czeros((capacity,))   # transport-safe fill (iqfmt)
+    else:
+        buf = jnp.zeros((capacity,), dtype=dtype)
+    return RingLog(buf=buf, count=jnp.int32(0))
 
 
 def ring_push(ring: RingLog, x: jnp.ndarray) -> RingLog:

@@ -34,7 +34,19 @@ def session_healthy(timeout_s: float = 150.0) -> bool:
         try:
             import jax
             import jax.numpy as jnp
+
             v = np.asarray(jnp.ones(16) * 2.0)
+
+            # register the host-CPU backend while we are still early in
+            # the session: the measurement scripts build ground-truth
+            # waveforms on it, and discovery is order-sensitive here —
+            # requesting "cpu" before the first tunnel compute can hang,
+            # and some sessions refuse late registration entirely
+            # ("Unknown backend cpu")
+            try:
+                jax.devices("cpu")
+            except Exception:
+                pass
             m = np.asarray(jax.jit(
                 lambda: jnp.ones((128, 128)) @ jnp.ones((128, 128)))())
 

@@ -44,6 +44,26 @@ def _expected_fp(payloads, weights, max_payload):
     return acc
 
 
+def _host_c64(thunk):
+    """Run a frame-assembly thunk and fetch the waveform as host numpy.
+
+    Prefers the host-CPU backend; when the session refuses to register it
+    ("Unknown backend cpu" — order/tunnel-state dependent), runs the
+    assembly on the TPU and fetches through float planes
+    (ops/iqfmt.py::device_get_c64) so complex never crosses the
+    transport either way."""
+    import jax
+    from liquid_usrp_tpu.ops.iqfmt import device_get_c64
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return np.asarray(thunk())
+    return device_get_c64(thunk())
+
+
 def _device_decode_fp(step, init_state, stream, bs, overlap, max_payload,
                       weights):
     """Scan the sync over ``stream`` on device; return (count, fp) scalars.
@@ -57,7 +77,9 @@ def _device_decode_fp(step, init_state, stream, bs, overlap, max_payload,
     n_blocks = -(-len(stream) // bs) + flush // bs
     padded = np.zeros(n_blocks * bs, np.complex64)
     padded[: len(stream)] = stream
-    blocks = jnp.asarray(padded.reshape(n_blocks, bs))
+    # float-plane staging: complex64 transport has a tunnel failure mode
+    from liquid_usrp_tpu.ops.iqfmt import device_put_c64
+    blocks = device_put_c64(padded.reshape(n_blocks, bs))
     w = jnp.asarray(weights)
 
     @jax.jit
@@ -90,7 +112,7 @@ def lane_ofdm():
         h = rng.integers(0, 256, 8, dtype=np.uint8)
         p = rng.integers(0, 256, 180, dtype=np.uint8)
         payloads.append(p)
-        bursts.append(np.asarray(ofdm.assemble_frame(
+        bursts.append(_host_c64(lambda: ofdm.assemble_frame(
             params, props, jnp.asarray(h), jnp.asarray(p))))
         bursts.append(np.zeros(2500, np.complex64))
     stream = np.concatenate(bursts)
@@ -121,7 +143,7 @@ def lane_flex():
         h = rng.integers(0, 256, 8, dtype=np.uint8)
         p = rng.integers(0, 256, 150, dtype=np.uint8)
         payloads.append(p)
-        bursts.append(np.asarray(ff.flex_assemble(
+        bursts.append(_host_c64(lambda: ff.flex_assemble(
             params, ff.default_props(), jnp.asarray(h), jnp.asarray(p))))
         bursts.append(np.zeros(3000, np.complex64))
     stream = np.concatenate(bursts)
@@ -151,7 +173,7 @@ def lane_gmsk():
         h = rng.integers(0, 256, 8, dtype=np.uint8)
         p = rng.integers(0, 256, 120, dtype=np.uint8)
         payloads.append(p)
-        bursts.append(np.asarray(gf.gmsk_assemble(
+        bursts.append(_host_c64(lambda: gf.gmsk_assemble(
             params, gf.gmsk_default_props(), jnp.asarray(h),
             jnp.asarray(p))))
         bursts.append(np.zeros(3000, np.complex64))
@@ -187,7 +209,7 @@ def lane_batched():
     for _ in range(n_frames):
         h = rng.integers(0, 256, 8, dtype=np.uint8)
         p = rng.integers(0, 256, 200, dtype=np.uint8)
-        w = np.asarray(ofdm.assemble_frame(
+        w = _host_c64(lambda: ofdm.assemble_frame(
             params, props, jnp.asarray(h), jnp.asarray(p)))
         stream[pos: pos + len(w)] = w
         pos += len(w) + 1200
@@ -195,7 +217,8 @@ def lane_batched():
     stream += (0.02 * (rng.normal(size=len(stream)) +
                        1j * rng.normal(size=len(stream)))
                ).astype(np.complex64)
-    blocks = jnp.asarray(stream.reshape(n_blocks, sync.block_size))
+    from liquid_usrp_tpu.ops.iqfmt import device_put_c64
+    blocks = device_put_c64(stream.reshape(n_blocks, sync.block_size))
 
     @jax.jit
     def both(state, blocks):
@@ -241,7 +264,7 @@ def lane_pallas():
         h = rng.integers(0, 256, 8, dtype=np.uint8)
         p = rng.integers(0, 256, 180, dtype=np.uint8)
         payloads.append(p)
-        bursts.append(np.asarray(ofdm.assemble_frame(
+        bursts.append(_host_c64(lambda: ofdm.assemble_frame(
             params, props, jnp.asarray(h), jnp.asarray(p))))
         bursts.append(np.zeros(2500, np.complex64))
     stream = np.concatenate(bursts)
@@ -290,7 +313,7 @@ def lane_soft():
         h = rng.integers(0, 256, 8, dtype=np.uint8)
         p = rng.integers(0, 256, 100, dtype=np.uint8)
         payloads.append(p)
-        bursts.append(np.asarray(ofdm.assemble_frame(
+        bursts.append(_host_c64(lambda: ofdm.assemble_frame(
             params, props, jnp.asarray(h), jnp.asarray(p))))
         bursts.append(np.zeros(2500, np.complex64))
     stream = np.concatenate(bursts)

@@ -34,6 +34,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    from liquid_usrp_tpu.ops import iqfmt
     from liquid_usrp_tpu.ops.pallas_kernels import (
         detect_candidates_onepass, detect_metric_fused_2d,
         detect_metric_onepass)
@@ -61,8 +62,9 @@ def main():
         d = M // 4
         L = ofdm_sync.NUM_S0 * M - d
         n = 131072 + L + d - 1
-        ext = jnp.asarray((rng.standard_normal(n) +
-                           1j * rng.standard_normal(n)).astype(np.complex64))
+        ext = iqfmt.device_put_c64(
+            (rng.standard_normal(n) +
+             1j * rng.standard_normal(n)).astype(np.complex64))
 
         f_xla = jax.jit(lambda e, sync=sync: ofdm_sync._detect_metric(
             sync, e))
@@ -115,7 +117,7 @@ def main():
     params = ofdm.make_ofdm_params(48, 6, 4)
     sync = ofdm_sync.make_sync(params, block_size=131072, max_payload=64,
                                max_frames=8)._replace(use_pallas=0)
-    frame = np.asarray(ofdm.assemble_frame(
+    frame = iqfmt.device_get_c64(ofdm.assemble_frame(
         params, ofdm.default_props(),
         jnp.asarray(np.arange(8, dtype=np.uint8)),
         jnp.asarray(np.arange(48, dtype=np.uint8))))
@@ -124,7 +126,7 @@ def main():
     buf[70000:70000 + len(frame)] = frame
     buf += 0.02 * (rng.standard_normal(len(buf)) +
                    1j * rng.standard_normal(len(buf))).astype(np.complex64)
-    ext = jnp.asarray(buf)
+    ext = iqfmt.device_put_c64(buf)
     d, L = 12, ofdm_sync.NUM_S0 * 48 - 12
 
     def xla_cand(e):

@@ -34,9 +34,10 @@ def pallas_check():
     sync = ofdm_sync.make_sync(params, block_size=bs, max_payload=512,
                                max_frames=48)
     rng = np.random.default_rng(0)
-    ext = jnp.asarray((rng.normal(size=bs + sync.overlap) +
-                       1j * rng.normal(size=bs + sync.overlap))
-                      .astype(np.complex64))
+    from liquid_usrp_tpu.ops.iqfmt import device_put_c64
+    ext = device_put_c64((rng.normal(size=bs + sync.overlap) +
+                          1j * rng.normal(size=bs + sync.overlap))
+                         .astype(np.complex64))
     M = params.M
     d = M // 4
     L = 2 * M - d
@@ -93,8 +94,9 @@ def resamp_rational_check():
     from liquid_usrp_tpu.ops import resamp as rs_mod
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.normal(size=1 << 17) +
-                     1j * rng.normal(size=1 << 17)).astype(np.complex64))
+    from liquid_usrp_tpu.ops.iqfmt import device_put_c64
+    x = device_put_c64((rng.normal(size=1 << 17) +
+                        1j * rng.normal(size=1 << 17)).astype(np.complex64))
     results = {}
     for rate in (1.5, 4.0 / 3.0):
         rs = rs_mod.resamp_create(rate)
@@ -114,10 +116,12 @@ def resamp_rational_check():
                     r = f(st, x)
                 jax.block_until_ready(r)
                 best = min(best, (time.perf_counter() - t0) / 10)
-            outs[name] = (np.asarray(r[1]), best)
+            outs[name] = (r[1], best)    # device array: complex
+            # fetches are transport-unsafe; compare on device below
             rs_mod._RATIONAL_Q_MAX = 64
         rs_mod._RATIONAL_ON_CPU = False
-        err = float(np.abs(outs["rational"][0] - outs["general"][0]).max())
+        err = float(jnp.max(jnp.abs(outs["rational"][0] -
+                                    outs["general"][0])))
         tr, tg = outs["rational"][1], outs["general"][1]
         print(f"  resamp rate {rate:.3f}: err {err:.2e}  rational "
               f"{x.shape[0]/tr/1e6:7.0f} MS/s  general "
