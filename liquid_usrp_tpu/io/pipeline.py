@@ -77,9 +77,20 @@ def run_pipelined(source: Iterable[np.ndarray], step: Callable, state,
             yield np.concatenate(
                 [buf, np.zeros(block_size - len(buf), np.complex64)])
 
+    import jax.numpy as jnp
+
+    def stage(blk):
+        # complex blocks stage through float planes (transport-safe,
+        # iqfmt.device_put_c64); planes/wire-code arrays ([2, ...] int8/
+        # int16/bf16) keep their dtype so iq_from_any dequantizes them
+        blk = np.asarray(blk)
+        if np.iscomplexobj(blk):
+            return iqfmt.device_put_c64(blk)
+        return jnp.asarray(blk)
+
     pending = None
     for blk in rechunk(BlockPrefetcher(source, depth)):
-        state, results = step(state, iqfmt.device_put_c64(blk))
+        state, results = step(state, stage(blk))
         if pending is not None and on_results is not None:
             on_results(pending)      # consume previous while device runs
         pending = results

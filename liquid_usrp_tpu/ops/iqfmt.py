@@ -73,6 +73,13 @@ def czeros(shape) -> jnp.ndarray:
 
 _CZEROS_CACHE: dict = {}
 
+# module-scope jitted staging kernels: jit caches per input shape on a fixed
+# function object, so hot loops (run_pipelined per block, MultichannelRx per
+# chunk) never retrace — a per-call ``jax.jit(lambda ...)`` would recompile
+# on every invocation (ADVICE round 2)
+_COMBINE_PLANES = jax.jit(lambda p: jax.lax.complex(p[0], p[1]))
+_SPLIT_PLANES = jax.jit(lambda v: jnp.stack([v.real, v.imag]))
+
 
 def device_put_c64(x) -> jnp.ndarray:
     """Stage a host complex array onto the default device as complex64.
@@ -89,11 +96,16 @@ def device_put_c64(x) -> jnp.ndarray:
     """
     import numpy as np
     x = np.asarray(x)
+    if not (np.issubdtype(x.dtype, np.complexfloating)
+            or np.issubdtype(x.dtype, np.floating)):
+        raise ValueError(
+            f"device_put_c64 expects a complex or float stream, got "
+            f"{x.dtype} — planes/wire-code arrays go through iq_from_any")
     if jax.default_backend() != "tpu":
         return jnp.asarray(x.astype(np.complex64))
     planes = jnp.asarray(
         np.stack([x.real, x.imag]).astype(np.float32))
-    return jax.jit(lambda p: jax.lax.complex(p[0], p[1]))(planes)
+    return _COMBINE_PLANES(planes)
 
 
 def device_get_c64(x):
@@ -110,9 +122,14 @@ def device_get_c64(x):
         plat = jax.default_backend()
     if plat != "tpu":
         return np.asarray(x)
-    planes = np.asarray(jax.jit(
-        lambda v: jnp.stack([v.real, v.imag]))(x))
-    return (planes[0] + 1j * planes[1]).astype(np.complex64)
+    planes = np.asarray(_SPLIT_PLANES(x))
+    # assemble in-place into complex64 (a `p0 + 1j*p1` expression would
+    # materialize a complex128 intermediate, tripling transient host
+    # memory for large fetches)
+    out = np.empty(planes.shape[1:], np.complex64)
+    out.real = planes[0]
+    out.imag = planes[1]
+    return out
 
 
 def iq_from_any(x: jnp.ndarray) -> jnp.ndarray:

@@ -20,12 +20,17 @@ from __future__ import annotations
 __all__ = ["session_healthy"]
 
 
-def session_healthy(timeout_s: float = 150.0) -> bool:
+def session_healthy(timeout_s: float | None = None) -> bool:
     """True iff this process's backend session passes a tiny fetch, a
     fresh jitted-matmul compile, AND a discriminating structured-op
     compile (pad+gather+cumsum+fft — the ops bad-mode (c) rejects)
-    within ``timeout_s`` seconds."""
+    within ``timeout_s`` seconds (default: env ``TPU_HEALTH_TIMEOUT_S``
+    or 150 — deadline-constrained harnesses shrink it)."""
+    import os
     import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("TPU_HEALTH_TIMEOUT_S", "150"))
 
     import numpy as np
     ok = []
@@ -57,8 +62,14 @@ def session_healthy(timeout_s: float = 150.0) -> bool:
                 return jnp.fft.fft(y.astype(jnp.complex64)).real.sum()
 
             s = float(jax.jit(structured)())
+            # deterministic input -> assert the exact expected value (a
+            # wrong-but-finite session result must fail the gate too)
+            xe = np.pad(np.arange(1024, dtype=np.float32), (3, 5))
+            ye = np.cumsum(xe)[np.arange(0, 1024, 8)]
+            se = float(np.fft.fft(ye.astype(np.complex64)).real.sum())
+            rel = abs(s - se) / max(abs(se), 1.0)
             ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0)
-                      and bool(np.isfinite(s)))
+                      and bool(np.isfinite(s)) and rel < 1e-4)
         except Exception:
             ok.append(False)
 

@@ -1,0 +1,66 @@
+"""End-to-end CI lane for the bench harness (VERDICT r2 item 1c).
+
+Round 2 recorded NO perf artifact because bench.py's retry ladder had no
+global deadline and its CPU fallback crashed on first JAX use (the
+config-update-only platform force is proven broken in this image).  These
+tests run the real parent->child->JSON path in subprocesses on tiny shapes
+and assert the repo invariant: **exactly one parseable JSON line on
+stdout**, whatever the backend weather.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+
+TINY = {
+    "_BENCH_CPU_BLOCK": "16384",
+    "_BENCH_CPU_FRAMES": "8",
+}
+
+
+def _run(env_extra, timeout=420):
+    env = dict(os.environ, **env_extra)
+    # the suite conftest forces cpu via in-process config; subprocesses
+    # must make their own platform choice (that is what's under test)
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.run([sys.executable, BENCH], env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def _assert_one_json_line(out):
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout not one line: {out.stdout!r}"
+    rec = json.loads(lines[0])
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in rec, f"missing key {k}: {rec}"
+    return rec
+
+
+@pytest.mark.slow
+def test_cpu_fallback_child_end_to_end():
+    """_BENCH_CHILD=cpu must force the host-CPU backend before first JAX
+    use and print one decode-verified JSON line (live-repro regression:
+    VERDICT r2 weak #2, UNIMPLEMENTED at iqfmt device_get_c64)."""
+    out = _run(dict(TINY, _BENCH_CHILD="cpu"))
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = _assert_one_json_line(out)
+    assert rec["correct"] is True
+    assert rec["device"] == "cpu"
+    assert rec["dispatch"] == "cpu_fallback"
+    assert rec["value"] > 0
+    assert rec["frames_verified"] > 0
+
+
+@pytest.mark.slow
+def test_parent_deadline_forces_fallback_json_line():
+    """With an already-expired deadline the parent must skip every TPU
+    tier and still print exactly one JSON line via the CPU fallback."""
+    out = _run(dict(TINY, BENCH_DEADLINE_S="1"))
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = _assert_one_json_line(out)
+    assert rec["dispatch"] == "cpu_fallback"
+    assert rec["correct"] is True
