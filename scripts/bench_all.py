@@ -132,6 +132,13 @@ def main():
     print(f"{'pipeline':24s} {'samples/s/chip':>16s} {'vs 8 MS/s':>10s}")
     for name, sps in rows:
         print(f"{name:24s} {sps:16,.0f} {sps / 8e6:9.0f}x")
+    # machine-readable trailer so scripts/record_tpu_run.sh can persist
+    # the table as a docs/tpu_runs artifact (VERDICT r2 #3)
+    import json
+    print(json.dumps({
+        "device": jax.devices()[0].platform,
+        "block_size": BS,
+        "rows": {name: round(sps, 1) for name, sps in rows}}))
 
 
 if __name__ == "__main__":

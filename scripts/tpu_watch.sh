@@ -32,6 +32,8 @@ while true; do
             timeout 1800 python scripts/tpu_pallas_probe.py >>"$log" 2>&1
         bash scripts/record_tpu_run.sh "${prefix}_session_probe" \
             timeout 1800 python scripts/tpu_session_probe.py >>"$log" 2>&1
+        bash scripts/record_tpu_run.sh "${prefix}_bench_all" \
+            timeout 1800 python scripts/bench_all.py >>"$log" 2>&1
         bash scripts/record_tpu_run.sh "${prefix}_bench" \
             timeout 2400 python bench.py >>"$log" 2>&1
         echo "[watch $(date -u +%FT%TZ)] suite done" >>"$log"
