@@ -13,19 +13,20 @@ import numpy as np
 
 from ..io.streams import read_iq
 from ..ops import spectrum as spec_mod
-from .common import apply_channel, parse_args
+from .common import apply_channel, apply_msresamp, parse_args
 
 USAGE = """asgram_rx -i in.iq [options]
   h : usage              i : input IQ file (required)
   n : FFT size (64)      L : rows to print (20)
   o : dB offset (-65)    S : dB per character (5)
+  r : msresamp rate before the FFT (1.0 = off; reference asgram_rx.cc:131)
   O : IQ ring-log dump file (.m octave, like the reference's SIGINT dump)
 """
 
 
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:n:L:o:S:O:")
+                          "hi:n:L:o:S:O:r:")
     if "h" in flags:
         print(USAGE)
         return 0
@@ -40,6 +41,7 @@ def main(argv=None) -> int:
 
     stream = read_iq(path)
     stream = apply_channel(stream, flags)
+    stream = apply_msresamp(stream, float(flags.get("r", 1.0)))
     sg = spec_mod.spectrogram_create(nfft=nfft, ref_level=offset,
                                      scale=scale)
     n_frames = len(stream) // nfft

@@ -19,7 +19,7 @@ from ..ops import fec as fec_mod
 from ..ops import modem as modem_mod
 
 __all__ = ["parse_args", "print_usage_schemes", "RxStats", "apply_channel",
-           "iter_sync_results"]
+           "apply_msresamp", "iter_sync_results"]
 
 
 def iter_sync_results(step, init_state, stream, block_size: int,
@@ -145,6 +145,34 @@ def apply_channel(stream: np.ndarray, flags: dict, seed: int = 0,
     key = jax.random.PRNGKey(int(flags.get("seed", seed)))
     return np.asarray(channel_apply(ch, key, jnp.asarray(stream),
                                     signal_power=signal_power))
+
+
+def apply_msresamp(stream: np.ndarray, rate: float) -> np.ndarray:
+    """Resample a whole host-side stream through the streaming msresamp
+    chain (the reference's recv -> msresamp -> measurement shape:
+    /root/reference/src/rssi.cc:112,178, src/asgram_rx.cc:131,204).
+
+    Chunked so decimation granularity (2**num_halfband) is respected and
+    masked arb-stage outputs are compacted per chunk; rate 1.0 is the
+    identity."""
+    if rate == 1.0 or not len(stream):
+        return stream
+    import jax.numpy as jnp
+    from ..ops import resamp as resamp_mod
+    ms = resamp_mod.msresamp_create(rate)
+    st = resamp_mod.msresamp_state(ms)
+    gran = 2 ** ms.num_halfband if not ms.is_interp else 1
+    chunk = -(-16384 // gran) * gran
+    pad = (-len(stream)) % chunk
+    x = np.concatenate([stream, np.zeros(pad, np.complex64)])
+    outs = []
+    for i in range(0, len(x), chunk):
+        st, y, valid, count = resamp_mod.msresamp_block(
+            ms, st, jnp.asarray(x[i:i + chunk]))
+        outs.append(np.asarray(y)[:int(count)])
+    out = np.concatenate(outs) if outs else np.zeros(0, np.complex64)
+    # trim the resampled image of the padding tail
+    return out[:int(round(len(stream) * rate))]
 
 
 class RxStats:

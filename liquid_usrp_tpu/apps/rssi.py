@@ -14,11 +14,12 @@ import numpy as np
 from ..io.streams import read_iq
 from ..ops import agc as agc_mod
 from ..ops import window as window_mod
-from .common import apply_channel, parse_args
+from .common import apply_channel, apply_msresamp, parse_args
 
 USAGE = """rssi -i in.iq [options]
   h : usage              i : input IQ file (required)
   b : AGC bandwidth (0.01)
+  r : msresamp rate before the AGC (1.0 = off; reference rssi.cc:112)
   L : print interval in samples (10000)
   o : octave dump file (optional, e.g. rssi_log.m)
 """
@@ -26,7 +27,7 @@ USAGE = """rssi -i in.iq [options]
 
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:b:L:o:")
+                          "hi:b:r:L:o:")
     if "h" in flags:
         print(USAGE)
         return 0
@@ -40,6 +41,7 @@ def main(argv=None) -> int:
 
     stream = read_iq(path)
     stream = apply_channel(stream, flags)
+    stream = apply_msresamp(stream, float(flags.get("r", 1.0)))
     state = agc_mod.agc_init(bandwidth=bw)
     rssi_log = window_mod.ring_init(1024, dtype=jnp.float32)
     iq_log = window_mod.ring_init(1024)

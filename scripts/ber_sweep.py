@@ -275,7 +275,23 @@ def main():
           f"{loss} dB" if loss is not None else
           "implementation loss at 1% PER: not bracketed by sweep range")
     if args.json:
-        out = {"rows": res, "impl_loss_db_at_1pct_per": loss}
+        # manifest: every committed curve traces to the commit + receiver
+        # config that produced it (VERDICT r2 #8)
+        import datetime
+        import subprocess
+        sha = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip() or "unknown"
+        out = {"rows": res, "impl_loss_db_at_1pct_per": loss,
+               "manifest": {
+                   "git_sha": sha,
+                   "utc": datetime.datetime.now(
+                       datetime.timezone.utc).isoformat(timespec="seconds"),
+                   "family": args.family, "frames": args.frames,
+                   "payload": args.payload, "cfo": args.cfo,
+                   "fec0": args.fec0, "fec1": args.fec1, "soft": args.soft,
+                   "cmd": " ".join(sys.argv)}}
         with open(args.json, "w") as f:
             json.dump(out, f, indent=1)
         print("wrote", args.json)

@@ -78,6 +78,34 @@ def test_narrowband_asgram_rssi(tmp_path):
     assert "figure; plot(rssi)" in open(m).read()
 
 
+def test_rssi_asgram_msresamp_stage(tmp_path):
+    """-r inserts the reference's recv->msresamp->measurement stage
+    (rssi.cc:112, asgram_rx.cc:131): a CW tone at f0 measured through
+    rate r must keep its RSSI and move its spectral peak to f0/r."""
+    from liquid_usrp_tpu.apps import asgram_rx, rssi
+    from liquid_usrp_tpu.apps.common import apply_msresamp
+    n = 16384
+    f0 = 0.15   # in-band through the rate-0.5 anti-alias lowpass
+    tone = np.exp(2j * np.pi * f0 * np.arange(n)).astype(np.complex64)
+    f = str(tmp_path / "tone.iq")
+    tone.tofile(f)
+    rc, out = _capture(rssi.main, ["-i", f, "-r", "0.5", "-L", "2048"])
+    assert rc == 0
+    vals = [float(l.split("=")[1].split("dB")[0])
+            for l in out.splitlines() if "rssi =" in l]
+    assert vals and all(abs(v) < 1.5 for v in vals[1:])  # unit power
+    rc, out = _capture(asgram_rx.main,
+                       ["-i", f, "-r", "0.5", "-L", "4", "-n", "64"])
+    assert rc == 0
+    peaks = [float(l.split("f=")[1]) for l in out.splitlines() if "f=" in l]
+    assert peaks and all(abs(p - 0.30) < 0.05 for p in peaks)  # 0.15 / 0.5
+    rc, out = _capture(asgram_rx.main,
+                       ["-i", f, "-r", "2.0", "-L", "4", "-n", "64"])
+    assert rc == 0
+    peaks = [float(l.split("f=")[1]) for l in out.splitlines() if "f=" in l]
+    assert peaks and all(abs(p - 0.075) < 0.05 for p in peaks)  # 0.15 * 0.5
+
+
 def test_halfduplex(tmp_path):
     from liquid_usrp_tpu.apps import halfduplex_txrx
     rc, out = _capture(halfduplex_txrx.main,
