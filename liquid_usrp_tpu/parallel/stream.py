@@ -204,7 +204,7 @@ def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
 
 def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
                           sync: ofdm_sync.OfdmSync, chunk_blocks: int,
-                          ingest: str = "c64"):
+                          ingest: str = "c64", n_steps: int = 1):
     """All-to-all sharded multichannel receiver (no duplicated channelizer).
 
     The refinement of :func:`make_sharded_mcrx` for the >=80% scaling
@@ -223,6 +223,20 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
     ``ingest="bf16"`` takes the mixture as bfloat16 I/Q planes
     ``[2, total]`` (plane axis replicated, sample axis sharded) — half
     the per-device input HBM read; see ``ops/iqfmt.py``.
+
+    ``n_steps > 1`` processes a longer stream as a **software-pipelined
+    scan of super-steps** (docs/scaling.md "overlapped a2a"): each scan
+    iteration runs super-step ``i``'s channelize + ``all_to_all`` and
+    super-step ``i-1``'s frame sync, which are data-independent — on TPU
+    the latency-hiding scheduler can therefore run the collective behind
+    the sync compute instead of serializing them.  Filter memory, NCO
+    phase and sync overlap are carried across super-steps exactly (the
+    wrap-around halos ride two tiny extra ``ppermute``\\ s), so the result
+    equals the sequential receiver over the whole ``n_steps``-long stream
+    (``tests/test_parallel.py::test_a2a_pipelined_matches_sequential``).
+    Input shape: c64 ``[n_steps, n_dev * mix_sub]`` (each super-step row
+    sharded over the flattened mesh); bf16 planes
+    ``[n_steps, 2, n_dev * mix_sub]``.
     """
     N = num_channels
     n_time = mesh.shape["time"]
@@ -245,68 +259,126 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
             f"or block_size")
     if ingest not in ("c64", "bf16"):
         raise ValueError(f"unknown ingest {ingest!r} (c64 or bf16)")
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1 (got {n_steps})")
     mix_sub = 2 * N * B_sub
     freq = -_center_offset(N)
     planes = ingest == "bf16"
+    n_dev = n_time * n_ch
+    ana_tail_len = 2 * N * ana_halo
 
     def shard_fn(x_local):
+        # normalize to [n_steps, mix_sub] complex64 device-local rows
         if planes:
-            x_local = iqfmt.iq_from_any(x_local.reshape(2, -1))
-        x_local = x_local.reshape(-1)            # [mix_sub]
+            x = jax.vmap(iqfmt.iq_from_any)(
+                x_local.reshape(n_steps, 2, mix_sub))
+        else:
+            x = x_local.reshape(n_steps, mix_sub)
         t_idx = jax.lax.axis_index("time")
         c_idx = jax.lax.axis_index("channel")
         flat = t_idx * n_ch + c_idx              # fine chunk index
 
-        # analysis halo from the combined-order left neighbor
-        n_dev = n_time * n_ch
-        tail = x_local[mix_sub - 2 * N * ana_halo:]
-        left = jax.lax.ppermute(
-            tail, ("time", "channel"),
-            [(i, i + 1) for i in range(n_dev - 1)])
-        ext = jnp.concatenate([left, x_local])
+        def stage_a(x_step, ana_tail_prev, sync_tail_prev, gstep):
+            """Channelize + all_to_all for one super-step.
 
-        g0 = (flat.astype(jnp.uint32) * jnp.uint32(mix_sub % (1 << 32))
-              + jnp.uint32(-(2 * N * ana_halo) % (1 << 32)))
-        nco0 = nco_mod.nco_init_at(freq, g0)
-        _, mixed = nco_mod.nco_mix_block(nco0, ext, up=True)
-        _, X = pfb_mod.pfb_analyze_block(chz, pfb_mod.pfbch_state(chz),
-                                         mixed)
-        X = X[ana_halo:]                         # [B_sub, 2N] valid frames
-        chans = X[:, :N]                         # [B_sub, N]
+            ``ana_tail_prev`` / ``sync_tail_prev`` are this device's OWN
+            tails from the previous super-step; the wrap-around links
+            (combined-order device 0, time row 0) receive them via the
+            single-pair ppermutes so stream continuity across super-steps
+            is exact.  For step 0 they are zeros = stream start.
+            """
+            tail = x_step[mix_sub - ana_tail_len:]
+            # analysis halo from the combined-order left neighbor
+            left = jax.lax.ppermute(
+                tail, ("time", "channel"),
+                [(i, i + 1) for i in range(n_dev - 1)])
+            left = left + jax.lax.ppermute(
+                ana_tail_prev, ("time", "channel"), [(n_dev - 1, 0)])
+            ext = jnp.concatenate([left, x_step])
 
-        # reshard: channels split over 'channel', fine-time gathered.
-        # split axis 1 into n_ch groups, concatenate received pieces along
-        # axis 0 (the c-ordered fine chunks of this time row).
-        grp = jax.lax.all_to_all(
-            chans.reshape(B_sub, n_ch, N_loc), "channel",
-            split_axis=1, concat_axis=0, tiled=False)
-        # grp: [n_ch(=fine chunks in c order), B_sub, N_loc] -> time-major
-        streams = grp.reshape(B_grp, N_loc).T    # [N_loc, B_grp]
+            # NCO with globally consistent phase across devices AND
+            # super-steps: exact uint32 modular index math
+            gidx = (gstep * n_dev + flat).astype(jnp.uint32)
+            g0 = (gidx * jnp.uint32(mix_sub % (1 << 32))
+                  + jnp.uint32(-ana_tail_len % (1 << 32)))
+            nco0 = nco_mod.nco_init_at(freq, g0)
+            _, mixed = nco_mod.nco_mix_block(nco0, ext, up=True)
+            _, X = pfb_mod.pfb_analyze_block(chz, pfb_mod.pfbch_state(chz),
+                                             mixed)
+            X = X[ana_halo:]                     # [B_sub, 2N] valid frames
+            chans = X[:, :N]                     # [B_sub, N]
 
-        # sync halo from the previous time row (same channel group)
-        s_tail = streams[:, B_grp - halo:]
-        s_left = jax.lax.ppermute(
-            s_tail, "time", [(i, i + 1) for i in range(n_time - 1)])
+            # reshard: channels split over 'channel', fine-time gathered.
+            # split axis 1 into n_ch groups, concatenate received pieces
+            # along axis 0 (the c-ordered fine chunks of this time row).
+            grp = jax.lax.all_to_all(
+                chans.reshape(B_sub, n_ch, N_loc), "channel",
+                split_axis=1, concat_axis=0, tiled=False)
+            # grp: [n_ch(=fine chunks in c order), B_sub, N_loc] ->
+            # time-major
+            streams = grp.reshape(B_grp, N_loc).T    # [N_loc, B_grp]
 
-        base = t_idx * B_grp - halo
+            # sync halo from the previous time row (same channel group);
+            # time row 0 wraps to the last row of the previous super-step
+            s_tail = streams[:, B_grp - halo:]
+            s_left = jax.lax.ppermute(
+                s_tail, "time", [(i, i + 1) for i in range(n_time - 1)])
+            s_left = s_left + jax.lax.ppermute(
+                sync_tail_prev, "time", [(n_time - 1, 0)])
+            return streams, s_left, tail, s_tail
 
-        def per_channel(halo_s, s):
-            _, res = _scan_sync(sync, halo_s, base, s,
-                                chunk_blocks * n_ch)
-            return res
+        def stage_b(streams, s_left, gstep):
+            base = (gstep * n_time + t_idx) * B_grp - halo
 
-        res = jax.vmap(per_channel)(s_left, streams)
+            def per_channel(halo_s, s):
+                _, res = _scan_sync(sync, halo_s, base, s,
+                                    chunk_blocks * n_ch)
+                return res
+
+            return jax.vmap(per_channel)(s_left, streams)
+
+        z_ana = jnp.zeros((ana_tail_len,), jnp.complex64)
+        z_sync = jnp.zeros((N_loc, halo), jnp.complex64)
+        streams0, s_left0, tail0, s_tail0 = stage_a(
+            x[0], z_ana, z_sync, jnp.int32(0))
+
+        def body(carry, inp):
+            gstep, x_step = inp
+            ana_tail, streams_p, s_left_p, s_tail_p = carry
+            # stage A of step i and stage B of step i-1 share no data:
+            # the a2a can run behind the sync compute (the overlap)
+            streams_i, s_left_i, tail_i, s_tail_i = stage_a(
+                x_step, ana_tail, s_tail_p, gstep)
+            res_prev = stage_b(streams_p, s_left_p, gstep - 1)
+            return (tail_i, streams_i, s_left_i, s_tail_i), res_prev
+
+        carry0 = (tail0, streams0, s_left0, s_tail0)
+        carry, res_scan = jax.lax.scan(
+            body, carry0, (jnp.arange(1, n_steps, dtype=jnp.int32), x[1:]))
+        res_last = stage_b(carry[1], carry[2], jnp.int32(n_steps - 1))
+        res = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+            res_scan, res_last)                  # [n_steps, N_loc, rows,..]
         return jax.tree.map(lambda v: v[None, None], res)
 
-    fn = jax.shard_map(shard_fn, mesh=mesh,
-                       in_specs=P(None, ("time", "channel")) if planes
-                       else P(("time", "channel")),
+    if planes:
+        spec = (P(None, None, ("time", "channel")) if n_steps > 1
+                else P(None, ("time", "channel")))
+    else:
+        spec = (P(None, ("time", "channel")) if n_steps > 1
+                else P(("time", "channel")))
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec,
                        out_specs=P("time", "channel"),
                        check_vma=False)
 
     jit_fn = jax.jit(fn)
 
-    fix = _make_regroup(N)
+    def fix(v):
+        # [n_time, n_ch, n_steps, N_loc, rows, ...] -> [N, total_rows, ...]
+        # with global row order (step, time, row)
+        v = np.transpose(v, (1, 3, 2, 0) + tuple(range(4, v.ndim)))
+        return v.reshape((N, n_steps * n_time * v.shape[4])
+                         + v.shape[5:])
 
     def run(stream):
         res = jax.tree.map(np.asarray, jit_fn(stream))

@@ -98,6 +98,17 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
     else:
         raise ValueError(family)
 
+    if soft and fec_mod._is_conv(props.fec0) \
+            and props.fec1 != fec_mod.FEC_NONE:
+        # channel LLRs are only a valid view of the inner code's input
+        # when the outer stage is the identity (payload.py fec_stage
+        # llr_ok); measured PER will be hard-identical in this config —
+        # the silent trap that produced the first round-3 v27 artifacts
+        print("warning: --soft with a conv fec0 needs --fec1 none to "
+              "engage soft Viterbi (outer decode invalidates channel "
+              "LLRs); this sweep will decode hard-equivalently",
+              file=sys.stderr)
+
     rng = np.random.default_rng(seed)
     payloads = [rng.integers(0, 256, payload_len, dtype=np.uint8)
                 for _ in range(n_frames)]

@@ -160,6 +160,85 @@ def test_a2a_mcrx_matches_duplicate_channelizer(params):
         np.testing.assert_array_equal(found[ch], payload)
 
 
+def test_a2a_pipelined_matches_one_shot(params):
+    """``n_steps > 1`` software-pipelined super-step scan (the overlapped
+    a2a of docs/scaling.md): carried analysis/NCO/sync state across
+    super-steps must make it equal to the one-shot a2a receiver over the
+    same stream — including frames straddling the super-step boundaries —
+    and both must recover every injected payload exactly."""
+    from liquid_usrp_tpu.models.multichannel import make_mctx_step
+
+    N = 4
+    mesh = jax.make_mesh((2, 4), ("time", "channel"))
+    sync = ofdm_sync.make_sync(params, block_size=2048, max_payload=64,
+                               max_frames=4)
+    n_steps, chunk_blocks = 3, 1
+    B_sub = chunk_blocks * 2048
+    n_dev = 8
+    step_csamp = n_dev * B_sub                  # channel-samples per step
+    T = n_steps * step_csamp
+    props = ofdm.default_props()
+    flen = ofdm.frame_length(params, props, 48)
+    # one frame mid-stream plus one straddling EACH super-step boundary
+    positions = [1200, step_csamp - flen // 2, int(1.5 * step_csamp),
+                 2 * step_csamp - flen // 2, int(2.45 * step_csamp)]
+    assert all(b - a >= flen + 200 for a, b in zip(positions,
+                                                   positions[1:]))
+    assert positions[-1] + flen < T - sync.overlap
+
+    rng = np.random.default_rng(9)
+    sent = {}                                   # (ch, pos) -> payload
+    streams = np.zeros((T, N), np.complex64)
+    for ch in range(N):
+        for pos in positions:
+            h = rng.integers(0, 256, 8, dtype=np.uint8)
+            p = rng.integers(0, 256, 48, dtype=np.uint8)
+            w = np.asarray(ofdm.assemble_frame(
+                params, props, jnp.asarray(h), jnp.asarray(p)))
+            streams[pos:pos + flen, ch] = w
+            sent[(ch, pos)] = p
+    init, step = make_mctx_step(N)
+    st = init()
+    out = []
+    for lo in range(0, T, 1 << 14):
+        Y = np.zeros((1 << 14, 2 * N), np.complex64)
+        Y[:, :N] = streams[lo:lo + (1 << 14)]
+        st, y = step(st, jnp.asarray(Y))
+        out.append(np.asarray(y))
+    mixture = np.concatenate(out)               # [2N * T]
+
+    def collect(res):
+        det = np.asarray(res.detected & res.payload_valid)
+        got = set()
+        for ch, r in zip(*np.nonzero(det)):
+            got.add((int(ch), int(np.asarray(res.t_start)[ch, r]),
+                     bytes(np.asarray(res.payload)[ch, r][
+                         : int(np.asarray(res.payload_len)[ch, r])])))
+        return got
+
+    run_pipe = pstream.make_sharded_mcrx_a2a(
+        mesh, N, sync, chunk_blocks, n_steps=n_steps)
+    got_pipe = collect(run_pipe(
+        jnp.asarray(mixture.reshape(n_steps, -1))))
+
+    run_one = pstream.make_sharded_mcrx_a2a(
+        mesh, N, sync, chunk_blocks * n_steps)
+    got_one = collect(run_one(jnp.asarray(mixture)))
+
+    assert got_pipe == got_one
+    assert len(got_pipe) == len(sent)
+    # match by payload; t_start trails the injected channel-sample
+    # position by the constant synthesis+analysis PFB cascade group
+    # delay (m=13 + m=7 prototype semilengths ~ 19 channel-samples)
+    deltas = set()
+    for ch, t, p in got_pipe:
+        match = [(pos, q) for (c, pos), q in sent.items()
+                 if c == ch and q.tobytes() == p]
+        assert len(match) == 1, (ch, t)
+        deltas.add(t - match[0][0])
+    assert len(deltas) == 1 and 0 <= deltas.pop() <= 64, deltas
+
+
 def _time_sharded_family_case(make_burst, make_sync_state_step, sync,
                               gap, seed):
     """Shared harness: frames across shard boundaries; time-sharded
