@@ -106,6 +106,7 @@ def test_rssi_asgram_msresamp_stage(tmp_path):
     assert peaks and all(abs(p - 0.075) < 0.05 for p in peaks)  # 0.15 * 0.5
 
 
+@pytest.mark.slow
 def test_halfduplex(tmp_path):
     from liquid_usrp_tpu.apps import halfduplex_txrx
     rc, out = _capture(halfduplex_txrx.main,
@@ -141,6 +142,7 @@ def test_bad_flag_exits_cleanly():
     assert exc.value.code == 1
 
 
+@pytest.mark.slow
 def test_fullduplex_behavior():
     """Both directions decode over the derived-CFO duplex links, and -R
     measurably swaps the carrier-role plan (VERDICT round-1 item 4)."""
@@ -161,6 +163,7 @@ def test_fullduplex_behavior():
     assert cfos != cfos_r
 
 
+@pytest.mark.slow
 def test_multichannel_txrx_two_endpoint_tdd():
     """Two-endpoint TDD: every packet payload-exact at the far endpoint
     across alternating rounds (rc enforces the payload-exact count)."""

@@ -48,6 +48,7 @@ def _codec_decode(sync_enc_max, max_payload, props, points, plen):
 
 @pytest.mark.parametrize("mod", [modem.MOD_DPSK2, modem.MOD_DPSK4,
                                  modem.MOD_DPSK8])
+@pytest.mark.slow
 def test_dpsk_codec_survives_static_phase(mod):
     """DPSK payload decodes under a static phase offset with NO equalizer."""
     rng = np.random.default_rng(5)

@@ -5,6 +5,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end lane
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -101,6 +101,7 @@ def test_batched_block_decode():
     np.testing.assert_array_equal(np.asarray(dec), data)
 
 
+@pytest.mark.slow
 def test_rs8_roundtrip_and_correction():
     """RS(255,223): multi-block roundtrip + up to 16 byte errors/block."""
     rng = np.random.default_rng(8)
@@ -181,6 +182,7 @@ def test_soft_viterbi_beats_hard():
     assert hard_fails >= 2, hard_fails
 
 
+@pytest.mark.slow
 def test_rs_conv_batched_dispatch():
     """fec_decode honors its documented [..., n] contract for the 1-D
     RS/Viterbi cores by auto-vmapping the batch axes."""

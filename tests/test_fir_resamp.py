@@ -121,6 +121,7 @@ def test_resamp_count_matches_rate():
     assert abs(total - nin * rs.rate) <= 2
 
 
+@pytest.mark.slow
 def test_resamp_block_invariance():
     rs = resamp.resamp_create(1.2345)
     x = _rand_iq(1200, seed=9)
@@ -220,6 +221,7 @@ def test_root_nyquist_designs_beat_rrc():
     assert fd.matched_isi_db(ark, k) < -25.0
 
 
+@pytest.mark.slow
 def test_resamp_tone_reconstruction_error():
     """A pure tone must survive fractional resampling with low EVM vs
     the ideal output-grid tone.  This is the property that the
@@ -241,6 +243,7 @@ def test_resamp_tone_reconstruction_error():
         assert err_db < -60.0, (rate, err_db)
 
 
+@pytest.mark.slow
 def test_rational_fast_path_equals_general():
     """Small-denominator rates route through per-class strided convs
     (_resamp_block_rational); results must match the windows-gather

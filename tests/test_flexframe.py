@@ -134,6 +134,7 @@ def test_multiple_bursts(setup):
         np.testing.assert_array_equal(f["payload"], payload)
 
 
+@pytest.mark.slow
 def test_flex_batched_blocks_equal_sequential(setup):
     """flex_sync_blocks_batched == scan of flex_sync_block: same
     detections, payloads, and stats on a multi-frame stream."""

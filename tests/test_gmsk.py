@@ -92,6 +92,7 @@ def test_awgn_cfo_loopback(setup):
     np.testing.assert_allclose(ok[0]["cfo"], 0.002, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_gmsk_batched_blocks_equal_sequential(setup):
     """gmsk_sync_blocks_batched == scan of gmsk_sync_block: same
     detections, payloads, and stats on a multi-frame stream."""

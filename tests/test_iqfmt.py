@@ -7,6 +7,7 @@ pipeline decodes payload-exact from bf16 planes, identically to the
 complex64 path.
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -193,6 +194,7 @@ def test_a2a_sharded_mcrx_bf16_ingest():
         np.testing.assert_array_equal(found[ch], payload)
 
 
+@pytest.mark.slow
 def test_flex_and_gmsk_sync_accept_planes():
     """All frame families accept the [2, bs] plane ingest."""
     from liquid_usrp_tpu.framing import flexframe as ff

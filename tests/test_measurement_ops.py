@@ -1,5 +1,6 @@
 """Direct unit tests for AGC, spectrogram, and ring-log ops."""
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ def test_agc_converges_to_unity():
     assert abs(float(rssi[-1]) - 20 * np.log10(3.5)) < 1.5
 
 
+@pytest.mark.slow
 def test_agc_block_invariance():
     rng = np.random.default_rng(1)
     x = (rng.normal(size=4096) + 1j * rng.normal(size=4096)

@@ -8,6 +8,7 @@ from liquid_usrp_tpu.framing import ofdm
 from liquid_usrp_tpu.models.ofdmtxrx import OfdmTxRx
 
 
+@pytest.mark.slow
 def test_batched_assembly_matches_single():
     params = ofdm.make_ofdm_params(48, 6, 4)
     props = ofdm.default_props()
@@ -136,6 +137,7 @@ def test_virtual_air_frequency_mistuning():
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_run_rx_batched_dispatch_matches_per_block():
     """run_rx with batch_blocks>1 (sync_blocks_batched dispatch) returns the
     same frames as per-block stepping on a multi-frame stream spanning many
@@ -177,6 +179,7 @@ def test_run_rx_batched_dispatch_matches_per_block():
         np.testing.assert_array_equal(f["payload"], p)
 
 
+@pytest.mark.slow
 def test_run_rx_ingest_formats_decode_identically():
     """rx_ingest="bf16" and "sc8" recover the same frames payload-exact
     as the complex64 path (quantization floors far above channel SNR)."""

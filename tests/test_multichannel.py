@@ -180,6 +180,7 @@ def test_async_worker_read_past_ahead_bound_and_txrx_drain():
     np.testing.assert_array_equal(ok[0]["payload"], payload)
 
 
+@pytest.mark.slow
 def test_mcrx_batched_step_equals_scan():
     """make_mcrx_batched_step == scan of make_mcrx_step on a loaded
     mixture (multi-block dispatch, VERDICT next-8)."""

@@ -322,6 +322,7 @@ def test_alternate_dimensions(Mx, cpx):
     np.testing.assert_array_equal(ok[0]["payload"][:96], payload)
 
 
+@pytest.mark.slow
 def test_stress_mixed_props_stream(setup):
     """Integration stress: many frames with randomized props/lengths in one
     noisy stream — every one must decode exactly."""
@@ -366,6 +367,7 @@ def test_stress_mixed_props_stream(setup):
             match[0]["payload"][: len(payload)], payload)
 
 
+@pytest.mark.slow
 def test_batched_blocks_equal_sequential(setup):
     """sync_blocks_batched == scan of sync_block: same detections, same
     payloads, same stats, on a loaded multi-frame stream (ROUND1 idea 6 /
@@ -448,6 +450,7 @@ def test_back_to_back_frames(setup):
         assert np.array_equal(f["payload"][:192], want)
 
 
+@pytest.mark.slow
 def test_block_size_invariance_multiframe_stress(setup):
     """Randomized multi-frame stream chopped at four block sizes (incl. a
     non-power-of-two) yields frame-for-frame identical results — frames
@@ -567,6 +570,7 @@ def test_over_budget_props_raise_at_assemble():
                             jnp.asarray(payload))
 
 
+@pytest.mark.slow
 def test_conv_plus_outer_fec_with_raised_expansion():
     """The regression case behind check_budget: fec0=v27 + fec1=h128 at
     200 bytes round-trips payload-exact when BOTH ends are built for

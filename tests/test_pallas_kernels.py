@@ -88,6 +88,7 @@ def test_fused_candidates_match_xla(M, cp):
         assert float(jnp.abs(c_at[i] - want_c[i])) < 5e-3 * scale
 
 
+@pytest.mark.slow
 def test_sync_block_fused_pallas_end_to_end():
     """Full sync_block with use_pallas=2 (interpret) decodes payload-
     exact and finds the same frames as the XLA path."""
@@ -125,6 +126,7 @@ def test_sync_block_fused_pallas_end_to_end():
     assert abs(results[0][0][0] - results[2][0][0]) <= 3
 
 
+@pytest.mark.slow
 def test_batched_dispatch_composes_with_fused_kernel():
     """sync_blocks_batched vmaps the detect front-end over the block
     axis; with use_pallas=2 that is a vmap over the fused Mosaic

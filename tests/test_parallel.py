@@ -160,6 +160,7 @@ def test_a2a_mcrx_matches_duplicate_channelizer(params):
         np.testing.assert_array_equal(found[ch], payload)
 
 
+@pytest.mark.slow
 def test_a2a_pipelined_matches_one_shot(params):
     """``n_steps > 1`` software-pipelined super-step scan (the overlapped
     a2a of docs/scaling.md): carried analysis/NCO/sync state across
@@ -293,6 +294,7 @@ def _time_sharded_family_case(make_burst, make_sync_state_step, sync,
         np.testing.assert_array_equal(p_s, p_g)
 
 
+@pytest.mark.slow
 def test_time_sharded_flex_matches_sequential():
     from liquid_usrp_tpu.framing import flexframe as ff
     from liquid_usrp_tpu.framing import flexframe_sync as ffs
@@ -306,6 +308,7 @@ def test_time_sharded_flex_matches_sequential():
         sync, gap=5000, seed=3)
 
 
+@pytest.mark.slow
 def test_time_sharded_gmsk_matches_sequential():
     from liquid_usrp_tpu.framing import gmskframe as gf
     params = gf.make_gmsk_params(k=2, m=3, bt=0.5)

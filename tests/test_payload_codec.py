@@ -69,6 +69,7 @@ def _decode_matrix(combos, pts_rows, soft):
 
 
 @pytest.mark.parametrize("soft", [False, True], ids=["hard", "soft"])
+@pytest.mark.slow
 def test_full_fec_matrix_roundtrip(soft):
     combos = _matrix()
     rng = np.random.default_rng(11)

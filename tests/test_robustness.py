@@ -20,6 +20,8 @@ from liquid_usrp_tpu.framing import flexframe_sync as ffs
 from liquid_usrp_tpu.framing import gmskframe as gf
 from liquid_usrp_tpu.framing import ofdm, ofdm_sync
 
+pytestmark = pytest.mark.slow  # heavy end-to-end lane
+
 BS = 8192
 
 

@@ -65,6 +65,7 @@ def test_config_validation():
         parse_crc("bogus")
 
 
+@pytest.mark.slow
 def test_app_checkpoint_resume_split_stream(tmp_path):
     """ofdmflexframe_rx --save-state/--load-state: a stream split at an
     arbitrary mid-frame sample decodes the same packet total as one run
