@@ -8,6 +8,10 @@ Everything is a pure function: ``assemble_frame`` builds one burst as a
 single batched graph, ``channel_apply`` adds deterministic AWGN+CFO, and
 the synchronizer is a ``step(state, block)`` scanned over the stream.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import numpy as np
 
 import jax

@@ -12,8 +12,15 @@ Demonstrates the TPU-native scaling story on a CPU-simulated mesh:
 On real hardware the same code runs over ICI; only the mesh changes.
 """
 import os
+import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+# both the env var AND the config update below are needed on images
+# whose sitecustomize pins a TPU plugin (see CLAUDE.md)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np                                            # noqa: E402
 

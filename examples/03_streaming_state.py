@@ -9,6 +9,9 @@ point and resumed in a different process run (the reference's pthread
 state machines have no analog of either).
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import tempfile
 
 import numpy as np

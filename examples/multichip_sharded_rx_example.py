@@ -11,7 +11,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+# both the env var AND the config update below are needed on images
+# whose sitecustomize pins a TPU plugin (see CLAUDE.md)
+os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 

@@ -47,6 +47,15 @@ __all__ = [
 
 PRE_BITS = 64
 SYNC_BITS = 64
+# detector coherence-segment length (symbols): coherent integration within
+# a segment, noncoherent |.|^2 combining across segments.  CFO tolerance
+# ~ pi/(DETECT_SEG*k) rad/sample (0.098 at k=2) — far above any residual
+# CFO in this system; the coherent gain inside each segment buys ~2-3 dB
+# of detection sensitivity over the round-2 differential-phase metric
+# (which applies a hard angle() nonlinearity per sample before
+# correlating, suffering the classic discriminator click-noise loss
+# below ~5 dB).
+DETECT_SEG = 16
 
 
 def gmsk_default_props() -> FrameProps:
@@ -125,25 +134,27 @@ def make_gmsk_params(k: int = 2, m: int = 3, bt: float = 0.5) -> GmskParams:
     # (S_n - n) is even for +-1 increments => a_ref * (-j)^n is +-1 real
     sgn = np.real(a_ref * (-1j) ** (np.arange(1, n_t + 1))).round()
 
-    # calibrate the constant lag between the discriminator-domain detector
-    # offset and the MF symbol centers (absorbs every alignment convention):
-    # run the detector's own template correlation on a clean frame to find
-    # n0_det, then find the MF sampling lag that best matches a_ref
+    # calibrate the constant lag between the detector's peak offset and
+    # the MF symbol centers (absorbs every alignment convention): run the
+    # detector's own metric — the segmented-coherent MF correlation, the
+    # SAME math as _front_end — on a clean frame to find n0_det, then
+    # find the MF sampling lag that best matches a_ref
     pad = 16 * k
     frame_nrz = np.concatenate([template, rng.choice([-1.0, 1.0], 64)])
     x = np.concatenate([
         np.ones(pad, np.complex128),
         _gmsk_waveform_np(np.concatenate([frame_nrz, np.zeros(2 * m)]),
                           k, pulse)])
-    dphi = np.angle(x[1:] * np.conj(x[:-1]))
-    dphi = np.concatenate([[0.0], dphi])
-    offs = np.arange(pad + 4 * k)
-    wins = dphi[offs[:, None] + k * np.arange(n_t)[None, :]]
-    ac = wins - wins.mean(axis=-1, keepdims=True)
-    corr = ac @ template
-    n0_det = int(np.argmax(
-        corr ** 2 / np.maximum((ac * ac).sum(-1), 1e-12)))
     mf = np.convolve(x, np.conj(c0[::-1]), mode="same")
+    offs = np.arange(pad + 4 * k)
+    wz = mf[offs[:, None] + k * np.arange(n_t)[None, :]]
+    n_seg = n_t // DETECT_SEG
+    u = (wz * np.conj(a_ref)[None, :]).reshape(-1, n_seg, DETECT_SEG)
+    ez = (np.abs(wz) ** 2).reshape(-1, n_seg, DETECT_SEG).sum(-1)
+    ea = (np.abs(a_ref) ** 2).reshape(n_seg, DETECT_SEG).sum(-1)
+    num = (np.abs(u.sum(-1)) ** 2).sum(-1)
+    den = np.maximum((ez * ea[None, :]).sum(-1), 1e-12)
+    n0_det = int(np.argmax(num / den))
     best, mf_lag = -1.0, 0
     for lag in range(-4 * k, 4 * k + 1):
         idx = n0_det + lag + k * np.arange(n_t)
@@ -271,31 +282,45 @@ def _diff_phase(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _front_end(sync: GmskSync, ext: jnp.ndarray):
-    """Laurent matched filter + differential-phase template correlation +
+    """Laurent matched filter + segmented-coherent template correlation +
     candidate extraction for one extended block; returns
-    ``(z, metric, detected, locs)``."""
+    ``(z, metric, detected, locs)``.
+
+    Detection metric: the MF output ``z`` strided at symbol spacing is
+    correlated against the known template waveform ``a_ref`` coherently
+    within ``DETECT_SEG``-symbol segments and |.|^2-combined across
+    segments — invariant to carrier phase/gain, CFO-tolerant to
+    ~pi/(DETECT_SEG*k) rad/sample, and (by per-segment Cauchy-Schwarz)
+    normalized to [0, 1] with a 1/DETECT_SEG noise floor.  Replaces the
+    round-2 differential-phase metric, whose per-sample angle()
+    nonlinearity cost ~2-3 dB of detection sensitivity at low SNR — the
+    proven waterfall bottleneck for conv-coded GMSK (docs/ber_gmsk_v27:
+    every *detected* frame decoded payload-exact while detection itself
+    fell off below 4 dB).
+    """
     from .ofdm_sync import topk_peaks
     p = sync.params
     k = p.k
-    d = _diff_phase(ext)
-    # coherent decode path: matched-filter the complex samples with the
-    # empirical Laurent main pulse (the detection front-end stays on the
-    # robust differential-phase metric).  z sampled at symbol centers is
-    # ~ G * j^cumsum(nrz) per the linear PAM model fitted in _fit_c0.
+    # z sampled at symbol centers is ~ G * j^cumsum(nrz) per the linear
+    # PAM model fitted in _fit_c0; both detection and decode run on it.
     c0r = jnp.asarray(np.conj(p.c0[::-1]))
     z = jnp.convolve(ext, c0r, mode="same")
 
     n_t = PRE_BITS + SYNC_BITS
-    tmpl = jnp.asarray(p.template)
+    n_seg = n_t // DETECT_SEG
+    aref = jnp.asarray(p.a_ref)
     region = sync.block_size
     n_metric = region + 2 * (k * 16) + 1   # region inset + NMS lookahead
     idx = jnp.arange(n_metric)[:, None] + k * jnp.arange(n_t)[None, :]
-    wins = d[idx]                                   # [region+1, 128]
-    mean_w = jnp.mean(wins, axis=-1)                # CFO-ish per offset
-    ac = wins - mean_w[:, None]
-    corr = ac @ tmpl
-    energy = jnp.sqrt(jnp.maximum(jnp.sum(ac * ac, axis=-1), 1e-12))
-    metric = (corr / (energy * np.sqrt(n_t))) ** 2
+    wz = z[idx]                                     # [n_metric, n_t]
+    u = (wz * jnp.conj(aref)[None, :]).reshape(n_metric, n_seg, DETECT_SEG)
+    corr = jnp.sum(u, axis=-1)                      # [n_metric, n_seg]
+    ez = jnp.sum(jnp.abs(wz.reshape(n_metric, n_seg, DETECT_SEG)) ** 2,
+                 axis=-1)
+    ea = jnp.sum(jnp.abs(aref.reshape(n_seg, DETECT_SEG)) ** 2, axis=-1)
+    num = jnp.sum(jnp.abs(corr) ** 2, axis=-1)
+    den = jnp.sum(ez * ea[None, :], axis=-1)
+    metric = num / jnp.maximum(den, 1e-12)
     # silence gate: require real signal power in the raw samples
     pwr = jnp.abs(ext[: n_metric]) ** 2
     floor = 1e-3 * (jnp.mean(jnp.abs(ext) ** 2) + 1e-12)

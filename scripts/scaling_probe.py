@@ -26,8 +26,13 @@ TOTAL_CHANNEL_SAMPLES = 8 * 65536      # fixed total workload (per channel)
 def child(n_dev: int):
     os.environ.setdefault("XLA_FLAGS",
                           "--xla_force_host_platform_device_count=8")
+    # BOTH the env var and the live config are required on this image:
+    # sitecustomize pins the TPU plugin, and the config update alone does
+    # not exclude it (the bench.py cpu-fallback lesson, VERDICT r2 #2) —
+    # without the env var the child silently initializes the 1-device
+    # tunnel backend and every mesh >1 fails
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
-    # the env var alone is overridden by this image's sitecustomize
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
@@ -58,6 +63,24 @@ def child(n_dev: int):
             res = run(mixture)
         best = min(best, (time.perf_counter() - t0) / 2)
 
+    # pipelined super-step form (n_steps>1): same total workload as ONE
+    # program — measures the software-pipelined scan (collective/compute
+    # overlap shape) against the same 1-device baseline
+    n_steps = 4
+    cb_pipe = max(1, chunk_blocks // n_steps)
+    run_pipe = pstream.make_sharded_mcrx_a2a(mesh, N, sync, cb_pipe,
+                                             n_steps=n_steps)
+    mix_pipe = mixture[: n_steps * n_dev * 2 * N * cb_pipe
+                       * sync.block_size].reshape(n_steps, -1)
+    run_pipe(mix_pipe)                       # warm up (compile)
+    best_pipe = float("inf")
+    pipe_total = mix_pipe.size
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            run_pipe(mix_pipe)
+        best_pipe = min(best_pipe, (time.perf_counter() - t0) / 2)
+
     # TX dual on the same mesh: sharded synthesis of the same total
     # workload (per-channel baseband -> mixture)
     B_tx = TOTAL_CHANNEL_SAMPLES // n_dev
@@ -77,6 +100,8 @@ def child(n_dev: int):
         "n_dev": n_dev, "mesh": [t, c],
         "total_mixture_samples": total, "step_s": best,
         "samples_per_s": total / best,
+        "pipe_step_s": best_pipe, "pipe_n_steps": n_steps,
+        "pipe_samples_per_s": pipe_total / best_pipe,
         "tx_step_s": best_tx, "tx_samples_per_s": total / best_tx,
     }))
 
@@ -91,10 +116,19 @@ def main():
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              timeout=1200)
+        got = False
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 rows.append(json.loads(line))
                 print(line)
+                got = True
+        if not got:
+            # a silent child once hid a wrong-backend crash behind stale
+            # committed data — fail loudly instead
+            print(f"child n_dev={n_dev} produced no result; stderr tail:",
+                  file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(1)
     if rows:
         t1 = rows[0]["step_s"]
         t1_tx = rows[0].get("tx_step_s")
@@ -102,13 +136,27 @@ def main():
             # < ~1.25 keeps the >=80% target reachable once the per-device
             # compute is on independent chips (see docs/scaling.md)
             r["sharding_overhead_vs_1dev"] = round(r["step_s"] / t1, 4)
+            if rows[0].get("pipe_step_s") and r.get("pipe_step_s"):
+                r["pipe_sharding_overhead_vs_1dev"] = round(
+                    r["pipe_step_s"] / rows[0]["pipe_step_s"], 4)
             if t1_tx and r.get("tx_step_s"):
                 r["tx_sharding_overhead_vs_1dev"] = round(
                     r["tx_step_s"] / t1_tx, 4)
+        import datetime
+        sha = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "rev-parse", "--short",
+             "HEAD"], capture_output=True, text=True).stdout.strip()
+        doc = {"manifest": {"git_sha": sha or "unknown",
+                            "utc": datetime.datetime.now(
+                                datetime.timezone.utc).isoformat(
+                                    timespec="seconds"),
+                            "cmd": " ".join(sys.argv)},
+               "rows": rows}
         path = os.path.join(os.path.dirname(__file__), "..", "docs",
                             "scaling_data.json")
         with open(path, "w") as f:
-            json.dump(rows, f, indent=1)
+            json.dump(doc, f, indent=1)
         print("overhead:", [r["sharding_overhead_vs_1dev"] for r in rows])
 
 

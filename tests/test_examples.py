@@ -12,7 +12,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.parametrize("script", ["01_loopback.py",
                                     "02_sharded_receiver.py",
-                                    "03_streaming_state.py"])
+                                    "03_streaming_state.py",
+                                    "04_pipelined_streaming.py"])
 def test_example_runs(script):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=ROOT)
     out = subprocess.run(

@@ -71,6 +71,33 @@ def test_clean_loopback(setup):
     np.testing.assert_array_equal(ok[0]["payload"], payload)
 
 
+def test_low_snr_detection_sensitivity(setup):
+    """The segmented-coherent detector must hold detection at 2 dB SNR —
+    the regime where the round-2 differential-phase metric detected under
+    half the frames (docs/ber_gmsk_v27: det 17/40 at 2 dB then; 40/40
+    now).  Pinned so a detector change can't silently give the ~3 dB
+    back."""
+    params, sync, step = setup
+    props = gf.gmsk_default_props()
+    rng = np.random.default_rng(5)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 150, dtype=np.uint8)
+    frame = np.asarray(gf.gmsk_assemble(params, props, jnp.asarray(header),
+                                        jnp.asarray(payload)))
+    sig = float(np.mean(np.abs(frame) ** 2))
+    hits = 0
+    for seed in range(5):
+        stream = np.zeros(3000 + len(frame), np.complex64)
+        pos = 700 + 450 * seed
+        stream[pos:pos + len(frame)] = frame
+        noisy = np.asarray(chan.channel_apply(
+            chan.Channel(snr_db=2.0, cfo=0.001), jax.random.PRNGKey(seed),
+            jnp.asarray(stream), signal_power=sig))
+        frames = _run(sync, step, noisy)
+        hits += any(abs(f["t"] - pos) <= 2 * params.k for f in frames)
+    assert hits == 5, hits
+
+
 def test_awgn_cfo_loopback(setup):
     params, sync, step = setup
     props = gf.FrameProps(check=crc.CRC_32, fec0=fec.FEC_NONE,
