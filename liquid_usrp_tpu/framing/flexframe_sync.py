@@ -218,10 +218,20 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     # header
     hsyms = syms[PREAMBLE_SYMS:PREAMBLE_SYMS + HEADER_SYMS]
     hdec = modem_mod.demodulate(HEADER_MOD, hsyms)
-    hbits = modem_mod.symbols_to_bits(hdec, HEADER_BPS)
-    hbytes = payload_codec.header_bits_to_bytes(hbits)
-    user, plen, mod, f0, f1, check, hvalid = payload_codec.decode_header(
-        hbytes, sync.max_payload, len(sync.fecs))
+    if sync.soft:
+        # soft header: exact-ML Golay from channel LLRs (~2 dB)
+        hllrs = payload_codec.generic_demod_soft(
+            hsyms, jnp.int32(HEADER_MOD),
+            payload_codec.HEADER_ENC_BYTES * 8)
+        (user, plen, mod, f0, f1, check,
+         hvalid) = payload_codec.decode_header_soft(
+            hllrs, sync.max_payload, len(sync.fecs))
+    else:
+        hbits = modem_mod.symbols_to_bits(hdec, HEADER_BPS)
+        hbytes = payload_codec.header_bits_to_bytes(hbits)
+        (user, plen, mod, f0, f1, check,
+         hvalid) = payload_codec.decode_header(
+            hbytes, sync.max_payload, len(sync.fecs))
     hevm = modem_mod.evm(HEADER_MOD, hsyms, hdec)
 
     # payload section with per-pilot-segment phase correction

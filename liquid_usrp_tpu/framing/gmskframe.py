@@ -413,12 +413,23 @@ def _gated_decode(sync: GmskSync, z, metric, ext, gate, locs,
         pts = (samp / amp).astype(jnp.complex64)    # pseudo-BPSK points
         data = pts[n_t:]
         hbits_pts = data[: payload_codec.HEADER_ENC_BYTES * 8]
-        hsym = modem_mod.demodulate(modem_mod.MOD_BPSK, hbits_pts)
-        hbits = hsym.astype(jnp.uint8)
-        hbytes = payload_codec.header_bits_to_bytes(hbits)
-        user, plen, mod_f, f0, f1, check, hvalid = \
-            payload_codec.decode_header(hbytes, sync.max_payload,
-                                        len(sync.fecs))
+        if sync.soft:
+            # soft header: exact-ML Golay from channel LLRs (~2 dB) — at
+            # 0-1 dB the hard Golay header was the proven residual
+            # bottleneck once detection held (docs/ber_gmsk_v27)
+            hllrs = payload_codec.generic_demod_soft(
+                hbits_pts, jnp.int32(modem_mod.MOD_BPSK),
+                payload_codec.HEADER_ENC_BYTES * 8)
+            user, plen, mod_f, f0, f1, check, hvalid = \
+                payload_codec.decode_header_soft(hllrs, sync.max_payload,
+                                                 len(sync.fecs))
+        else:
+            hsym = modem_mod.demodulate(modem_mod.MOD_BPSK, hbits_pts)
+            hbits = hsym.astype(jnp.uint8)
+            hbytes = payload_codec.header_bits_to_bytes(hbits)
+            user, plen, mod_f, f0, f1, check, hvalid = \
+                payload_codec.decode_header(hbytes, sync.max_payload,
+                                            len(sync.fecs))
         # payload: GMSK is 1 bit/symbol regardless of the header mod field
         ppts = data[payload_codec.HEADER_ENC_BYTES * 8:]
         snr_est = 10.0 * jnp.log10(

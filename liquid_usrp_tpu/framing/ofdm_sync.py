@@ -379,10 +379,21 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     hdata = _equalized_symbols(sync, w, body, H, n_hsym, 0)
     hflat = hdata.reshape(-1)[:HEADER_SYMS]
     hsym = modem_mod.demodulate(_HEADER_MOD, hflat)
-    hbits = modem_mod.symbols_to_bits(hsym, _HEADER_BPS)
-    hbytes = payload_codec.header_bits_to_bytes(hbits)
-    user, plen, mod, f0, f1, check, hvalid = payload_codec.decode_header(
-        hbytes, sync.max_payload, len(sync.fecs))
+    if sync.soft:
+        # soft header: exact-ML Golay from channel LLRs (~2 dB of header
+        # sensitivity — the waterfall once the payload FEC is strong)
+        hllrs = payload_codec.generic_demod_soft(
+            hflat, jnp.int32(_HEADER_MOD),
+            payload_codec.HEADER_ENC_BYTES * 8)
+        (user, plen, mod, f0, f1, check,
+         hvalid) = payload_codec.decode_header_soft(
+            hllrs, sync.max_payload, len(sync.fecs))
+    else:
+        hbits = modem_mod.symbols_to_bits(hsym, _HEADER_BPS)
+        hbytes = payload_codec.header_bits_to_bytes(hbits)
+        (user, plen, mod, f0, f1, check,
+         hvalid) = payload_codec.decode_header(
+            hbytes, sync.max_payload, len(sync.fecs))
 
     # header EVM (uses decided symbols as reference)
     hevm = modem_mod.evm(_HEADER_MOD, hflat, hsym)

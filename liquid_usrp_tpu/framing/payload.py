@@ -32,6 +32,7 @@ __all__ = [
     "HEADER_USER_BYTES",
     "HEADER_DEC_BYTES", "HEADER_ENC_BYTES", "HEADER_MOD", "HEADER_BPS",
     "HEADER_SYMS", "scramble", "encode_header", "decode_header",
+    "decode_header_soft",
     "encode_payload", "payload_enc_bytes", "check_budget",
     "required_expansion",
     "generic_demod_bits", "fec_decode_switch", "crc_check_dynamic",
@@ -117,6 +118,34 @@ def decode_header(hbytes: jnp.ndarray, max_payload: int,
     """
     dec = fec_mod.fec_decode(HEADER_FEC, scramble(hbytes, salt=1),
                              HEADER_DEC_BYTES)
+    return _header_fields(dec, max_payload, n_fecs)
+
+
+def decode_header_soft(hllrs: jnp.ndarray, max_payload: int,
+                       n_fecs: int = len(PAYLOAD_FECS)):
+    """Soft-decision header decode from channel bit LLRs.
+
+    ``hllrs [>= HEADER_ENC_BYTES*8]`` float LLRs of the header bit stream
+    (positive => bit 1, the :func:`generic_demod_soft` layout).  The
+    scrambler is undone by flipping LLR signs where the PN bit is 1, then
+    each Golay(24,12) block is exact-ML decoded against all 4096
+    codewords (one matmul — ``ops.fec.golay_decode_soft``).  Same returns
+    as :func:`decode_header`; worth ~2 dB of header sensitivity, which is
+    the end-to-end waterfall at low SNR once payload FEC is strong (the
+    conv-coded GMSK/flex/ofdm configs).
+    """
+    need = HEADER_ENC_BYTES * 8
+    pn = np.unpackbits(_scramble_np(HEADER_ENC_BYTES, 1)).astype(np.float32)
+    L = hllrs[:need] * jnp.asarray(1.0 - 2.0 * pn)
+    c_k, c_n = 12, 24
+    nblocks = -(-(HEADER_DEC_BYTES * 8) // c_k)
+    mbits = fec_mod.golay_decode_soft(
+        L[: nblocks * c_n].reshape(nblocks, c_n))
+    dec = pack_bits(mbits.reshape(-1)[: HEADER_DEC_BYTES * 8])
+    return _header_fields(dec, max_payload, n_fecs)
+
+
+def _header_fields(dec: jnp.ndarray, max_payload: int, n_fecs: int):
     ok = crc_mod.crc_check(crc_mod.CRC_16, dec)
     user = dec[:HEADER_USER_BYTES]
     plen = (dec[HEADER_USER_BYTES].astype(jnp.int32) << 8) | \

@@ -42,7 +42,7 @@ __all__ = [
     "FEC_SECDED2216", "FEC_SECDED3932", "FEC_SECDED7264",
     "FEC_CONV_V27", "FEC_CONV_V29", "FEC_RS8",
     "fec_names", "fec_from_name", "fec_name",
-    "encoded_length", "fec_encode", "fec_decode",
+    "encoded_length", "fec_encode", "fec_decode", "golay_decode_soft",
 ]
 
 # Scheme ids (stable public enum; mirrors the reference's LIQUID_FEC_* set).
@@ -295,6 +295,33 @@ def fec_encode(scheme: int, data: jnp.ndarray) -> jnp.ndarray:
     if pad2:
         flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, pad2)])
     return pack_bits(flat)
+
+
+@functools.lru_cache(maxsize=None)
+def _golay_codewords_pm1() -> np.ndarray:
+    """All 4096 Golay(24,12) codewords as ±1 rows ``[4096, 24]``."""
+    c = _block_code(FEC_GOLAY2412)
+    msgs = np.arange(1 << 12, dtype=np.uint32)
+    mbits = ((msgs[:, None] >> np.arange(11, -1, -1)) & 1).astype(np.uint8)
+    cw = (mbits @ c.G) % 2
+    return (2.0 * cw - 1.0).astype(np.float32)
+
+
+def golay_decode_soft(llr_blocks: jnp.ndarray) -> jnp.ndarray:
+    """Exact maximum-likelihood soft decode of Golay(24,12).
+
+    ``llr_blocks [..., 24]`` float LLRs (positive => bit 1) -> message
+    bits ``[..., 12]`` uint8.  ML = argmax over codeword correlations,
+    computed as ONE dense ``[..., 24] @ [24, 4096]`` matmul — the
+    TPU-shaped formulation (MXU) of what a CPU decoder does with
+    syndrome tables; worth ~2 dB over hard-decision syndrome decoding
+    at the header's operating point.
+    """
+    cw = jnp.asarray(_golay_codewords_pm1())           # [4096, 24]
+    score = llr_blocks.astype(jnp.float32) @ cw.T      # [..., 4096]
+    best = jnp.argmax(score, axis=-1).astype(jnp.uint32)
+    bits = (best[..., None] >> jnp.arange(11, -1, -1, dtype=jnp.uint32)) & 1
+    return bits.astype(jnp.uint8)
 
 
 def fec_decode(scheme: int, coded: jnp.ndarray, n_bytes: int) -> jnp.ndarray:

@@ -60,6 +60,29 @@ def test_corrects_errors(scheme, errs_per_block, blockbits):
     np.testing.assert_array_equal(np.asarray(dec), data)
 
 
+def test_golay_soft_ml_beats_hard_syndrome():
+    """Exact-ML soft Golay (codeword-correlation matmul): identical to
+    the message on clean LLRs, and strictly fewer word errors than hard
+    syndrome decoding at moderate noise (the ~2 dB soft gain)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    c = fec._block_code(fec.FEC_GOLAY2412)
+    msg = rng.integers(0, 2, (60, 12)).astype(np.uint8)
+    cw = (msg @ c.G) % 2
+    clean = (2.0 * cw - 1.0).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fec.golay_decode_soft(jnp.asarray(clean))), msg)
+    L = clean + 0.9 * rng.standard_normal(cw.shape).astype(np.float32)
+    soft = np.asarray(fec.golay_decode_soft(jnp.asarray(L)))
+    hard_bits = (L > 0).astype(np.uint8)
+    syn = (hard_bits @ c.H.T) % 2
+    s_idx = (syn * (1 << np.arange(11, -1, -1))).sum(1)
+    hard = (hard_bits ^ c.syn_table[s_idx])[:, :12]
+    errs_soft = int((soft != msg).any(1).sum())
+    errs_hard = int((hard != msg).any(1).sum())
+    assert errs_soft <= errs_hard - 5, (errs_soft, errs_hard)
+
+
 def test_golay_fails_beyond_capacity_detected():
     # 5 errors in one 24-bit block: decode must not crash; result may differ
     rng = np.random.default_rng(1)
