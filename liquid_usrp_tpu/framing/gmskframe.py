@@ -368,11 +368,30 @@ def _gated_decode(sync: GmskSync, z, metric, ext, gate, locs,
         rel = pos - pos[n_t // 2]
         # CFO from the MF-domain template (the discriminator-DC estimate is
         # far too noisy to derotate with: std ~0.03 rad/sample at 8 dB).
-        # Stage 1: adjacent-symbol products of u = zs conj(a_ref), range
-        # +-pi/k; stage 2: split-half phase slope for precision.
+        # Stage 1: periodogram peak of u = zs conj(a_ref) — u is a complex
+        # sinusoid at the residual CFO, so the zero-padded FFT peak is the
+        # near-ML frequency estimate with the full 128-symbol coherent
+        # gain.  (The previous adjacent-symbol-product estimator had a
+        # noise std of ~0.035 rad/sample at 0 dB — beyond the +-pi/(n_t k)
+        # ambiguity of stage 2, which then wrapped and collapsed the V&V
+        # tracking; measured as the 10/40 header-failure floor at 0 dB.)
+        # Stage 2: split-half phase slope for precision.
         aref = jnp.asarray(p.a_ref)
         u = zs[:n_t] * jnp.conj(aref)
-        dw1 = jnp.angle(jnp.sum(u[1:] * jnp.conj(u[:-1]))) / k
+        NF = 512
+        U2 = jnp.abs(jnp.fft.fft(u, NF)) ** 2
+        pk = jnp.argmax(U2).astype(jnp.int32)
+        # parabolic sub-bin interpolation (wrap-indexed neighbors)
+        um = U2[jnp.mod(pk - 1, NF)]
+        u0 = U2[pk]
+        up = U2[jnp.mod(pk + 1, NF)]
+        den1 = um - 2 * u0 + up
+        dsub = jnp.where(jnp.abs(den1) > 1e-12,
+                         0.5 * (um - up) / den1, 0.0)
+        dsub = jnp.clip(dsub, -0.5, 0.5)
+        f = (pk.astype(jnp.float32) + dsub) / NF
+        f = jnp.where(f > 0.5, f - 1.0, f)   # cycles/symbol-sample
+        dw1 = 2 * np.pi * f / k
         zs = zs * jnp.exp(-1j * dw1 * rel)
         u = zs[:n_t] * jnp.conj(aref)
         G1 = jnp.mean(u[: n_t // 2])
@@ -387,23 +406,54 @@ def _gated_decode(sync: GmskSync, z, metric, ext, gate, locs,
         q = jnp.arange(1, n_all + 1)
         rot = jnp.asarray(np.array([1, -1j, -1, 1j], np.complex64))[q % 4]
         y = zs * (jnp.conj(G) / Gm) * rot
-        # Viterbi&Viterbi blockwise phase tracking: the template-only
-        # carrier estimate leaves a residual CFO whose phase walks off over
-        # a long frame; squaring y removes the +-1 data signs, so each
-        # 32-symbol segment yields a phase estimate, unwrapped across
-        # segments (the global pi ambiguity flips every sign at once and is
-        # absorbed by the amp reference's sign below).
+        # Blockwise phase tracking: the template-only carrier estimate
+        # leaves a residual CFO whose phase walks off over a long frame.
+        # Pass 1 (Viterbi&Viterbi): squaring y removes the +-1 data signs,
+        # so each 32-symbol segment yields a phase estimate mod pi,
+        # unwrapped across segments.  At 0-1 dB the squaring loss makes
+        # the unwrap slip by pi between segments, flipping every later
+        # sign — the measured header-error limiter once detection held
+        # (ROUND3_NOTES waterfall analysis).  Passes 2-3 are data-aided:
+        # decisions from the previous trajectory (known template signs
+        # over the preamble span) re-estimate each segment's phase
+        # coherently — no squaring loss, unambiguous mod 2pi, anchored to
+        # the true carrier by the template segments.  Genuine carrier
+        # drift is smooth, so a ~pi jump between consecutive estimates IS
+        # a slip and the mod-pi unwrap removes it.  The final trajectory
+        # is linearly interpolated between segment centers (the
+        # piecewise-constant correction left a residual-CFO sawtooth).
         SEG = 32
         n_seg = -(-n_all // SEG)
+        npad = n_seg * SEG
         ypad = jnp.concatenate(
-            [y, jnp.zeros((n_seg * SEG - n_all,), y.dtype)])
+            [y, jnp.zeros((npad - n_all,), y.dtype)])
         y2 = jnp.sum((ypad * ypad).reshape(n_seg, SEG), axis=-1)
         ph = 0.5 * jnp.angle(y2)
         dph = ph[1:] - ph[:-1]
         dph = jnp.mod(dph + np.pi / 2, np.pi) - np.pi / 2
         phu = jnp.concatenate(
             [ph[:1], ph[0] + jnp.cumsum(dph)])
-        corr_ph = jnp.repeat(phu, SEG)[:n_all]
+        sgn_t = jnp.concatenate(
+            [jnp.asarray(p.sgn), jnp.zeros((npad - n_t,), jnp.float32)])
+        known = jnp.arange(npad) < n_t
+        valid = jnp.arange(npad) < n_all   # exclude the zero padding
+        for _ in range(2):
+            yc = ypad * jnp.exp(-1j * jnp.repeat(phu, SEG))
+            r = jnp.real(yc)
+            s_hat = jnp.where(known, sgn_t,
+                              jnp.where(r >= 0, 1.0, -1.0))
+            s_hat = jnp.where(valid, s_hat, 0.0)
+            u2 = jnp.sum((ypad * s_hat).reshape(n_seg, SEG), axis=-1)
+            ph2 = jnp.angle(u2)
+            dph2 = ph2[1:] - ph2[:-1]
+            dph2 = jnp.mod(dph2 + np.pi / 2, np.pi) - np.pi / 2
+            phu = jnp.concatenate(
+                [ph2[:1], ph2[0] + jnp.cumsum(dph2)])
+        ctr = (SEG - 1) / 2.0
+        fi = (jnp.arange(n_all, dtype=jnp.float32) - ctr) / SEG
+        i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, n_seg - 2)
+        fr = jnp.clip(fi - i0.astype(jnp.float32), 0.0, 1.0)
+        corr_ph = phu[i0] * (1 - fr) + phu[i0 + 1] * fr
         y = y * jnp.exp(-1j * corr_ph)
         samp = jnp.real(y) / Gm
         # amplitude/noise reference against the known template signs

@@ -98,6 +98,48 @@ def test_low_snr_detection_sensitivity(setup):
     assert hits == 5, hits
 
 
+def test_zero_db_header_decode():
+    """Headers must decode at 0 dB SNR once a frame is detected.
+
+    Pins the periodogram stage-1 CFO estimator: the old adjacent-symbol
+    product estimate had ~0.035 rad/sample noise at 0 dB, wrapping the
+    split-half stage-2 (+-0.0245 ambiguity) and collapsing the V&V phase
+    tracking on ~25% of frames (docs/ber_gmsk_v27: hdr_err 10/40 at
+    0 dB then; 0/40 now).  A regression in any carrier-recovery stage
+    shows up here as header failures."""
+    params = gf.make_gmsk_params(k=2, m=3, bt=0.5)
+    props = gf.gmsk_default_props()._replace(
+        fec0=fec.FEC_CONV_V27, fec1=fec.FEC_NONE)
+    from liquid_usrp_tpu.framing import payload as payload_codec
+    expansion = payload_codec.required_expansion(props, 200)
+    sync = gf.make_gmsk_sync(params, block_size=BLOCK, max_payload=512,
+                             max_frames=4, enable_conv=True, soft=True,
+                             expansion=expansion)
+    step = gf.make_gmsk_sync_step(sync)
+    rng = np.random.default_rng(11)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 200, dtype=np.uint8)
+    frame = np.asarray(gf.gmsk_assemble(params, props, jnp.asarray(header),
+                                        jnp.asarray(payload),
+                                        expansion=expansion))
+    sig = float(np.mean(np.abs(frame) ** 2))
+    hdr_ok = pay_ok = 0
+    n_trials = 6
+    for seed in range(n_trials):
+        stream = np.zeros(2500 + len(frame), np.complex64)
+        pos = 600 + 290 * seed
+        stream[pos:pos + len(frame)] = frame
+        noisy = np.asarray(chan.channel_apply(
+            chan.Channel(snr_db=0.0, cfo=0.001), jax.random.PRNGKey(seed),
+            jnp.asarray(stream), signal_power=sig))
+        frames = _run(sync, step, noisy)
+        hdr_ok += any(f["header_valid"] for f in frames)
+        pay_ok += any(f["payload_valid"] and
+                      np.array_equal(f["payload"], payload) for f in frames)
+    assert hdr_ok == n_trials, (hdr_ok, n_trials)
+    assert pay_ok == n_trials, (pay_ok, n_trials)
+
+
 def test_awgn_cfo_loopback(setup):
     params, sync, step = setup
     props = gf.FrameProps(check=crc.CRC_32, fec0=fec.FEC_NONE,
