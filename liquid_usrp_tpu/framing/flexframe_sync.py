@@ -29,6 +29,7 @@ import numpy as np
 from ..ops import iqfmt
 from ..ops import modem as modem_mod
 from . import payload as payload_codec
+from .phase_track import track_phase_bpsk
 from .flexframe import (FlexParams, PILOT_SPACING, PREAMBLE_SYMS,
                         slots_layout)
 from .payload import (EXPANSION as _EXPANSION, HEADER_BPS, HEADER_MOD,
@@ -215,8 +216,20 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     g = jnp.where(jnp.abs(g) > 1e-9, g, 1.0)
     syms = syms / g
 
-    # header
+    # header, with carrier-phase tracking across its span: the residual
+    # CFO after the split-half estimate (~0.002 rad/sample std at 0 dB)
+    # drifts ~1 rad over the 264 header symbols, and unlike the payload
+    # section there are no pilots to anchor it — measured as a
+    # 10-25% header-error floor from -1 to +3 dB.  The preamble symbols
+    # (known signs after derotation) anchor the tracker's absolute phase.
     hsyms = syms[PREAMBLE_SYMS:PREAMBLE_SYMS + HEADER_SYMS]
+    u_pre = syms[:PREAMBLE_SYMS] * jnp.conj(pre)
+    y_tr = jnp.concatenate([u_pre, hsyms])
+    sgn_known = jnp.concatenate(
+        [jnp.ones((PREAMBLE_SYMS,), jnp.float32),
+         jnp.zeros((HEADER_SYMS,), jnp.float32)])
+    phi = track_phase_bpsk(y_tr, sgn_known, seg=32, n_iter=2)
+    hsyms = hsyms * jnp.exp(-1j * phi[PREAMBLE_SYMS:])
     hdec = modem_mod.demodulate(HEADER_MOD, hsyms)
     if sync.soft:
         # soft header: exact-ML Golay from channel LLRs (~2 dB)

@@ -408,52 +408,15 @@ def _gated_decode(sync: GmskSync, z, metric, ext, gate, locs,
         y = zs * (jnp.conj(G) / Gm) * rot
         # Blockwise phase tracking: the template-only carrier estimate
         # leaves a residual CFO whose phase walks off over a long frame.
-        # Pass 1 (Viterbi&Viterbi): squaring y removes the +-1 data signs,
-        # so each 32-symbol segment yields a phase estimate mod pi,
-        # unwrapped across segments.  At 0-1 dB the squaring loss makes
-        # the unwrap slip by pi between segments, flipping every later
-        # sign — the measured header-error limiter once detection held
-        # (ROUND3_NOTES waterfall analysis).  Passes 2-3 are data-aided:
-        # decisions from the previous trajectory (known template signs
-        # over the preamble span) re-estimate each segment's phase
-        # coherently — no squaring loss, unambiguous mod 2pi, anchored to
-        # the true carrier by the template segments.  Genuine carrier
-        # drift is smooth, so a ~pi jump between consecutive estimates IS
-        # a slip and the mod-pi unwrap removes it.  The final trajectory
-        # is linearly interpolated between segment centers (the
-        # piecewise-constant correction left a residual-CFO sawtooth).
-        SEG = 32
-        n_seg = -(-n_all // SEG)
-        npad = n_seg * SEG
-        ypad = jnp.concatenate(
-            [y, jnp.zeros((npad - n_all,), y.dtype)])
-        y2 = jnp.sum((ypad * ypad).reshape(n_seg, SEG), axis=-1)
-        ph = 0.5 * jnp.angle(y2)
-        dph = ph[1:] - ph[:-1]
-        dph = jnp.mod(dph + np.pi / 2, np.pi) - np.pi / 2
-        phu = jnp.concatenate(
-            [ph[:1], ph[0] + jnp.cumsum(dph)])
-        sgn_t = jnp.concatenate(
-            [jnp.asarray(p.sgn), jnp.zeros((npad - n_t,), jnp.float32)])
-        known = jnp.arange(npad) < n_t
-        valid = jnp.arange(npad) < n_all   # exclude the zero padding
-        for _ in range(2):
-            yc = ypad * jnp.exp(-1j * jnp.repeat(phu, SEG))
-            r = jnp.real(yc)
-            s_hat = jnp.where(known, sgn_t,
-                              jnp.where(r >= 0, 1.0, -1.0))
-            s_hat = jnp.where(valid, s_hat, 0.0)
-            u2 = jnp.sum((ypad * s_hat).reshape(n_seg, SEG), axis=-1)
-            ph2 = jnp.angle(u2)
-            dph2 = ph2[1:] - ph2[:-1]
-            dph2 = jnp.mod(dph2 + np.pi / 2, np.pi) - np.pi / 2
-            phu = jnp.concatenate(
-                [ph2[:1], ph2[0] + jnp.cumsum(dph2)])
-        ctr = (SEG - 1) / 2.0
-        fi = (jnp.arange(n_all, dtype=jnp.float32) - ctr) / SEG
-        i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, n_seg - 2)
-        fr = jnp.clip(fi - i0.astype(jnp.float32), 0.0, 1.0)
-        corr_ph = phu[i0] * (1 - fr) + phu[i0 + 1] * fr
+        # V&V seed + data-aided refinement anchored to the known template
+        # signs (see phase_track.track_phase_bpsk; at 0-1 dB bare V&V
+        # slipped by pi between segments, flipping every later sign —
+        # the measured header-error limiter once detection held).
+        from .phase_track import track_phase_bpsk
+        sgn_known = jnp.concatenate(
+            [jnp.asarray(p.sgn),
+             jnp.zeros((n_all - n_t,), jnp.float32)])
+        corr_ph = track_phase_bpsk(y, sgn_known, seg=32, n_iter=2)
         y = y * jnp.exp(-1j * corr_ph)
         samp = jnp.real(y) / Gm
         # amplitude/noise reference against the known template signs
