@@ -131,27 +131,19 @@ def _fd_bank() -> np.ndarray:
     return np.asarray(rows, dtype=np.float32)
 
 
-def _preamble_corr(sync: FlexSync, mf: jnp.ndarray, region: int):
-    """Normalized preamble correlation for offsets [0, region).
-
-    ``corr[n] = sum_i pre[i] mf[n + k i]``, energy-normalized; also the two
-    half-sums for CFO estimation.
-    """
-    p = sync.params
-    k = p.k
-    pre = jnp.asarray(p.preamble, dtype=jnp.complex64)
-    idx = jnp.arange(region)[:, None] + k * jnp.arange(PREAMBLE_SYMS)[None, :]
-    wins = mf[idx]                                  # [region, 64]
+@functools.lru_cache(maxsize=None)
+def _fe_freq_np(k: int, m: int, beta: float, nfft: int):
+    """Host-precomputed frequency responses for the front-end FFT chain:
+    ``(H_mf, G1, G2)`` — RRC matched filter and the two k-dilated
+    preamble-half correlators (see ops.corr.comb_rev_freq_np)."""
+    from ..ops.corr import comb_rev_freq_np
+    from .flexframe import make_flex_params
+    p = make_flex_params(k, m, beta)
     half = PREAMBLE_SYMS // 2
-    c1 = wins[:, :half] @ jnp.conj(pre[:half])
-    c2 = wins[:, half:] @ jnp.conj(pre[half:])
-    c = c1 + c2
-    energy = jnp.sum(jnp.abs(wins) ** 2, axis=-1)
-    metric = jnp.abs(c) ** 2 / (jnp.maximum(energy, 1e-12) * PREAMBLE_SYMS)
-    # silence gate
-    floor = 1e-4 * PREAMBLE_SYMS * (jnp.mean(jnp.abs(mf) ** 2) + 1e-12)
-    metric = jnp.where(energy > floor, metric, 0.0)
-    return metric, c, c1, c2
+    H = np.fft.fft(p.taps.astype(np.complex64), nfft).astype(np.complex64)
+    G1 = comb_rev_freq_np(p.preamble[:half], k, nfft)
+    G2 = comb_rev_freq_np(p.preamble[half:], k, nfft)
+    return H, G1, G2
 
 
 def _find_candidates(sync: FlexSync, metric: jnp.ndarray):
@@ -284,14 +276,51 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
 
 def _mf_and_detect(sync: FlexSync, ext: jnp.ndarray):
     """Matched filter + preamble correlation + candidate extraction for one
-    extended block; returns ``(mf, metric, c1, c2, detected, locs)``."""
+    extended block; returns ``(mf, metric, c1, c2, detected, locs)``.
+
+    One FFT-domain chain: a single forward FFT of the block feeds the RRC
+    matched filter AND both preamble-half correlators (their
+    host-precomputed frequency responses compose by multiplication), and
+    the energy normalizer is a reshape-cumsum comb moving sum — replacing
+    the time-domain complex ``jnp.convolve`` (taps promoted to complex64)
+    plus a ``[region, 64]`` strided window gather that materialized 64x
+    the stream bytes.  Equivalent to f32 rounding (~1e-6 on the metric,
+    same candidates); the old path measured 12.6 ms/16k block on the host
+    backend, this one ~3 ms.
+    """
     p = sync.params
-    taps = jnp.asarray(p.taps)
-    mf = jnp.convolve(ext, taps.astype(ext.dtype), mode="full")[
-        len(p.taps) - 1:]
-    win = p.k * PREAMBLE_SYMS // 2
-    metric, c, c1, c2 = _preamble_corr(sync, mf, sync.block_size +
-                                       2 * win + 1)
+    k = p.k
+    L = ext.shape[0]
+    nt = len(p.taps)
+    half = PREAMBLE_SYMS // 2
+    span = (half - 1) * k + 1
+    shift = half * k
+    win = k * PREAMBLE_SYMS // 2
+    region = sync.block_size + 2 * win + 1
+
+    from ..ops.corr import comb_moving_sum, next_pow2
+    nfft = next_pow2(L + nt + span + shift)
+    H, G1, G2 = _fe_freq_np(p.k, p.m, p.beta, nfft)
+    F = jnp.fft.fft(ext, nfft)
+    Fm = F * jnp.asarray(H)
+    # mf[n] = full-conv(ext, taps)[n + nt - 1]  (same slice as the old
+    # jnp.convolve(..., "full")[nt-1:])
+    mf = jnp.fft.ifft(Fm)[nt - 1:nt - 1 + L].astype(jnp.complex64)
+    # c_half[n] = sum_i pre_half[i] mf[n + k i] at combined offset
+    off = nt - 1 + span - 1
+    c1 = jnp.fft.ifft(Fm * jnp.asarray(G1))[
+        off:off + region].astype(jnp.complex64)
+    c2 = jnp.fft.ifft(Fm * jnp.asarray(G2))[
+        off + shift:off + shift + region].astype(jnp.complex64)
+    c = c1 + c2
+    pw = jnp.abs(mf) ** 2
+    e_half = comb_moving_sum(pw, half, k, region + shift)
+    energy = e_half[:region] + e_half[shift:shift + region]
+    metric = jnp.abs(c) ** 2 / (jnp.maximum(energy, 1e-12) * PREAMBLE_SYMS)
+    # silence gate
+    floor = 1e-4 * PREAMBLE_SYMS * (jnp.mean(pw) + 1e-12)
+    metric = jnp.where(energy > floor, metric, 0.0)
+
     detected, locs = _find_candidates(sync, metric)
     return mf, metric, c1, c2, detected, locs
 
