@@ -442,8 +442,8 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
         dd_syms = min(_DD_SYMS, sync.max_psym)
         tab = jnp.asarray(payload_codec._stacked_tables())[mod]
         sub = pdata[:dd_syms]                            # [dd, n_data]
-        d2 = jnp.abs(sub[..., None] - tab) ** 2
-        dec = tab[jnp.argmin(d2, axis=-1)]               # [dd, n_data]
+        sym = payload_codec._nearest_sym(sub.reshape(-1), tab)
+        dec = tab[sym].reshape(sub.shape)                # [dd, n_data]
         pt_i = (jnp.arange(dd_syms)[:, None] * n_data +
                 jnp.arange(n_data)[None, :])
         wgt = ((pt_i < used_pts) & hvalid).astype(jnp.float32) * \
@@ -615,3 +615,65 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
         tail=full[full.shape[0] - sync.overlap:],
         base=state.base + jnp.int32(n_blocks * bs))
     return new_state, res
+
+
+def sync_channels_batched(sync: OfdmSync, states: OfdmSyncState,
+                          chans: jnp.ndarray):
+    """Channel-and-block batched dispatch for N independent streams.
+
+    ``states``: stacked per-channel :class:`OfdmSyncState` (leading [N]);
+    ``chans [N, n_blocks, block_size]`` -> ``(states', FrameResults with
+    leading [N, n_blocks, max_frames])``.
+
+    The detect front-end vmaps over all N*n_blocks extended windows and
+    the candidates of EVERY channel decode in one flat batch behind a
+    single global gate.  This replaces ``vmap(sync_block)`` over the
+    channel axis, where the per-channel ``lax.cond`` decode gate lowers
+    to a select that always runs the decode — and the nested
+    channel-over-candidate vmap lowers the per-candidate gathers badly:
+    the measured idle-stream cost of the 4-channel vmapped step was
+    ~300x the runtime-gated single-channel path (1.13 s vs 3.4 ms/32k
+    block on the host).  Detected/valid-masked fields are identical to
+    the per-channel path; undetected rows differ in the unmasked fields
+    exactly as in :func:`sync_blocks_batched`.
+    """
+    chans = iqfmt.iq_from_any(chans)  # accepts [2, N, nb, bs] planes
+    N, n_blocks, bs = chans.shape
+    assert bs == sync.block_size
+    K = sync.max_frames
+    full = jnp.concatenate([states.tail, chans.reshape(N, -1)], axis=-1)
+    w_idx = (jnp.arange(n_blocks) * bs)[:, None] + \
+        jnp.arange(sync.overlap + bs)[None, :]
+    exts = full[:, w_idx].reshape(N * n_blocks, sync.overlap + bs)
+
+    detected, locs, c_at = jax.vmap(
+        lambda e: _detect_candidates(sync, e))(exts)  # [N*nb, K]
+
+    row_of = jnp.repeat(jnp.arange(N * n_blocks), K)
+    cand_ext = exts[row_of]
+    (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, evm,
+     cfo) = _gated_decode(sync, cand_ext, jnp.any(detected),
+                          locs.reshape(-1), c_at.reshape(-1),
+                          per_candidate_source=True)
+
+    def rs(v):
+        return v.reshape((N, n_blocks, K) + v.shape[1:])
+
+    detected = detected.reshape(N, n_blocks, K)
+    locs = locs.reshape(N, n_blocks, K)
+    res = FrameResults(
+        detected=detected,
+        header_valid=detected & rs(hvalid),
+        payload_valid=detected & rs(pvalid),
+        header=rs(user), payload=rs(payload),
+        payload_len=jnp.where(detected, rs(plen), 0),
+        mod=rs(mod), fec0=rs(f0), fec1=rs(f1), check=rs(check),
+        rssi=rs(rssi), evm=rs(evm), cfo=rs(cfo),
+        t_start=(states.base[:, None, None] +
+                 jnp.arange(n_blocks, dtype=jnp.int32)[None, :, None] * bs +
+                 locs.astype(jnp.int32)),
+    )
+    new_states = OfdmSyncState(
+        tail=full[:, full.shape[-1] - sync.overlap:],
+        base=states.base + jnp.int32(n_blocks * bs))
+    return new_states, res

@@ -309,9 +309,12 @@ def make_mcrx_step(num_channels: int, sync: ofdm_sync.OfdmSync):
                                              iqfmt.iq_from_any(x), up=True)
         chz_state, X = pfb_mod.pfb_analyze_block(chz, state.chz, y)
         chans = X[:, :N].T                      # [N, B] per-channel streams
-        sync_states, results = jax.vmap(
-            lambda st, blk: ofdm_sync.sync_block(sync, st, blk)
-        )(state.syncs, chans)
+        # all channels' candidates decode in one flat batch behind one
+        # global gate — vmap(sync_block) turned each channel's lax.cond
+        # into an always-run select (see ofdm_sync.sync_channels_batched)
+        sync_states, results = ofdm_sync.sync_channels_batched(
+            sync, state.syncs, chans[:, None, :])
+        results = jax.tree.map(lambda v: v[:, 0], results)  # drop block axis
         return McrxState(nco=nco_state, chz=chz_state,
                          syncs=sync_states), results
 
@@ -351,10 +354,8 @@ def make_mcrx_batched_step(num_channels: int,
                                              iqfmt.iq_from_any(x), up=True)
         chz_state, X = pfb_mod.pfb_analyze_block(chz, state.chz, y)
         chans = X[:, :N].T                      # [N, bs*n_blocks]
-        sync_states, results = jax.vmap(
-            lambda st, s: ofdm_sync.sync_blocks_batched(
-                sync, st, s.reshape(n_blocks, bs))
-        )(state.syncs, chans)
+        sync_states, results = ofdm_sync.sync_channels_batched(
+            sync, state.syncs, chans.reshape(N, n_blocks, bs))
         return McrxState(nco=nco_state, chz=chz_state,
                          syncs=sync_states), results
 

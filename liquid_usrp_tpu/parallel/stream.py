@@ -173,12 +173,20 @@ def make_sharded_mcrx(mesh: jax.sharding.Mesh, num_channels: int,
 
         base = t_idx * B - halo
 
-        def per_channel(s):
-            state, res = _scan_sync(sync, s[:halo], base, s[halo:],
-                                    chunk_blocks)
-            return res
-
-        res = jax.vmap(per_channel)(chans)       # leaves [N_loc, rows, ...]
+        # all local channels' candidates decode in one flat batch behind
+        # one global gate — a vmapped per-channel scan turns the lax.cond
+        # decode gate into an always-run select (see
+        # ofdm_sync.sync_channels_batched)
+        states = ofdm_sync.OfdmSyncState(
+            tail=chans[:, :halo],
+            base=jnp.full((N_loc,), base, jnp.int32))
+        _, res = ofdm_sync.sync_channels_batched(
+            sync, states,
+            chans[:, halo:].reshape(N_loc, chunk_blocks, sync.block_size))
+        res = jax.tree.map(
+            lambda v: v.reshape(
+                (N_loc, chunk_blocks * sync.max_frames) + v.shape[3:]),
+            res)                                 # leaves [N_loc, rows, ...]
         return jax.tree.map(lambda v: v[None, None], res)
 
     fn = jax.shard_map(shard_fn, mesh=mesh,
@@ -329,13 +337,18 @@ def make_sharded_mcrx_a2a(mesh: jax.sharding.Mesh, num_channels: int,
 
         def stage_b(streams, s_left, gstep):
             base = (gstep * n_time + t_idx) * B_grp - halo
-
-            def per_channel(halo_s, s):
-                _, res = _scan_sync(sync, halo_s, base, s,
-                                    chunk_blocks * n_ch)
-                return res
-
-            return jax.vmap(per_channel)(s_left, streams)
+            # flat channels-x-blocks candidate batch, one decode gate
+            # (see ofdm_sync.sync_channels_batched)
+            states = ofdm_sync.OfdmSyncState(
+                tail=s_left, base=jnp.full((N_loc,), base, jnp.int32))
+            _, res = ofdm_sync.sync_channels_batched(
+                sync, states,
+                streams.reshape(N_loc, chunk_blocks * n_ch,
+                                sync.block_size))
+            return jax.tree.map(
+                lambda v: v.reshape(
+                    (N_loc, chunk_blocks * n_ch * sync.max_frames)
+                    + v.shape[3:]), res)
 
         z_ana = jnp.zeros((ana_tail_len,), jnp.complex64)
         z_sync = jnp.zeros((N_loc, halo), jnp.complex64)
