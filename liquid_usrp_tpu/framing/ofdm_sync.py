@@ -442,7 +442,7 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
         dd_syms = min(_DD_SYMS, sync.max_psym)
         tab = jnp.asarray(payload_codec._stacked_tables())[mod]
         sub = pdata[:dd_syms]                            # [dd, n_data]
-        sym = payload_codec._nearest_sym(sub.reshape(-1), tab)
+        sym, _ = payload_codec._nearest_sym(sub.reshape(-1), tab)
         dec = tab[sym].reshape(sub.shape)                # [dd, n_data]
         pt_i = (jnp.arange(dd_syms)[:, None] * n_data +
                 jnp.arange(n_data)[None, :])

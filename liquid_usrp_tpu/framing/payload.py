@@ -308,8 +308,8 @@ def _nearest_sym(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 
     init = (jnp.full(x.shape, jnp.float32(1e30)),
             jnp.zeros(x.shape, jnp.int32))
-    (_, sym), _ = jax.lax.scan(body, init, (trc, tic, base))
-    return sym
+    (dmin, sym), _ = jax.lax.scan(body, init, (trc, tic, base))
+    return sym, dmin
 
 
 def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
@@ -322,7 +322,7 @@ def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
     x, off = _diff_effective(x, mod)
     tabs = jnp.asarray(_stacked_tables())
     table = tabs[mod]                                    # [256]
-    sym = _nearest_sym(x, table)                         # [n_pts]
+    sym, _ = _nearest_sym(x, table)                      # [n_pts]
     bps = jnp.asarray(
         [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
         dtype=jnp.int32)[mod]
@@ -409,13 +409,15 @@ def payload_evm_mse(points: jnp.ndarray, mod, used):
     """Per-row payload MSE vs nearest constellation point: ``points [K,
     n_pts]``, traced scheme ids, ``used [K]`` point counts -> ``[K]``.
 
-    XLA CSEs the distance matrix with the demap's inside one jit, so this
-    costs one masked reduction.
+    The min distance rides the same chunked scan as the demap
+    (:func:`_nearest_sym`) — the naive ``[K, n_pts, 256]`` distance
+    matrix this used to build (~800 MB for the 64-candidate batch) was
+    the measured top consumer of the whole decode once the demap itself
+    was chunked (its old CSE-with-the-demap justification died then).
     """
     x, off = jax.vmap(_diff_effective)(points, mod)
     tabs = jnp.asarray(_stacked_tables())
-    d2 = jnp.abs(x[:, :, None] - tabs[mod][:, None, :]) ** 2
-    dmin = jnp.min(d2, axis=-1)                       # [K, n_pts]
+    dmin = jax.vmap(lambda xr, m: _nearest_sym(xr, tabs[m])[1])(x, mod)
     idx = jnp.arange(points.shape[-1])[None, :]
     mask = (idx >= off[:, None]) & (idx < (used + off)[:, None])
     tot = jnp.sum(jnp.where(mask, dmin, 0.0), axis=-1)
