@@ -328,6 +328,67 @@ def lane_soft():
     return cnt == 3 and fp == exp, f"decoded {cnt}/3 fp_ok={fp == exp}"
 
 
+def lane_channels():
+    """sync_channels_batched == per-channel scan of sync_block ON CHIP
+    (the flat channels x blocks x candidates decode batch behind one
+    global gate that backs every multichannel receiver since round 3)."""
+    import jax
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    props = ofdm.default_props()
+    sync = ofdm_sync.make_sync(params, block_size=8192, max_payload=256,
+                               max_frames=4)
+    rng = np.random.default_rng(15)
+    N, n_blocks = 3, 2
+    chans = np.zeros((N, n_blocks * sync.block_size), np.complex64)
+    n_frames = 0
+    for ch in range(N):
+        h = rng.integers(0, 256, 8, dtype=np.uint8)
+        p = rng.integers(0, 256, 150, dtype=np.uint8)
+        w = _host_c64(lambda: ofdm.assemble_frame(
+            params, props, jnp.asarray(h), jnp.asarray(p)))
+        pos = 700 + 900 * ch
+        chans[ch, pos: pos + len(w)] = w
+        n_frames += 1
+    chans += (0.02 * (rng.normal(size=chans.shape) +
+                      1j * rng.normal(size=chans.shape))
+              ).astype(np.complex64)
+    from liquid_usrp_tpu.ops.iqfmt import device_put_c64
+    blocks = device_put_c64(
+        chans.reshape(N, n_blocks, sync.block_size))
+
+    @jax.jit
+    def both(blocks):
+        one = ofdm_sync.sync_init(sync)
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (N,) + x.shape), one)
+        _, r_bat = ofdm_sync.sync_channels_batched(sync, states, blocks)
+
+        def per_channel(bl):
+            def body(st, b):
+                st, res = ofdm_sync.sync_block(sync, st, b)
+                return st, res
+            _, r = jax.lax.scan(body, one, bl)
+            return r
+        r_seq = jax.vmap(per_channel)(blocks)
+        eq = jnp.all(r_seq.detected == r_bat.detected)
+        mask = r_seq.detected
+        for a, b in zip(r_seq, r_bat):
+            m = mask
+            while m.ndim < a.ndim:
+                m = m[..., None]
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                eq &= jnp.all(jnp.where(m, jnp.abs(a - b), 0.0) < 1e-4)
+            else:
+                eq &= jnp.all(jnp.where(m, a == b, True))
+        return eq, jnp.sum(r_bat.payload_valid)
+
+    eq, n_valid = both(blocks)
+    return bool(eq) and int(n_valid) == n_frames, \
+        f"equal={bool(eq)} valid={int(n_valid)}/{n_frames}"
+
+
 def _healthy(timeout_s: float = 150.0) -> bool:
     """Shared tunnel-session gate (liquid_usrp_tpu/utils/tpu_session.py)."""
     from liquid_usrp_tpu.utils.tpu_session import session_healthy
@@ -335,8 +396,8 @@ def _healthy(timeout_s: float = 150.0) -> bool:
 
 
 LANES = {"ofdm": lane_ofdm, "flex": lane_flex, "gmsk": lane_gmsk,
-         "batched": lane_batched, "pallas": lane_pallas,
-         "soft": lane_soft}
+         "batched": lane_batched, "channels": lane_channels,
+         "pallas": lane_pallas, "soft": lane_soft}
 
 
 def _child() -> int:
