@@ -69,6 +69,12 @@ class OfdmSync(NamedTuple):
     # kernel, 2 = fully fused metric+NMS+top-k candidate kernel (the
     # full-rate metric never reaches HBM)
     use_pallas: int = 0
+    # detection metric: True (default) = segmented-coherent S0
+    # cross-correlation (holds ~2-3 dB lower SNR than the Schmidl-Cox
+    # autocorrelation, whose lag-product SNR degrades quadratically);
+    # False = legacy autocorrelation metric (also what the Mosaic
+    # kernels implement — use_pallas > 0 forces it)
+    xcorr_detect: bool = True
 
 
 class OfdmSyncState(NamedTuple):
@@ -99,7 +105,7 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
               max_payload: int = 2048, max_frames: int = 8,
               threshold: float = 0.5,
               enable_conv: bool = False, soft: bool = False,
-              use_pallas="auto",
+              use_pallas="auto", xcorr_detect: bool = True,
               expansion: int = _EXPANSION) -> OfdmSync:
     if expansion < 1:
         raise ValueError(f"expansion must be >= 1 (got {expansion})")
@@ -127,7 +133,8 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
                     max_payload=max_payload, max_frames=max_frames,
                     threshold=threshold, overlap=overlap, max_psym=max_psym,
                     dec_max=dec_max, enc_max=enc_max, fecs=fecs, soft=soft,
-                    use_pallas=int(use_pallas))
+                    use_pallas=int(use_pallas),
+                    xcorr_detect=bool(xcorr_detect))
 
 
 def sync_init(sync: OfdmSync) -> OfdmSyncState:
@@ -170,6 +177,80 @@ def _detect_metric(sync: OfdmSync, ext: jnp.ndarray):
     floor = 1e-4 * L * (jnp.mean(p) + 1e-12)
     metric = jnp.where(jnp.minimum(e1, e2) > floor, metric, 0.0)
     return metric, c
+
+
+_XC_SEG = 24                    # xcorr coherence-segment length (samples)
+_XC_FREQ_CACHE: dict = {}
+
+
+def _xcorr_freq(params, nfft: int):
+    """Host-precomputed frequency responses of the reversed S0 template
+    segments (one per coherence segment; see ops.corr.comb_rev_freq_np
+    with k=1) plus the per-segment template energies."""
+    key = (params.s0_time.tobytes(), nfft)
+    hit = _XC_FREQ_CACHE.get(key)
+    if hit is None:
+        from ..ops.corr import comb_rev_freq_np
+        tmpl = np.tile(params.s0_time, NUM_S0)
+        n_seg = len(tmpl) // _XC_SEG
+        Gs = np.stack([
+            comb_rev_freq_np(np.conj(tmpl[s * _XC_SEG:(s + 1) * _XC_SEG]),
+                             1, nfft)
+            for s in range(n_seg)])
+        ea = np.array([
+            np.sum(np.abs(tmpl[s * _XC_SEG:(s + 1) * _XC_SEG]) ** 2)
+            for s in range(n_seg)], np.float32)
+        hit = (Gs, ea)
+        _XC_FREQ_CACHE[key] = hit
+    return hit
+
+
+def _detect_metric_xcorr(sync: OfdmSync, ext: jnp.ndarray) -> jnp.ndarray:
+    """Segmented-coherent S0 cross-correlation metric ``[n_metric]``.
+
+    The known ``NUM_S0 x M`` S0 preamble is correlated coherently within
+    ``_XC_SEG``-sample segments and |.|^2-combined across segments
+    (normalized per segment by Cauchy-Schwarz to [0, 1]) — the same
+    construction as the GMSK detector.  CFO-tolerant to ~pi/_XC_SEG
+    rad/sample; holds ~2-3 dB below the Schmidl-Cox autocorrelation
+    metric, whose lag-product SNR degrades quadratically (measured:
+    v27-soft OFDM detection fell from 40/40 at 4 dB to 11/40 at 2 dB
+    while every decoded header was clean).  S0 is period-M/4 periodic,
+    so secondary peaks appear at +-M/4 offsets; NMS (radius M) keeps the
+    strongest and the S1 fine-timing search window absorbs the residual
+    offset like it absorbs the autocorrelation metric's CP plateau.
+    """
+    M = sync.params.M
+    win = M
+    n_metric = sync.block_size + 2 * win + 1
+    L = ext.shape[0]
+    span = _XC_SEG
+    n_seg = NUM_S0 * M // span
+    from ..ops.corr import next_pow2
+    nfft = next_pow2(L + NUM_S0 * M)
+    Gs, ea = _xcorr_freq(sync.params, nfft)
+    F = jnp.fft.fft(ext, nfft)
+    pw = jnp.abs(ext) ** 2
+    e24 = _moving_sum(jnp.concatenate(
+        [pw, jnp.zeros((NUM_S0 * M,), pw.dtype)]), span)
+    # equal-weight mean of per-segment normalized correlations, over the
+    # FIXED segment count — NOT sum|u|^2 / sum(E ea): S0 is period-M/4
+    # periodic, so at a k*span-early offset the lit segments correlate
+    # perfectly while the silent ones contribute ~0 to both numerator
+    # and energy, scoring 1.0 and creating exact-tie duplicate peaks
+    # (found by test_single_frame_clean).  Per-segment normalization
+    # caps a partial overlap at lit/n_seg; silent segments are zeroed by
+    # the per-segment energy gate, which doubles as the silence gate.
+    seg_floor = 1e-4 * span * (jnp.mean(pw) + 1e-12)
+    acc = jnp.zeros((n_metric,), jnp.float32)
+    for s in range(n_seg):
+        off = s * span + span - 1
+        u = jnp.fft.ifft(F * jnp.asarray(Gs[s]))[off:off + n_metric]
+        Es = jax.lax.dynamic_slice_in_dim(e24, s * span, n_metric)
+        r = (jnp.real(u) ** 2 + jnp.imag(u) ** 2) / \
+            jnp.maximum(Es * float(ea[s]), 1e-12)
+        acc = acc + jnp.where(Es > seg_floor, r, 0.0)
+    return acc / n_seg
 
 
 def topk_peaks(score: jnp.ndarray, k: int, min_dist: int):
@@ -220,6 +301,12 @@ def _detect_candidates(sync: OfdmSync, ext: jnp.ndarray):
             sync.max_frames, interpret=None)
         return vals > 0, locs, c_at
     metric, c = _detect_metric(sync, ext)
+    if sync.xcorr_detect:
+        # detect on the segmented-coherent S0 cross-correlation (the
+        # autocorrelation metric above is still computed for `c`, the
+        # lag-product correlation whose angle is the coarse CFO estimate
+        # at the chosen offsets — one cumsum, cheap)
+        metric = _detect_metric_xcorr(sync, ext)
     detected, locs = _find_candidates(sync, metric)
     return detected, locs, c[jnp.clip(locs, 0, c.shape[0] - 1)]
 

@@ -182,6 +182,29 @@ def test_block_size_invariance(setup):
     np.testing.assert_array_equal(a["payload"], b["payload"])
 
 
+def test_low_snr_detection_sensitivity(setup):
+    """The segmented-coherent S0 cross-correlation detector must hold
+    frame detection at 2 dB SNR — where the Schmidl-Cox autocorrelation
+    metric detected 11/40 (docs/ber_ofdm_v27_soft pre-round-3; 40/40
+    now).  Pinned so a detector change can't silently give the ~3 dB
+    back."""
+    params, sync, step = setup
+    props = ofdm.FrameProps()
+    header, payload, samples = _make_frame(params, props, 21, 200)
+    sig = float(np.mean(np.abs(samples) ** 2))
+    hits = 0
+    for seed in range(5):
+        stream = np.zeros(3500 + len(samples), np.complex64)
+        pos = 700 + 500 * seed
+        stream[pos:pos + len(samples)] = samples
+        noisy = np.asarray(chan.channel_apply(
+            chan.Channel(snr_db=2.0, cfo=0.001), jax.random.PRNGKey(seed),
+            jnp.asarray(stream), signal_power=sig))
+        frames = _run_stream(sync, step, noisy)
+        hits += any(abs(f["t"] - pos) <= params.M // 2 for f in frames)
+    assert hits == 5, hits
+
+
 def test_low_snr_header_rejection(setup):
     """At very low SNR the CRC gates must reject corrupt payloads rather
     than return garbage as valid."""
