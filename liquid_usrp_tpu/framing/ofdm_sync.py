@@ -419,12 +419,15 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     cfo = -jnp.angle(c_at) / (M // 4)
     t = jnp.arange(W, dtype=jnp.float32)
     wraw = _window_gather(ext, n0, W)
-    w1 = wraw * jnp.exp(-1j * cfo * t)
     # fine CFO: the two S0 symbols repeat with period M, giving 4x the
     # discriminator lag of the coarse lag-M/4 estimate (Schmidl-Cox-style
     # second stage); the coarse residual is well inside the +-pi/M
-    # unambiguous range, so the composition is unconditionally valid
-    c_fine = jnp.sum(w1[:M] * jnp.conj(w1[M:2 * M]))
+    # unambiguous range, so the composition is unconditionally valid.
+    # The coarse derotation cancels inside the lag product up to the
+    # constant e^{+j cfo M}, so no intermediate derotated window is
+    # materialized (one fewer full-window rotate per candidate).
+    c_fine = jnp.sum(wraw[:M] * jnp.conj(wraw[M:2 * M])) * \
+        jnp.exp(1j * cfo * M)
     cfo = cfo - jnp.angle(c_fine) / M
     w = wraw * jnp.exp(-1j * cfo * t)
 
@@ -543,10 +546,10 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
         r2 = jnp.where(jnp.abs(r2) > 0.2, r2, 1.0)
         pdata = pdata / r2[None, :]
 
-    # stats
-    pre = _window_gather(ext, n0, NUM_S0 * M)
+    # stats (wraw starts at n0 and |wraw| == |ext| over the preamble, so
+    # the already-gathered window serves as the RSSI span)
     rssi = 10.0 * jnp.log10(jnp.maximum(
-        jnp.mean(jnp.abs(pre) ** 2), 1e-12))
+        jnp.mean(jnp.abs(wraw[:NUM_S0 * M]) ** 2), 1e-12))
     return (user, pdata.reshape(-1), plen, mod, f0, f1, check, hvalid,
             rssi, hevm, cfo)
 
