@@ -18,10 +18,11 @@ Format (from scratch):
   ``exp(j phi)``.
 
 TPU-first: TX phase is one ``cumsum`` over the filtered impulse train; RX
-computes the differential phase stream ``angle(x[n] conj(x[n-1]))`` for the
-whole block, correlates the known NRZ template at every offset (strided
-window gather), and decodes candidates under ``vmap`` with the shared codec
-(treating sampled NRZ values as BPSK points).
+runs an FFT-domain Laurent matched filter over the whole block, correlates
+the known template segmented-coherently at every offset (one dilated real
+convolution), and decodes candidates under ``vmap`` with the shared codec
+(treating derotated MF samples as pseudo-BPSK points, carrier-tracked by
+``phase_track.track_phase_bpsk``).
 """
 from __future__ import annotations
 

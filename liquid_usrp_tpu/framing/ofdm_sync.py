@@ -183,6 +183,17 @@ _XC_SEG = 24                    # xcorr coherence-segment length (samples)
 _XC_FREQ_CACHE: dict = {}
 
 
+def _xc_span(n_tmpl: int) -> int:
+    """Coherence-segment length: the largest divisor of the template
+    length <= _XC_SEG, so every template sample is covered at any M
+    (96 -> 24, 128 -> 16, 16 -> 16; a fixed 24 would leave 0 segments
+    at M=8 and 8 uncovered samples at M=64)."""
+    for span in range(min(_XC_SEG, n_tmpl), 0, -1):
+        if n_tmpl % span == 0:
+            return span
+    return n_tmpl
+
+
 def _xcorr_freq(params, nfft: int):
     """Host-precomputed frequency responses of the reversed S0 template
     segments (one per coherence segment; see ops.corr.comb_rev_freq_np
@@ -192,13 +203,14 @@ def _xcorr_freq(params, nfft: int):
     if hit is None:
         from ..ops.corr import comb_rev_freq_np
         tmpl = np.tile(params.s0_time, NUM_S0)
-        n_seg = len(tmpl) // _XC_SEG
+        span = _xc_span(len(tmpl))
+        n_seg = len(tmpl) // span
         Gs = np.stack([
-            comb_rev_freq_np(np.conj(tmpl[s * _XC_SEG:(s + 1) * _XC_SEG]),
+            comb_rev_freq_np(np.conj(tmpl[s * span:(s + 1) * span]),
                              1, nfft)
             for s in range(n_seg)])
         ea = np.array([
-            np.sum(np.abs(tmpl[s * _XC_SEG:(s + 1) * _XC_SEG]) ** 2)
+            np.sum(np.abs(tmpl[s * span:(s + 1) * span]) ** 2)
             for s in range(n_seg)], np.float32)
         hit = (Gs, ea)
         _XC_FREQ_CACHE[key] = hit
@@ -224,7 +236,7 @@ def _detect_metric_xcorr(sync: OfdmSync, ext: jnp.ndarray) -> jnp.ndarray:
     win = M
     n_metric = sync.block_size + 2 * win + 1
     L = ext.shape[0]
-    span = _XC_SEG
+    span = _xc_span(NUM_S0 * M)
     n_seg = NUM_S0 * M // span
     from ..ops.corr import next_pow2
     nfft = next_pow2(L + NUM_S0 * M)

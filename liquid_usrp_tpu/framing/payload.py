@@ -277,8 +277,8 @@ def _diff_effective(x: jnp.ndarray, mod: jnp.ndarray):
 _DEMOD_CHUNK = 16
 
 
-def _nearest_sym(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    """``argmin_c |x - table[c]|^2`` via a scan over table chunks.
+def _nearest_sym(x: jnp.ndarray, table: jnp.ndarray):
+    """``(argmin_c, min_c) |x - table[c]|^2`` via a scan over table chunks.
 
     Materializing the full ``[n_pts, 256]`` distance matrix is the
     whole-pipeline hot spot for the batched payload decode (the 64-row

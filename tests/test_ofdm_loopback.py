@@ -205,6 +205,31 @@ def test_low_snr_detection_sensitivity(setup):
     assert hits == 5, hits
 
 
+@pytest.mark.parametrize("geom", [(12, 2, 1), (16, 4, 2), (64, 8, 4)])
+def test_xcorr_detector_across_geometries(geom):
+    """The S0 cross-correlation detector must cover every M: its
+    coherence-segment length adapts to a divisor of NUM_S0*M (a fixed
+    24 would leave zero segments at M<12 and uncovered template samples
+    at M=64 — found in review)."""
+    Mg, cpg, tpg = geom
+    params = ofdm.make_ofdm_params(M=Mg, cp_len=cpg, taper_len=tpg)
+    sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=64,
+                               max_frames=2)
+    step = ofdm_sync.make_sync_step(sync)
+    rng = np.random.default_rng(Mg)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 40, dtype=np.uint8)
+    samples = np.asarray(ofdm.assemble_frame(
+        params, ofdm.FrameProps(), jnp.asarray(header),
+        jnp.asarray(payload)))
+    stream = np.zeros(2500 + len(samples), np.complex64)
+    stream[900:900 + len(samples)] = samples
+    frames = _run_stream(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1 and ok[0]["t"] == 900, frames
+    np.testing.assert_array_equal(ok[0]["payload"][:40], payload)
+
+
 def test_low_snr_header_rejection(setup):
     """At very low SNR the CRC gates must reject corrupt payloads rather
     than return garbage as valid."""
