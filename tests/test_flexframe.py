@@ -92,6 +92,30 @@ def test_props_awgn_cfo(setup, mod, fec0, fec1):
     np.testing.assert_allclose(f["cfo"], 0.003, atol=1e-3)
 
 
+def test_large_cfo_detection_and_decode(setup):
+    """CFO at 0.04 rad/sample (~2x the old |c1+c2|^2 metric's
+    self-cancellation point of pi/(32 k)) must still detect and decode:
+    pins the split-half noncoherent detection combining AND the
+    split-half CFO estimator's +-pi/(32 k) = +-0.049 range."""
+    params, sync, step = setup
+    rng = np.random.default_rng(9)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 120, dtype=np.uint8)
+    frame = np.asarray(ff.flex_assemble(params, ff.default_props(),
+                                        jnp.asarray(header),
+                                        jnp.asarray(payload)))
+    stream = np.zeros(3000 + len(frame), np.complex64)
+    stream[900:900 + len(frame)] = frame
+    ch = chan.Channel(snr_db=25.0, cfo=0.04, phase=0.3)
+    stream = np.asarray(chan.channel_apply(
+        ch, jax.random.PRNGKey(4), jnp.asarray(stream), signal_power=1.0))
+    frames = _run(sync, step, stream)
+    ok = [f for f in frames if f["payload_valid"]]
+    assert len(ok) == 1, frames
+    np.testing.assert_array_equal(ok[0]["payload"], payload)
+    np.testing.assert_allclose(ok[0]["cfo"], 0.04, atol=2e-3)
+
+
 def test_frame64(setup):
     params, sync, step = setup
     rng = np.random.default_rng(5)
