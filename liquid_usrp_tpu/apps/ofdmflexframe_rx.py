@@ -56,7 +56,19 @@ def _dump_debug(prefix: str, txrx, stream):
     from liquid_usrp_tpu.framing import ofdm_sync as _os
     n = min(len(stream), 1 << 16)
     ext = jnp.asarray(stream[:n])
-    metric, _ = _os._detect_metric(txrx._sync, ext)
+    sync = txrx._sync
+    # plot the metric the synchronizer actually detects on (xcorr by
+    # default; legacy autocorrelation when disabled or under use_pallas)
+    if sync.xcorr_detect and not sync.use_pallas:
+        # the xcorr metric's length is fixed by the sync config; pad a
+        # short capture up to one full extended block
+        need = sync.block_size + sync.overlap
+        if ext.shape[0] < need:
+            ext = jnp.concatenate(
+                [ext, jnp.zeros(need - ext.shape[0], ext.dtype)])
+        metric = _os._detect_metric_xcorr(sync, ext)[:n]
+    else:
+        metric, _ = _os._detect_metric(sync, ext)
     metric = np.asarray(metric)
     path = f"{prefix}_framesync_debug.m"
     with open(path, "w") as f:

@@ -339,9 +339,10 @@ def _front_end(sync: GmskSync, ext: jnp.ndarray):
     k = p.k
     # z sampled at symbol centers is ~ G * j^cumsum(nrz) per the linear
     # PAM model fitted in _fit_c0; both detection and decode run on it.
+    from ..ops.corr import comb_moving_sum, next_pow2
     L = ext.shape[0]
     Lc = p.c0.shape[0]
-    nfft = 1 << int(np.ceil(np.log2(L + Lc)))
+    nfft = next_pow2(L + Lc)
     H = jnp.asarray(_mf_freq_np(p.k, p.m, p.bt, nfft))
     start = (Lc - 1) // 2
     z = jnp.fft.ifft(jnp.fft.fft(ext, nfft) * H)[start:start + L]
@@ -360,7 +361,6 @@ def _front_end(sync: GmskSync, ext: jnp.ndarray):
         lhs, jnp.asarray(_detect_kernel_np(p.k, p.m, p.bt)),
         window_strides=(1,), padding="VALID", rhs_dilation=(k,),
         dimension_numbers=("NCW", "OIW", "NCW"))[0]        # [2 n_seg, w_out]
-    from ..ops.corr import comb_moving_sum
     e_out = comb_moving_sum(jnp.abs(zt) ** 2, DETECT_SEG, k, w_out)
     ea = np.sum(np.abs(p.a_ref.reshape(n_seg, DETECT_SEG)) ** 2, axis=-1)
     num = jnp.zeros((n_metric,), jnp.float32)

@@ -313,11 +313,16 @@ def _detect_candidates(sync: OfdmSync, ext: jnp.ndarray):
             sync.max_frames, interpret=None)
         return vals > 0, locs, c_at
     metric, c = _detect_metric(sync, ext)
-    if sync.xcorr_detect:
+    if sync.xcorr_detect and not sync.use_pallas:
         # detect on the segmented-coherent S0 cross-correlation (the
         # autocorrelation metric above is still computed for `c`, the
         # lag-product correlation whose angle is the coarse CFO estimate
-        # at the chosen offsets — one cumsum, cheap)
+        # at the chosen offsets — one cumsum, cheap).  Any use_pallas
+        # level keeps the legacy autocorrelation metric CONSISTENTLY —
+        # including this M<32 fused-kernel fallthrough — so the Mosaic
+        # and XLA paths always compare the same detector (review
+        # finding: level 1 computed the kernel metric then discarded it,
+        # and level 2 at M<32 silently swapped detectors).
         metric = _detect_metric_xcorr(sync, ext)
     detected, locs = _find_candidates(sync, metric)
     return detected, locs, c[jnp.clip(locs, 0, c.shape[0] - 1)]

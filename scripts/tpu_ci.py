@@ -2,17 +2,19 @@
 
 The CPU test suite (336 tests) proves the math; this lane proves the same
 decode paths on actual TPU hardware, where FFT/accumulation numerics can
-diverge.  Six lanes, all verification reductions computed ON DEVICE (only
-scalars cross the flaky tunnel — ROUND2_NOTES):
+diverge.  Seven lanes, all verification reductions computed ON DEVICE
+(only scalars cross the flaky tunnel — ROUND2_NOTES):
 
-  ofdm   : 3-frame OFDM flexframe loopback (AWGN + CFO) — payload-exact
-  flex   : single-carrier flexframe loopback (AWGN + CFO) — payload-exact
-  gmsk   : GMSK coherent-receiver loopback (AWGN + CFO) — payload-exact
-  batched: sync_blocks_batched == scan-of-sync_block on chip (the
-           production multi-block dispatch path)
-  pallas : fused Mosaic detect front-end (use_pallas=2) decodes the same
-           frames payload-exact as the XLA path
-  soft   : v27 channel-LLR Viterbi loopback — payload-exact on chip
+  ofdm    : 3-frame OFDM flexframe loopback (AWGN + CFO) — payload-exact
+  flex    : single-carrier flexframe loopback (AWGN + CFO) — payload-exact
+  gmsk    : GMSK coherent-receiver loopback (AWGN + CFO) — payload-exact
+  batched : sync_blocks_batched == scan-of-sync_block on chip (the
+            production multi-block dispatch path)
+  channels: sync_channels_batched == per-channel scan on chip (the flat
+            decode batch behind every multichannel receiver)
+  pallas  : fused Mosaic detect front-end (use_pallas=2) decodes the same
+            frames payload-exact as the XLA path
+  soft    : v27 channel-LLR Viterbi loopback — payload-exact on chip
 
 Prints one JSON line {"ok": bool, "lanes": {...}, "device": str}.
 Parent process retries fresh children through the session health gate
