@@ -466,6 +466,20 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     active = jnp.abs(s1f) > 1e-6
     H = jnp.where(active, R1 * jnp.conj(s1f) /
                   jnp.maximum(jnp.abs(s1f) ** 2, 1e-12), 1.0)
+    # S0-augmented estimate: the two S0 symbols precede S1 (periodic,
+    # no CP) and carry known values on every 4th carrier — two extra
+    # observations there, obs-count-weighted into the S1 LS estimate
+    # (same FFT-window timing offset t1, so the per-carrier phase slopes
+    # are consistent).  Gated on t1 >= 2M so a degenerate fine-timing
+    # pick cannot pull noise ahead of the frame into H.
+    r0 = jax.lax.dynamic_slice(
+        w, (jnp.maximum(t1 - 2 * M, 0),), (2 * M,))
+    R0 = (jnp.fft.fft(r0[:M]) + jnp.fft.fft(r0[M:])) / \
+        (2.0 * jnp.sqrt(jnp.float32(M)))
+    s0f = jnp.asarray(p.s0_freq)
+    act0 = (jnp.abs(s0f) > 1e-6) & (t1 >= 2 * M)
+    H0 = R0 * jnp.conj(s0f) / jnp.maximum(jnp.abs(s0f) ** 2, 1e-12)
+    H = jnp.where(act0, (H + 2.0 * H0) / 3.0, H)
     # smooth the LS estimate across physically-adjacent active carriers:
     # a single-symbol LS estimate costs ~3 dB of EQ noise; a [1 2 1]/4
     # kernel over the frequency-sorted active set recovers most of it
