@@ -56,17 +56,22 @@ def session_healthy(timeout_s: float | None = None) -> bool:
                 lambda: jnp.ones((128, 128)) @ jnp.ones((128, 128)))())
 
             # bad-mode (c) discriminator: matmul passes there, these fail
+            # NOTE the reduction must be well-conditioned: sum of FFT
+            # *real parts* is mathematically ~0 here (= N*y[0]), so a
+            # healthy session's float32 residual (~76 on v5e) divided by
+            # a near-zero expectation failed the gate for every healthy
+            # session (round-3 live repro).  abs().sum() is O(signal).
             def structured():
                 x = jnp.pad(jnp.arange(1024, dtype=jnp.float32), (3, 5))
                 y = jnp.cumsum(x)[jnp.arange(0, 1024, 8)]
-                return jnp.fft.fft(y.astype(jnp.complex64)).real.sum()
+                return jnp.abs(jnp.fft.fft(y.astype(jnp.complex64))).sum()
 
             s = float(jax.jit(structured)())
             # deterministic input -> assert the exact expected value (a
             # wrong-but-finite session result must fail the gate too)
             xe = np.pad(np.arange(1024, dtype=np.float32), (3, 5))
             ye = np.cumsum(xe)[np.arange(0, 1024, 8)]
-            se = float(np.fft.fft(ye.astype(np.complex64)).real.sum())
+            se = float(np.abs(np.fft.fft(ye.astype(np.complex128))).sum())
             rel = abs(s - se) / max(abs(se), 1.0)
             ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0)
                       and bool(np.isfinite(s)) and rel < 1e-4)
