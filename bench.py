@@ -437,10 +437,18 @@ def _bench_cpu_fallback():
         max_frames=int(os.environ.get("_BENCH_CPU_FRAMES", "16")),
         scan=1)
     extra["dispatch"] = "cpu_fallback"
-    extra["note"] = ("TPU tunnel outage: every session failed the health "
-                     "gate; this is the same decode-verified pipeline "
-                     "measured on the host CPU (see README perf section "
-                     "for the last good on-TPU number)")
+    # the parent records WHY each TPU attempt failed (gate fail vs timeout
+    # vs in-variant exception) — report the actual causes, not a guess
+    # (VERDICT r3 weak #2: a hardcoded "every session failed the health
+    # gate" would mislabel deadline exhaustion or a new failure mode)
+    reasons = os.environ.get("_BENCH_TPU_ATTEMPTS", "")
+    extra["note"] = (
+        "TPU attempts failed [" + reasons + "]; this is the same "
+        "decode-verified pipeline measured on the host CPU (see README "
+        "perf section for the last good on-TPU number)"
+        if reasons else
+        "no TPU attempt was made (deadline already exhausted); this is "
+        "the same decode-verified pipeline measured on the host CPU")
     return metric, sps, extra
 
 
@@ -476,19 +484,20 @@ def _child(which: str) -> int:
 
 
 def _run_child(which: str, timeout_s: float, extra_env=None):
-    """One child attempt; returns the JSON line (str) or None."""
+    """One child attempt; returns (json_line|None, rc|None, err_tail)."""
     env = dict(os.environ, _BENCH_CHILD=which, **(extra_env or {}))
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return None, None
+        return None, None, f"timeout({timeout_s:.0f}s)"
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and '"metric"' in line:
-            return line, out.returncode
-    return None, out.returncode
+            return line, out.returncode, ""
+    tail = (out.stderr or "").strip().splitlines()
+    return None, out.returncode, (tail[-1][:160] if tail else "")
 
 
 def main() -> int:
@@ -513,8 +522,9 @@ def main() -> int:
     # reserve enough for one CPU-fallback child (measured ~2-3 min cold)
     reserve = min(300.0, 0.35 * budget)
     attempts = [("best", 12), ("mcrx_xl", 5), ("mcrx", 4), ("sync", 3)]
+    attempt_log = []                 # actual per-attempt failure causes
     for which, tries in attempts:
-        for _ in range(tries):
+        for i in range(tries):
             avail = remaining() - reserve
             if avail < 120.0:
                 break           # out of TPU budget: go to the fallback
@@ -522,32 +532,40 @@ def main() -> int:
             # shrink the in-child health gate so a hanging session never
             # eats more than a fraction of the attempt
             gate = str(int(min(150.0, max(30.0, tmo / 4))))
-            line, rc = _run_child(
+            line, rc, err = _run_child(
                 which, tmo, {"TPU_HEALTH_TIMEOUT_S": gate,
                              "_BENCH_BUDGET_S": str(int(tmo - 20))})
             if line:
                 print(line)
                 return 0
             if rc == 3:
+                attempt_log.append(f"{which}#{i + 1}: health-gate fail")
                 time.sleep(min(10, max(0.0, remaining() - reserve)))
             else:
+                attempt_log.append(
+                    f"{which}#{i + 1}: " +
+                    (err if rc is None                 # timeout(Ns)
+                     else f"rc={rc} {err}".strip()))
                 time.sleep(min(20, max(0.0, remaining() - reserve)))
         if remaining() - reserve < 120.0:
             break
-    # fallback tier: decode-verified CPU measurement, clearly labeled
+    # fallback tier: decode-verified CPU measurement, clearly labeled;
+    # pass the per-attempt causes so the JSON line reports what actually
+    # happened (gate fail vs timeout vs variant exception)
     tmo = max(90.0, remaining() - 30.0)
-    line, _ = _run_child("cpu", tmo)
+    line, _, _ = _run_child(
+        "cpu", tmo, {"_BENCH_TPU_ATTEMPTS": "; ".join(attempt_log)})
     if line:
         print(line)
         return 0
     print(json.dumps({
         "metric": "mcrx_iq_throughput", "value": 0.0,
         "unit": "samples/s/chip", "vs_baseline": 0.0, "correct": False,
-        "error": ("no healthy TPU tunnel session within the "
-                  f"{budget:.0f}s deadline and the CPU fallback did not "
-                  "complete — observed outage mode: fresh nontrivial "
-                  "compiles fail UNIMPLEMENTED (ROUND2_NOTES.md); last "
-                  "good measurement: README.md perf section")}))
+        "error": ("no JSON within the "
+                  f"{budget:.0f}s deadline; TPU attempts: ["
+                  + "; ".join(attempt_log) + "] and the CPU fallback "
+                  "did not complete; last good measurement: README.md "
+                  "perf section")}))
     return 1
 
 

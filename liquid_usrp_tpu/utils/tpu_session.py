@@ -60,21 +60,25 @@ def session_healthy(timeout_s: float | None = None) -> bool:
             # *real parts* is mathematically ~0 here (= N*y[0]), so a
             # healthy session's float32 residual (~76 on v5e) divided by
             # a near-zero expectation failed the gate for every healthy
-            # session (round-3 live repro).  abs().sum() is O(signal).
+            # session (round-3 live repro).  Per-bin complex comparison
+            # is O(signal) per bin AND phase/order-sensitive (a session
+            # with right magnitudes in wrong bins or corrupted phases
+            # must fail too).
             def structured():
                 x = jnp.pad(jnp.arange(1024, dtype=jnp.float32), (3, 5))
                 y = jnp.cumsum(x)[jnp.arange(0, 1024, 8)]
-                return jnp.abs(jnp.fft.fft(y.astype(jnp.complex64))).sum()
+                return jnp.fft.fft(y.astype(jnp.complex64))
 
-            s = float(jax.jit(structured)())
-            # deterministic input -> assert the exact expected value (a
-            # wrong-but-finite session result must fail the gate too)
+            s_bins = np.asarray(jax.jit(structured)())
+            # deterministic input -> assert the exact expected spectrum
+            # (a wrong-but-finite session result must fail the gate too)
             xe = np.pad(np.arange(1024, dtype=np.float32), (3, 5))
             ye = np.cumsum(xe)[np.arange(0, 1024, 8)]
-            se = float(np.abs(np.fft.fft(ye.astype(np.complex128))).sum())
-            rel = abs(s - se) / max(abs(se), 1.0)
+            se_bins = np.fft.fft(ye.astype(np.complex128))
+            rel = float(np.abs(s_bins - se_bins).max()
+                        / max(np.abs(se_bins).max(), 1.0))
             ok.append(bool(v.sum() == 32.0) and bool(m[0, 0] == 128.0)
-                      and bool(np.isfinite(s)) and rel < 1e-4)
+                      and bool(np.all(np.isfinite(s_bins))) and rel < 1e-4)
         except Exception:
             ok.append(False)
 

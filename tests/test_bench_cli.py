@@ -58,9 +58,26 @@ def test_cpu_fallback_child_end_to_end():
 @pytest.mark.slow
 def test_parent_deadline_forces_fallback_json_line():
     """With an already-expired deadline the parent must skip every TPU
-    tier and still print exactly one JSON line via the CPU fallback."""
+    tier and still print exactly one JSON line via the CPU fallback —
+    whose note must state the TRUE cause (no attempt was made), not the
+    old hardcoded health-gate story (VERDICT r3 weak #2)."""
     out = _run(dict(TINY, BENCH_DEADLINE_S="1"))
     assert out.returncode == 0, out.stderr[-2000:]
     rec = _assert_one_json_line(out)
     assert rec["dispatch"] == "cpu_fallback"
     assert rec["correct"] is True
+    assert "no TPU attempt was made" in rec["note"]
+
+
+@pytest.mark.slow
+def test_fallback_note_reports_actual_attempt_reasons():
+    """When TPU attempts DID fail, the fallback JSON must carry the
+    per-attempt causes the parent recorded (gate fail vs timeout vs
+    exception), verbatim."""
+    reasons = "best#1: health-gate fail; best#2: timeout(700s)"
+    out = _run(dict(TINY, _BENCH_CHILD="cpu",
+                    _BENCH_TPU_ATTEMPTS=reasons))
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = _assert_one_json_line(out)
+    assert rec["dispatch"] == "cpu_fallback"
+    assert reasons in rec["note"]
