@@ -57,10 +57,13 @@ def main(argv=None) -> int:
     gap = np.zeros(300, np.complex64)
     chunks = [gap]
     for pid in range(num_frames):
-        header = np.empty(8, np.uint8)
+        # 14-byte user header (reference flexframe_tx.cc:176 parity):
+        # pid in bytes 0-1, the rest random
+        header = np.empty(ff.FLEX_HEADER_USER, np.uint8)
         header[0] = (pid >> 8) & 0xFF
         header[1] = pid & 0xFF
-        header[2:] = rng.integers(0, 256, 6, dtype=np.uint8)
+        header[2:] = rng.integers(0, 256, ff.FLEX_HEADER_USER - 2,
+                                  dtype=np.uint8)
         payload = rng.integers(0, 256, P, dtype=np.uint8)
         frame = np.asarray(ff.flex_assemble(
             params, props, jnp.asarray(header), jnp.asarray(payload),

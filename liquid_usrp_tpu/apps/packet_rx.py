@@ -60,7 +60,8 @@ def main(argv=None) -> int:
     params = ff.make_flex_params()
     sync = ffs.make_flex_sync(params, block_size=8192,
                               max_payload=ff.FRAME64_PAYLOAD,
-                              max_frames=4)
+                              max_frames=4,
+                              header_user=ff.FRAME64_HEADER_USER)
     step = ffs.make_flex_sync_step(sync)
     stats = RxStats()
     foreign = 0

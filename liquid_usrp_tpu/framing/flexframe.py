@@ -36,11 +36,18 @@ from .payload import HEADER_BPS, HEADER_MOD, HEADER_SYMS
 __all__ = [
     "FlexParams", "make_flex_params", "flex_assemble", "flex_frame_length",
     "FrameProps", "default_props", "PILOT_SPACING", "PREAMBLE_SYMS",
+    "FLEX_HEADER_USER", "FRAME64_HEADER_USER",
     "FRAME64_PAYLOAD", "frame64_props", "frame64_assemble", "FRAME64_LEN",
 ]
 
 PREAMBLE_SYMS = 64
 PILOT_SPACING = 16          # every 16th payload slot is a PN BPSK pilot
+# the reference's flexframe apps carry a 14-byte user header
+# (/root/reference/src/flexframe_tx.cc:176); frame64 and the other
+# families use the 8-byte default.  The header length is a static
+# per-frame-format property: TX derives it from header.shape[-1] and the
+# sync carries it in FlexSync.header_user.
+FLEX_HEADER_USER = 14
 
 
 class FlexParams(NamedTuple):
@@ -87,15 +94,18 @@ def slots_layout(n_slots: int):
 
 
 def flex_frame_symbols(params: FlexParams, props: FrameProps,
-                       payload_len: int) -> int:
-    return (PREAMBLE_SYMS + HEADER_SYMS +
+                       payload_len: int,
+                       header_user: int = FLEX_HEADER_USER) -> int:
+    return (PREAMBLE_SYMS + payload_codec.header_syms(header_user) +
             n_payload_slots(props, payload_len))
 
 
 def flex_frame_length(params: FlexParams, props: FrameProps,
-                      payload_len: int) -> int:
+                      payload_len: int,
+                      header_user: int = FLEX_HEADER_USER) -> int:
     """Total burst samples (symbols * k + interpolation flush tail)."""
-    return flex_frame_symbols(params, props, payload_len) * params.k + \
+    return flex_frame_symbols(params, props, payload_len,
+                              header_user) * params.k + \
         2 * params.m * params.k
 
 
@@ -105,19 +115,22 @@ def flex_assemble(params: FlexParams, props: FrameProps,
                   rx_max_payload: int = None) -> jnp.ndarray:
     """Assemble one burst -> complex64 ``[flex_frame_length]``.
 
-    ``expansion``/``rx_max_payload`` describe the receiving sync's decode
-    budget (see payload.check_budget)."""
+    ``header.shape[-1]`` sets the user-header length (a static frame-
+    format property; the receiving sync must be built with the same
+    ``header_user``).  ``expansion``/``rx_max_payload`` describe the
+    receiving sync's decode budget (see payload.check_budget)."""
     payload_len = payload.shape[-1]
     payload_codec.check_budget(props, payload_len, expansion,
                                rx_max_payload)
     # header symbols
+    hdr_syms = payload_codec.header_syms(header.shape[-1])
     henc = payload_codec.encode_header(header, payload_len, props)
     hbits = unpack_bits(henc)
-    pad = HEADER_SYMS * HEADER_BPS - hbits.shape[-1]
+    pad = hdr_syms * HEADER_BPS - hbits.shape[-1]
     if pad > 0:
         hbits = jnp.concatenate([hbits, jnp.zeros(pad, dtype=hbits.dtype)])
     hsyms = modem_mod.modulate(
-        HEADER_MOD, modem_mod.bits_to_symbols(hbits[: HEADER_SYMS *
+        HEADER_MOD, modem_mod.bits_to_symbols(hbits[: hdr_syms *
                                                     HEADER_BPS], HEADER_BPS))
     # payload symbols
     enc = payload_codec.encode_payload(props, payload)
@@ -169,13 +182,19 @@ def frame64_props() -> FrameProps:
                       fec1=fec_mod.FEC_GOLAY2412, mod=modem_mod.MOD_QPSK)
 
 
+FRAME64_HEADER_USER = 8     # framegen64's fixed 8-byte user header
+
+
 def frame64_assemble(params: FlexParams, header: jnp.ndarray,
                      payload: jnp.ndarray) -> jnp.ndarray:
     """Fixed-format frame: 64-byte payload, constant length (FRAME64_LEN)."""
     if payload.shape[-1] != FRAME64_PAYLOAD:
         raise ValueError("frame64 payload must be exactly 64 bytes")
+    if header.shape[-1] != FRAME64_HEADER_USER:
+        raise ValueError("frame64 header must be exactly 8 bytes")
     return flex_assemble(params, frame64_props(), header, payload)
 
 
 FRAME64_LEN = flex_frame_length(make_flex_params(), frame64_props(),
-                                FRAME64_PAYLOAD)
+                                FRAME64_PAYLOAD,
+                                header_user=FRAME64_HEADER_USER)

@@ -30,10 +30,9 @@ from ..ops import iqfmt
 from ..ops import modem as modem_mod
 from . import payload as payload_codec
 from .phase_track import track_phase_bpsk
-from .flexframe import (FlexParams, PILOT_SPACING, PREAMBLE_SYMS,
-                        slots_layout)
-from .payload import (EXPANSION as _EXPANSION, HEADER_BPS, HEADER_MOD,
-                      HEADER_SYMS)
+from .flexframe import (FLEX_HEADER_USER, FlexParams, PILOT_SPACING,
+                        PREAMBLE_SYMS, slots_layout)
+from .payload import EXPANSION as _EXPANSION, HEADER_BPS, HEADER_MOD
 
 __all__ = ["FlexSync", "FlexSyncState", "make_flex_sync", "flex_sync_init",
            "flex_sync_block", "make_flex_sync_step",
@@ -52,6 +51,7 @@ class FlexSync(NamedTuple):
     enc_max: int
     fecs: tuple = payload_codec.PAYLOAD_FECS
     soft: bool = False
+    header_user: int = FLEX_HEADER_USER   # user-header bytes (static)
 
 
 class FlexSyncState(NamedTuple):
@@ -82,7 +82,8 @@ def make_flex_sync(params: FlexParams, block_size: int = 16384,
                    max_payload: int = 2048, max_frames: int = 8,
                    threshold: float = 0.5, enable_conv: bool = False,
                    soft: bool = False,
-                   expansion: int = _EXPANSION) -> FlexSync:
+                   expansion: int = _EXPANSION,
+                   header_user: int = FLEX_HEADER_USER) -> FlexSync:
     if expansion < 1:
         raise ValueError(f"expansion must be >= 1 (got {expansion})")
     dec_max = max_payload + 4
@@ -90,7 +91,8 @@ def make_flex_sync(params: FlexParams, block_size: int = 16384,
     # +1 point: DPSK payloads lead with a phase-reference point
     max_data = enc_max * 8 + 1                  # bps >= 1
     max_slots = max_data + -(-max_data // (PILOT_SPACING - 1))
-    n_syms = PREAMBLE_SYMS + HEADER_SYMS + max_slots
+    n_syms = PREAMBLE_SYMS + payload_codec.header_syms(header_user) \
+        + max_slots
     max_frame = n_syms * params.k + 4 * params.m * params.k
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
             else payload_codec.PAYLOAD_FECS)
@@ -105,7 +107,7 @@ def make_flex_sync(params: FlexParams, block_size: int = 16384,
                     threshold=threshold,
                     overlap=max_frame + 32 * params.k + 32,
                     max_slots=max_slots, dec_max=dec_max, enc_max=enc_max,
-                    fecs=fecs, soft=soft)
+                    fecs=fecs, soft=soft, header_user=header_user)
 
 
 def flex_sync_init(sync: FlexSync) -> FlexSyncState:
@@ -181,7 +183,8 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     delta = jnp.clip(delta, -0.5, 0.5)
 
     # symbol sample positions: preamble starts at n0 (+delta fractional)
-    n_syms = PREAMBLE_SYMS + HEADER_SYMS + sync.max_slots
+    hdr_syms = payload_codec.header_syms(sync.header_user)
+    n_syms = PREAMBLE_SYMS + hdr_syms + sync.max_slots
     pos = n0.astype(jnp.float32) + delta + k * jnp.arange(
         n_syms, dtype=jnp.float32)
     i0 = jnp.floor(pos).astype(jnp.int32)
@@ -214,12 +217,12 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
     # section there are no pilots to anchor it — measured as a
     # 10-25% header-error floor from -1 to +3 dB.  The preamble symbols
     # (known signs after derotation) anchor the tracker's absolute phase.
-    hsyms = syms[PREAMBLE_SYMS:PREAMBLE_SYMS + HEADER_SYMS]
+    hsyms = syms[PREAMBLE_SYMS:PREAMBLE_SYMS + hdr_syms]
     u_pre = syms[:PREAMBLE_SYMS] * jnp.conj(pre)
     y_tr = jnp.concatenate([u_pre, hsyms])
     sgn_known = jnp.concatenate(
         [jnp.ones((PREAMBLE_SYMS,), jnp.float32),
-         jnp.zeros((HEADER_SYMS,), jnp.float32)])
+         jnp.zeros((hdr_syms,), jnp.float32)])
     phi = track_phase_bpsk(y_tr, sgn_known, seg=32, n_iter=2)
     hsyms = hsyms * jnp.exp(-1j * phi[PREAMBLE_SYMS:])
     hdec = modem_mod.demodulate(HEADER_MOD, hsyms)
@@ -227,20 +230,23 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
         # soft header: exact-ML Golay from channel LLRs (~2 dB)
         hllrs = payload_codec.generic_demod_soft(
             hsyms, jnp.int32(HEADER_MOD),
-            payload_codec.HEADER_ENC_BYTES * 8)
+            payload_codec.header_enc_bytes(sync.header_user) * 8)
         (user, plen, mod, f0, f1, check,
          hvalid) = payload_codec.decode_header_soft(
-            hllrs, sync.max_payload, len(sync.fecs))
+            hllrs, sync.max_payload, len(sync.fecs),
+            user_bytes=sync.header_user)
     else:
         hbits = modem_mod.symbols_to_bits(hdec, HEADER_BPS)
-        hbytes = payload_codec.header_bits_to_bytes(hbits)
+        hbytes = payload_codec.header_bits_to_bytes(
+            hbits, user_bytes=sync.header_user)
         (user, plen, mod, f0, f1, check,
          hvalid) = payload_codec.decode_header(
-            hbytes, sync.max_payload, len(sync.fecs))
+            hbytes, sync.max_payload, len(sync.fecs),
+            user_bytes=sync.header_user)
     hevm = modem_mod.evm(HEADER_MOD, hsyms, hdec)
 
     # payload section with per-pilot-segment phase correction
-    section = syms[PREAMBLE_SYMS + HEADER_SYMS:]
+    section = syms[PREAMBLE_SYMS + hdr_syms:]
     data_pos, pilot_pos = slots_layout(sync.max_slots)
     # periodic pilot PN by ordinal (mirrors flex_assemble)
     pil_ref = jnp.asarray(p.pilot_pn, dtype=jnp.complex64)[
@@ -365,7 +371,7 @@ def _gated_decode(sync: FlexSync, mf, metric, gate, locs, c1_at, c2_at,
 
     def skip_decode(args):
         f32 = jnp.float32
-        return (jnp.zeros((R, 8), jnp.uint8),
+        return (jnp.zeros((R, sync.header_user), jnp.uint8),
                 jnp.zeros((R, sync.max_payload), jnp.uint8),
                 jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
                 jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),

@@ -31,7 +31,8 @@ __all__ = [
     "PAYLOAD_FECS", "PAYLOAD_FECS_FULL", "PAYLOAD_MODS",
     "HEADER_USER_BYTES",
     "HEADER_DEC_BYTES", "HEADER_ENC_BYTES", "HEADER_MOD", "HEADER_BPS",
-    "HEADER_SYMS", "scramble", "encode_header", "decode_header",
+    "HEADER_SYMS", "header_dec_bytes", "header_enc_bytes", "header_syms",
+    "scramble", "encode_header", "decode_header",
     "decode_header_soft",
     "encode_payload", "payload_enc_bytes", "check_budget",
     "required_expansion",
@@ -51,7 +52,7 @@ PAYLOAD_FECS = (
 # sync).  Must stay an id-ordered prefix of the scheme enum.
 PAYLOAD_FECS_FULL = PAYLOAD_FECS + (fec_mod.FEC_CONV_V27,
                                     fec_mod.FEC_CONV_V29, fec_mod.FEC_RS8)
-PAYLOAD_MODS = tuple(range(42))     # every modem scheme id
+PAYLOAD_MODS = tuple(range(50))     # every modem scheme id
 EXPANSION = 3                       # worst supported FEC expansion budget
 _MAX_CONST = 256
 # differential schemes (dpsk2/4/8): symbols ride phase *increments*, with
@@ -60,14 +61,36 @@ _MAX_CONST = 256
 _IS_DIFF = np.array([modem_mod.is_differential(s) for s in PAYLOAD_MODS])
 
 HEADER_USER_BYTES = 8               # reference: p_id + 6 random bytes
-HEADER_DEC_BYTES = HEADER_USER_BYTES + 6 + 2  # + internal fields + CRC16
 # Golay(24,12) + BPSK header: ~4 dB more sensitive than Hamming(12,8)+QPSK
 # for ~9% frame overhead — the header is the end-to-end waterfall limiter
 HEADER_FEC = fec_mod.FEC_GOLAY2412
-HEADER_ENC_BYTES = fec_mod.encoded_length(HEADER_FEC, HEADER_DEC_BYTES)
 HEADER_MOD = modem_mod.MOD_BPSK
 HEADER_BPS = 1
-HEADER_SYMS = (HEADER_ENC_BYTES * 8 + HEADER_BPS - 1) // HEADER_BPS
+
+
+# The user-header length is per-family configurable (the reference's
+# flexframe apps carry a 14-byte user header, /root/reference/src/
+# flexframe_tx.cc:176, while ofdmflexframe/gmskframe use 8).  All header
+# layout sizes derive from it:
+
+def header_dec_bytes(user_bytes: int = HEADER_USER_BYTES) -> int:
+    """user bytes + [len u16 | mod | fec0 | fec1 | check] + CRC16."""
+    return user_bytes + 6 + 2
+
+
+def header_enc_bytes(user_bytes: int = HEADER_USER_BYTES) -> int:
+    return fec_mod.encoded_length(HEADER_FEC, header_dec_bytes(user_bytes))
+
+
+def header_syms(user_bytes: int = HEADER_USER_BYTES) -> int:
+    return (header_enc_bytes(user_bytes) * 8 + HEADER_BPS - 1) // HEADER_BPS
+
+
+# default-8 instances (the ofdm/gmsk families and the wire format of
+# every artifact recorded before header lengths became configurable)
+HEADER_DEC_BYTES = header_dec_bytes()
+HEADER_ENC_BYTES = header_enc_bytes()
+HEADER_SYMS = header_syms()
 
 
 @functools.lru_cache(maxsize=None)
@@ -98,8 +121,9 @@ def _stacked_tables() -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def encode_header(header: jnp.ndarray, payload_len: int, props) -> jnp.ndarray:
-    """8 user bytes + [len u16 | mod | fec0 | fec1 | check] -> encoded
-    (scrambled) header bytes."""
+    """User bytes (length = the family's static user-header size) +
+    [len u16 | mod | fec0 | fec1 | check] -> encoded (scrambled) header
+    bytes.  All layout sizes derive from ``header.shape[-1]``."""
     internal = jnp.asarray([
         (payload_len >> 8) & 0xFF, payload_len & 0xFF,
         props.mod & 0xFF, props.fec0 & 0xFF, props.fec1 & 0xFF,
@@ -110,19 +134,21 @@ def encode_header(header: jnp.ndarray, payload_len: int, props) -> jnp.ndarray:
 
 
 def decode_header(hbytes: jnp.ndarray, max_payload: int,
-                  n_fecs: int = len(PAYLOAD_FECS)):
+                  n_fecs: int = len(PAYLOAD_FECS),
+                  user_bytes: int = HEADER_USER_BYTES):
     """Encoded header bytes -> (user, plen, mod, f0, f1, check, valid).
 
     Field values are clamped into range so they are safe as traced indices
     even when ``valid`` is False.
     """
     dec = fec_mod.fec_decode(HEADER_FEC, scramble(hbytes, salt=1),
-                             HEADER_DEC_BYTES)
-    return _header_fields(dec, max_payload, n_fecs)
+                             header_dec_bytes(user_bytes))
+    return _header_fields(dec, max_payload, n_fecs, user_bytes)
 
 
 def decode_header_soft(hllrs: jnp.ndarray, max_payload: int,
-                       n_fecs: int = len(PAYLOAD_FECS)):
+                       n_fecs: int = len(PAYLOAD_FECS),
+                       user_bytes: int = HEADER_USER_BYTES):
     """Soft-decision header decode from channel bit LLRs.
 
     ``hllrs [>= HEADER_ENC_BYTES*8]`` float LLRs of the header bit stream
@@ -134,26 +160,29 @@ def decode_header_soft(hllrs: jnp.ndarray, max_payload: int,
     the end-to-end waterfall at low SNR once payload FEC is strong (the
     conv-coded GMSK/flex/ofdm configs).
     """
-    need = HEADER_ENC_BYTES * 8
-    pn = np.unpackbits(_scramble_np(HEADER_ENC_BYTES, 1)).astype(np.float32)
+    enc_b = header_enc_bytes(user_bytes)
+    dec_b = header_dec_bytes(user_bytes)
+    need = enc_b * 8
+    pn = np.unpackbits(_scramble_np(enc_b, 1)).astype(np.float32)
     L = hllrs[:need] * jnp.asarray(1.0 - 2.0 * pn)
     c_k, c_n = 12, 24
-    nblocks = -(-(HEADER_DEC_BYTES * 8) // c_k)
+    nblocks = -(-(dec_b * 8) // c_k)
     mbits = fec_mod.golay_decode_soft(
         L[: nblocks * c_n].reshape(nblocks, c_n))
-    dec = pack_bits(mbits.reshape(-1)[: HEADER_DEC_BYTES * 8])
-    return _header_fields(dec, max_payload, n_fecs)
+    dec = pack_bits(mbits.reshape(-1)[: dec_b * 8])
+    return _header_fields(dec, max_payload, n_fecs, user_bytes)
 
 
-def _header_fields(dec: jnp.ndarray, max_payload: int, n_fecs: int):
+def _header_fields(dec: jnp.ndarray, max_payload: int, n_fecs: int,
+                   user_bytes: int = HEADER_USER_BYTES):
     ok = crc_mod.crc_check(crc_mod.CRC_16, dec)
-    user = dec[:HEADER_USER_BYTES]
-    plen = (dec[HEADER_USER_BYTES].astype(jnp.int32) << 8) | \
-        dec[HEADER_USER_BYTES + 1].astype(jnp.int32)
-    mod = dec[HEADER_USER_BYTES + 2].astype(jnp.int32)
-    f0 = dec[HEADER_USER_BYTES + 3].astype(jnp.int32)
-    f1 = dec[HEADER_USER_BYTES + 4].astype(jnp.int32)
-    check = dec[HEADER_USER_BYTES + 5].astype(jnp.int32)
+    user = dec[:user_bytes]
+    plen = (dec[user_bytes].astype(jnp.int32) << 8) | \
+        dec[user_bytes + 1].astype(jnp.int32)
+    mod = dec[user_bytes + 2].astype(jnp.int32)
+    f0 = dec[user_bytes + 3].astype(jnp.int32)
+    f1 = dec[user_bytes + 4].astype(jnp.int32)
+    check = dec[user_bytes + 5].astype(jnp.int32)
     valid = ok & (mod < len(PAYLOAD_MODS)) & \
         (f0 < n_fecs) & (f1 < n_fecs) & \
         (check <= 2) & (plen <= max_payload)
@@ -164,9 +193,10 @@ def _header_fields(dec: jnp.ndarray, max_payload: int, n_fecs: int):
             jnp.clip(check, 0, 2), valid)
 
 
-def header_bits_to_bytes(hbits: jnp.ndarray) -> jnp.ndarray:
+def header_bits_to_bytes(hbits: jnp.ndarray,
+                         user_bytes: int = HEADER_USER_BYTES) -> jnp.ndarray:
     """Demodulated header bit stream -> encoded header byte buffer."""
-    need = HEADER_ENC_BYTES * 8
+    need = header_enc_bytes(user_bytes) * 8
     if hbits.shape[-1] < need:
         hbits = jnp.concatenate([
             hbits, jnp.zeros(need - hbits.shape[-1], dtype=jnp.uint8)])

@@ -112,7 +112,8 @@ def run_sweep(family: str, snrs, n_frames: int, payload_len: int,
     rng = np.random.default_rng(seed)
     payloads = [rng.integers(0, 256, payload_len, dtype=np.uint8)
                 for _ in range(n_frames)]
-    headers = [rng.integers(0, 256, 8, dtype=np.uint8)
+    headers = [rng.integers(0, 256, getattr(sync, "header_user", 8),
+                            dtype=np.uint8)
                for _ in range(n_frames)]
     frames = [np.asarray(assemble(h, p))
               for h, p in zip(headers, payloads)]

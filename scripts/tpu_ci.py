@@ -142,7 +142,7 @@ def lane_flex():
     rng = np.random.default_rng(11)
     payloads, bursts = [], []
     for _ in range(3):
-        h = rng.integers(0, 256, 8, dtype=np.uint8)
+        h = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
         p = rng.integers(0, 256, 150, dtype=np.uint8)
         payloads.append(p)
         bursts.append(_host_c64(lambda: ff.flex_assemble(

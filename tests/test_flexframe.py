@@ -50,7 +50,7 @@ def _run(sync, step, stream):
 def test_clean_loopback(setup):
     params, sync, step = setup
     rng = np.random.default_rng(0)
-    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    header = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
     payload = rng.integers(0, 256, 200, dtype=np.uint8)
     frame = np.asarray(ff.flex_assemble(params, ff.default_props(),
                                         jnp.asarray(header),
@@ -75,7 +75,7 @@ def test_props_awgn_cfo(setup, mod, fec0, fec1):
     params, sync, step = setup
     props = ff.FrameProps(check=crc.CRC_32, fec0=fec0, fec1=fec1, mod=mod)
     rng = np.random.default_rng(mod)
-    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    header = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
     payload = rng.integers(0, 256, 160, dtype=np.uint8)
     frame = np.asarray(ff.flex_assemble(params, props, jnp.asarray(header),
                                         jnp.asarray(payload)))
@@ -99,7 +99,7 @@ def test_large_cfo_detection_and_decode(setup):
     split-half CFO estimator's +-pi/(32 k) = +-0.049 range."""
     params, sync, step = setup
     rng = np.random.default_rng(9)
-    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    header = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
     payload = rng.integers(0, 256, 120, dtype=np.uint8)
     frame = np.asarray(ff.flex_assemble(params, ff.default_props(),
                                         jnp.asarray(header),
@@ -117,9 +117,14 @@ def test_large_cfo_detection_and_decode(setup):
 
 
 def test_frame64(setup):
-    params, sync, step = setup
+    params = ff.make_flex_params(k=2, m=7, beta=0.3)
+    # frame64 keeps the fixed 8-byte user header -> its own sync format
+    sync = ffs.make_flex_sync(params, block_size=BLOCK, max_payload=512,
+                              max_frames=4,
+                              header_user=ff.FRAME64_HEADER_USER)
+    step = ffs.make_flex_sync_step(sync)
     rng = np.random.default_rng(5)
-    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    header = rng.integers(0, 256, ff.FRAME64_HEADER_USER, dtype=np.uint8)
     payload = rng.integers(0, 256, ff.FRAME64_PAYLOAD, dtype=np.uint8)
     frame = np.asarray(ff.frame64_assemble(params, jnp.asarray(header),
                                            jnp.asarray(payload)))
@@ -143,7 +148,7 @@ def test_multiple_bursts(setup):
     sent = []
     pos = 900
     for pid in range(4):
-        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
         payload = rng.integers(0, 256, 100, dtype=np.uint8)
         frame = np.asarray(ff.flex_assemble(
             params, props, jnp.asarray(header), jnp.asarray(payload)))
@@ -167,7 +172,7 @@ def test_flex_batched_blocks_equal_sequential(setup):
     pieces = []
     truth = []
     for i in range(5):
-        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
         payload = rng.integers(0, 256, 120 + 20 * i, dtype=np.uint8)
         truth.append((header, payload))
         pieces.append(np.zeros(int(rng.integers(300, 1500)), np.complex64))
@@ -235,7 +240,7 @@ def test_long_bpsk_frame_wraps_pilot_table():
     assert len(ff.slots_layout(
         ff.n_payload_slots(props, payload_len))[1]) > 1024
     rng = np.random.default_rng(77)
-    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    header = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
     payload = rng.integers(0, 256, payload_len, dtype=np.uint8)
     burst = np.asarray(ff.flex_assemble(
         params, props, jnp.asarray(header), jnp.asarray(payload)))
@@ -263,7 +268,7 @@ def test_extended_scheme_frame_loopback(setup, mod_name):
                           fec1=fec_mod.FEC_HAMMING74,
                           mod=modem_mod.mod_from_name(mod_name))
     rng = np.random.default_rng(hash(mod_name) % 2**31)
-    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    header = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
     payload = rng.integers(0, 256, 96, dtype=np.uint8)
     burst = np.asarray(ff.flex_assemble(
         params, props, jnp.asarray(header), jnp.asarray(payload)))
@@ -287,7 +292,7 @@ def test_small_m_frames_decode_across_block_seam():
                               max_frames=2)
     step = ffs.make_flex_sync_step(sync)
     rng = np.random.default_rng(8)
-    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    header = rng.integers(0, 256, ff.FLEX_HEADER_USER, dtype=np.uint8)
     payload = rng.integers(0, 256, 48, dtype=np.uint8)
     frame = np.asarray(ff.flex_assemble(
         params, ff.default_props(), jnp.asarray(header),

@@ -204,7 +204,8 @@ def test_flex_and_gmsk_sync_accept_planes():
     rng = np.random.default_rng(11)
 
     def drive(make_burst, sync, init, block_fn):
-        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header = rng.integers(0, 256, getattr(sync, "header_user", 8),
+                              dtype=np.uint8)
         payload = rng.integers(0, 256, 64, dtype=np.uint8)
         burst = np.asarray(make_burst(header, payload))
         stream = np.zeros(2 * sync.block_size, np.complex64)

@@ -253,7 +253,8 @@ def _time_sharded_family_case(make_burst, make_sync_state_step, sync,
     sent = []
     pos = 1500
     while True:
-        header = rng.integers(0, 256, 8, dtype=np.uint8)
+        header = rng.integers(0, 256, getattr(sync, "header_user", 8),
+                              dtype=np.uint8)
         payload = rng.integers(0, 256, 90, dtype=np.uint8)
         frame = make_burst(header, payload)
         if pos + len(frame) >= total - sync.overlap:

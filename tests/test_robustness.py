@@ -85,7 +85,8 @@ def test_recovers_after_nan_block(family):
     rng = np.random.default_rng(1)
     name, sync, init, block_fn = next(
         f for f in _families() if f[0] == family)
-    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    header = rng.integers(0, 256, 14 if family == "flex" else 8,
+                          dtype=np.uint8)
     payload = rng.integers(0, 256, 48, dtype=np.uint8)
     if family == "ofdm":
         params = sync.params
