@@ -48,39 +48,44 @@ USAGE = """ofdmflexframe_rx -i in.iq [options]
 """
 
 
+def _cvec(f, name, vals, limit=4096):
+    f.write(name + " = [" + " ".join(
+        "(%.5g%+.5gj)" % (v.real, v.imag) for v in vals[:limit]) + "];\n")
+
+
 def _dump_debug(prefix: str, txrx, stream):
-    """Octave dump of the detection metric + IQ — the debug-capture parity
+    """Octave dump of synchronizer internals — the debug-capture parity
     surface (ofdmflexframesync_debug_print -> ofdmtxrx_framesync_debug.m,
-    /root/reference/lib/ofdmtxrx.cc:241-242)."""
-    import jax.numpy as jnp
+    /root/reference/lib/ofdmtxrx.cc:241-242): raw IQ, detection metric,
+    channel estimate, and the received (equalized) constellation points
+    of the strongest frame (lib/ofdmtxrx.cc:518-525)."""
     from liquid_usrp_tpu.framing import ofdm_sync as _os
     n = min(len(stream), 1 << 16)
-    ext = jnp.asarray(stream[:n])
-    sync = txrx._sync
-    # plot the metric the synchronizer actually detects on (xcorr by
-    # default; legacy autocorrelation when disabled or under use_pallas)
-    if sync.xcorr_detect and not sync.use_pallas:
-        # the xcorr metric's length is fixed by the sync config; pad a
-        # short capture up to one full extended block
-        need = sync.block_size + sync.overlap
-        if ext.shape[0] < need:
-            ext = jnp.concatenate(
-                [ext, jnp.zeros(need - ext.shape[0], ext.dtype)])
-        metric = _os._detect_metric_xcorr(sync, ext)[:n]
-    else:
-        metric, _ = _os._detect_metric(sync, ext)
-    metric = np.asarray(metric)
+    cap = _os.debug_capture(txrx._sync, stream[:n])
     path = f"{prefix}_framesync_debug.m"
     with open(path, "w") as f:
         f.write("%% ofdmflexframe_rx debug capture (octave)\nclear all;\n")
-        f.write("x = [" + " ".join(
-            "(%.5g%+.5gj)" % (v.real, v.imag)
-            for v in stream[: min(n, 4096)]) + "];\n")
+        f.write("%% strongest candidate: n0=%d detected=%d hdr_valid=%d "
+                "cfo=%.6f rssi=%.1f dB\n" %
+                (cap["n0"], cap["detected"], cap["header_valid"],
+                 cap["cfo"], cap["rssi"]))
+        _cvec(f, "x", stream[: min(n, 4096)])
         f.write("metric = [" + " ".join(
-            "%.4f" % v for v in metric[: min(len(metric), 4096)]) + "];\n")
-        f.write("figure; subplot(2,1,1); plot(real(x)); "
-                "ylabel('I'); subplot(2,1,2); plot(metric); "
-                "ylabel('detect metric');\n")
+            "%.4f" % v
+            for v in cap["metric"][: min(len(cap["metric"]), 4096)])
+            + "];\n")
+        _cvec(f, "H", cap["H"])              # channel estimate [M]
+        _cvec(f, "syms_hdr", cap["hsyms_eq"])   # equalized header points
+        _cvec(f, "syms_pay", cap["psyms_eq"])   # equalized payload points
+        f.write(
+            "figure;\n"
+            "subplot(2,2,1); plot(real(x)); ylabel('I');\n"
+            "subplot(2,2,2); plot(metric); ylabel('detect metric');\n"
+            "subplot(2,2,3); plot(20*log10(max(abs(H),1e-6))); "
+            "ylabel('|H| dB'); xlabel('subcarrier');\n"
+            "subplot(2,2,4); plot(real(syms_pay), imag(syms_pay), 'x', "
+            "real(syms_hdr), imag(syms_hdr), '.'); axis square; "
+            "xlabel('I'); ylabel('Q'); title('received constellation');\n")
     print(f"debug capture written to {path}")
 
 

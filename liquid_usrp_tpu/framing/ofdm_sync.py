@@ -51,7 +51,8 @@ from .ofdm import (NUM_S0, OfdmParams, _pilot_values, header_symbol_count)
 _DD_SYMS = 64
 
 __all__ = ["OfdmSync", "OfdmSyncState", "FrameResults", "make_sync",
-           "sync_init", "sync_block", "PAYLOAD_FECS", "PAYLOAD_MODS"]
+           "sync_init", "sync_block", "debug_capture",
+           "PAYLOAD_FECS", "PAYLOAD_MODS"]
 
 class OfdmSync(NamedTuple):
     params: OfdmParams
@@ -426,8 +427,12 @@ def _equalized_symbols(sync: OfdmSync, w: jnp.ndarray, body_start: jnp.ndarray,
 
 
 def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
-                      c_at: jnp.ndarray):
-    """Full refine+decode for one candidate offset ``n0`` (vmapped)."""
+                      c_at: jnp.ndarray, debug: bool = False):
+    """Full refine+decode for one candidate offset ``n0`` (vmapped).
+
+    ``debug=True`` (trace-time flag; never used on the hot path) appends
+    a dict of synchronizer internals — channel estimate, equalized
+    header/payload constellation points — for :func:`debug_capture`."""
     p = sync.params
     M, cp = p.M, p.cp_len
     n_hsym = header_symbol_count(p)
@@ -581,8 +586,12 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     # the already-gathered window serves as the RSSI span)
     rssi = 10.0 * jnp.log10(jnp.maximum(
         jnp.mean(jnp.abs(wraw[:NUM_S0 * M]) ** 2), 1e-12))
-    return (user, pdata.reshape(-1), plen, mod, f0, f1, check, hvalid,
-            rssi, hevm, cfo)
+    out = (user, pdata.reshape(-1), plen, mod, f0, f1, check, hvalid,
+           rssi, hevm, cfo)
+    if debug:
+        return out + ({"H": H, "t1": t1, "hsyms_eq": hflat,
+                       "used_pts": used_pts},)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +687,51 @@ def make_sync_step(sync: OfdmSync):
     def step(state, block):
         return sync_block(sync, state, block)
     return step
+
+
+def debug_capture(sync: OfdmSync, stream) -> dict:
+    """One-shot synchronizer-internals capture for the strongest
+    candidate in ``stream`` — the debug-parity surface of the reference's
+    framesync debug dump, which records received constellation points and
+    synchronizer state (/root/reference/lib/ofdmtxrx.cc:518-525).
+
+    Returns a dict of NumPy arrays: ``metric`` (the detector the sync
+    actually runs), ``detected``, ``n0``, ``cfo``, ``rssi``,
+    ``header_valid``, ``H`` (the smoothed channel estimate ``[M]`` used
+    for equalization), ``hsyms_eq`` (equalized header constellation
+    points), ``psyms_eq`` (equalized payload constellation points of this
+    frame).  Eager and one-shot — never on the hot path.
+    """
+    import numpy as _np
+    ext = iqfmt.iq_from_any(jnp.asarray(stream))
+    need = sync.block_size + sync.overlap
+    if ext.shape[0] < need:
+        ext = jnp.concatenate(
+            [ext, jnp.zeros(need - ext.shape[0], ext.dtype)])
+    ext = ext[:need]
+    detected, locs, c_at = _detect_candidates(sync, ext)
+    if sync.xcorr_detect and not sync.use_pallas:
+        metric = _detect_metric_xcorr(sync, ext)
+    else:
+        metric, _ = _detect_metric(sync, ext)
+    best = int(_np.argmax(_np.where(_np.asarray(detected),
+                                    _np.asarray(metric)[_np.asarray(locs)],
+                                    -1.0)))
+    (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm, cfo,
+     dbg) = _decode_candidate(sync, ext, locs[best], c_at[best],
+                              debug=True)
+    used = int(_np.asarray(dbg["used_pts"]))
+    return {
+        "metric": _np.asarray(metric),
+        "detected": bool(_np.asarray(detected)[best]),
+        "n0": int(_np.asarray(locs)[best]),
+        "cfo": float(_np.asarray(cfo)),
+        "rssi": float(_np.asarray(rssi)),
+        "header_valid": bool(_np.asarray(hvalid)),
+        "H": _np.asarray(dbg["H"]),
+        "hsyms_eq": _np.asarray(dbg["hsyms_eq"]),
+        "psyms_eq": _np.asarray(points)[:max(used, 1)],
+    }
 
 
 def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,

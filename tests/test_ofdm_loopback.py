@@ -644,3 +644,35 @@ def test_conv_plus_outer_fec_with_raised_expansion():
     ok = [f for f in frames if f["payload_valid"]]
     assert len(ok) == 1, frames
     np.testing.assert_array_equal(ok[0]["payload"][:200], payload)
+
+
+def test_debug_capture_internals():
+    """debug_capture returns the synchronizer internals the reference's
+    debug dump records (lib/ofdmtxrx.cc:518-525): channel estimate and
+    equalized constellation points that cluster on the TX scheme."""
+    params = ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4)
+    sync = ofdm_sync.make_sync(params, block_size=8192, max_payload=256,
+                               max_frames=4)
+    rng = np.random.default_rng(3)
+    header = rng.integers(0, 256, 8, dtype=np.uint8)
+    payload = rng.integers(0, 256, 100, dtype=np.uint8)
+    w = np.asarray(ofdm.assemble_frame(
+        params, ofdm.default_props(), jnp.asarray(header),
+        jnp.asarray(payload)))
+    stream = np.zeros(8192, np.complex64)
+    stream[500:500 + len(w)] = w
+    stream += 0.01 * (rng.normal(size=8192) +
+                      1j * rng.normal(size=8192)).astype(np.complex64)
+    cap = ofdm_sync.debug_capture(sync, stream)
+    assert cap["detected"] and cap["header_valid"]
+    assert abs(cap["n0"] - 500) <= 2    # offset within the capture
+    assert cap["H"].shape == (48,)
+    active = np.abs(cap["H"]) > 1e-6
+    np.testing.assert_allclose(np.abs(cap["H"][active]).mean(), 1.0,
+                               atol=0.05)
+    pts = cap["psyms_eq"]          # QPSK: clusters at (+-1 +- 1j)/sqrt(2)
+    err = (np.abs(np.abs(pts.real) - 2 ** -0.5).mean()
+           + np.abs(np.abs(pts.imag) - 2 ** -0.5).mean())
+    assert err < 0.05, err
+    assert cap["hsyms_eq"].shape[0] > 0
+    assert cap["metric"].max() > sync.threshold
