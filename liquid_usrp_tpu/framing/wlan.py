@@ -15,17 +15,30 @@ transmit chain from the public standard:
   polarity PN.
 
 Everything is batched: one pass builds all symbols, one IFFT, CP via
-slicing.  TX-only, mirroring the reference app's scope.
+slicing.
+
+The RX side (beyond the reference: liquid-wlan ships no receiver) is a
+jitted streaming synchronizer in the house style — ``wlan_sync_block(sync,
+state, block) -> (state', WlanResults)`` with static shapes: segmented
+long-training cross-correlation detection, vmapped gated candidate decode
+(two-stage ST/LT CFO, LT channel EQ, pilot common-phase tracking, rate
+``lax.switch`` demap/deinterleave/depuncture, soft Viterbi as a
+``lax.scan`` trellis), plus :func:`wlan_decode` / :func:`wlan_sync`
+convenience wrappers over the same jitted core.
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["WLAN_RATES", "wlan_frame_length", "wlan_assemble",
-           "wlan_decode", "wlan_sync"]
+           "wlan_decode", "wlan_sync",
+           "WlanSync", "WlanSyncState", "WlanResults", "make_wlan_sync",
+           "wlan_sync_init", "wlan_sync_block", "make_wlan_sync_step"]
 
 # rate Mb/s -> (bits/subcarrier BPSC, coding rate (num, den),
 #               coded bits/symbol NCBPS, data bits/symbol NDBPS)
@@ -260,309 +273,501 @@ def wlan_assemble(rate: int, psdu: np.ndarray,
     return jnp.asarray(np.concatenate([short_pre, long_pre, body]))
 
 
+
+
 # ---------------------------------------------------------------------------
-# RX (offline, known frame start) — SIGNAL + DATA decode
+# RX — jitted streaming synchronizer (house style: step(state, block))
 # ---------------------------------------------------------------------------
+#
+# The reference's liquid-wlan is TX-only; this receive path exists for
+# loopback verification and completeness, built like the other frame
+# families (ofdm_sync/flexframe_sync/gmskframe): static shapes, segmented
+# cross-correlation detection, one gated vmapped candidate decode per
+# block, soft Viterbi as a lax.scan trellis.
 
-def _axis_llr(x: np.ndarray, levels: np.ndarray, nbits: int) -> np.ndarray:
-    """Max-log per-bit soft metrics for one gray-coded PAM axis.
+_DET_SEG = 8        # detection segment length (coherent span; CFO-robust
+#                     to ~1.2 rad over a segment at the 0.196 spec edge)
+_DET_NSEG = 16      # 16 segments x 8 = the full 128-sample [LT1 LT2]
+_DET_WIN = 96       # NMS radius > the 64-sample LT self-similarity lobe
 
-    ``levels[idx]`` is the amplitude for axis-bit index ``idx`` (as used by
-    ``_map_bits``).  Returns ``[len(x), nbits]``; positive => bit 1.
-    """
-    d = (x[:, None] - levels[None, :]) ** 2        # [n, L]
-    idx = np.arange(len(levels))
-    out = np.empty((len(x), nbits))
-    for t in range(nbits):
-        bit = (idx >> (nbits - 1 - t)) & 1
-        d0 = np.min(np.where(bit == 0, d, np.inf), axis=-1)
-        d1 = np.min(np.where(bit == 1, d, np.inf), axis=-1)
-        out[:, t] = d0 - d1
-    return out
-
-
-def _demap_soft(pts: np.ndarray, bpsc: int) -> np.ndarray:
-    """Equalized constellation points -> per-bit LLRs (positive => 1),
-    inverting ``_map_bits``'s axis layout."""
-    if bpsc == 1:
-        return 2.0 * pts.real.reshape(-1, 1)
-    if bpsc == 2:
-        s = np.sqrt(2)
-        return np.stack([pts.real * s, pts.imag * s], axis=-1)
-    if bpsc == 4:
-        lut = np.array([-3, -1, 3, 1]) / np.sqrt(10)
-        re = _axis_llr(pts.real, lut, 2)
-        im = _axis_llr(pts.imag, lut, 2)
-        return np.concatenate([re, im], axis=-1)
-    if bpsc == 6:
-        lut = np.array([-7, -5, -1, -3, 7, 5, 1, 3]) / np.sqrt(42)
-        re = _axis_llr(pts.real, lut, 3)
-        im = _axis_llr(pts.imag, lut, 3)
-        return np.concatenate([re, im], axis=-1)
-    raise ValueError(bpsc)
+_RATE_LIST = tuple(sorted(WLAN_RATES))          # (6, 9, ..., 54)
+_RATE_CODES = {6: (1, 1, 0, 1), 9: (1, 1, 1, 1), 12: (0, 1, 0, 1),
+               18: (0, 1, 1, 1), 24: (1, 0, 0, 1), 36: (1, 0, 1, 1),
+               48: (0, 0, 0, 1), 54: (0, 0, 1, 1)}
 
 
-def _depuncture(llr: np.ndarray, num: int, den: int,
-                n_coded: int) -> np.ndarray:
-    """Re-insert zeros (erasures) at punctured positions -> [n_coded]."""
-    if (num, den) == (1, 2):
-        return llr[:n_coded]
-    pattern = {(2, 3): [1, 1, 1, 0],
-               (3, 4): [1, 1, 1, 0, 0, 1]}[(num, den)]
-    keep = np.tile(pattern, n_coded // len(pattern) + 1)[:n_coded]
-    out = np.zeros(n_coded)
-    out[keep.astype(bool)] = llr[: int(keep.sum())]
-    return out
+class WlanSync(NamedTuple):
+    block_size: int
+    max_psdu: int           # static PSDU decode budget (bytes)
+    max_frames: int         # candidates per block
+    threshold: float
+    overlap: int            # carried tail (>= max frame + margins)
+    max_sym: int            # static DATA symbol budget
+    nb: int                 # static Viterbi data-bit budget
+    w_frame: int            # static frame window (400 + max_sym*80)
+
+
+class WlanSyncState(NamedTuple):
+    tail: jnp.ndarray       # [overlap] complex64
+    base: jnp.ndarray       # int32 stream index of tail[0]
+
+
+class WlanResults(NamedTuple):
+    """Fixed-shape per-block results; leading dim = max_frames."""
+    detected: jnp.ndarray      # bool
+    signal_valid: jnp.ndarray  # bool
+    psdu_valid: jnp.ndarray    # bool
+    rate: jnp.ndarray          # int32 Mb/s (0 when invalid)
+    length: jnp.ndarray        # int32 PSDU bytes
+    psdu: jnp.ndarray          # [max_frames, max_psdu] uint8
+    cfo: jnp.ndarray           # float32 rad/sample
+    rssi: jnp.ndarray          # float32 dB
+    t_start: jnp.ndarray       # int32 stream index of the frame's first
+    #                            short-training sample
+
+
+def make_wlan_sync(block_size: int = 8192, max_psdu: int = 256,
+                   max_frames: int = 4,
+                   threshold: float = 0.45) -> WlanSync:
+    # worst-case symbol count is the lowest rate (24 data bits/symbol)
+    max_sym = -(-(16 + 8 * max_psdu + 6) // 24)
+    # static data-bit budget: covers n_sym*ndbps for EVERY rate at
+    # length <= max_psdu (pad bits bounded by ndbps_max - 1 = 215)
+    nb = 16 + 8 * max_psdu + 6 + 216
+    w_frame = 400 + max_sym * 80
+    return WlanSync(block_size=block_size, max_psdu=max_psdu,
+                    max_frames=max_frames, threshold=threshold,
+                    overlap=w_frame + 192 + 256, max_sym=max_sym,
+                    nb=nb, w_frame=w_frame)
+
+
+def wlan_sync_init(sync: WlanSync) -> WlanSyncState:
+    from ..ops import iqfmt
+    return WlanSyncState(tail=iqfmt.czeros((sync.overlap,)),
+                         base=jnp.int32(-sync.overlap))
 
 
 @functools.lru_cache(maxsize=None)
-def _viterbi_tables():
-    """(next_state[64,2], out0[64,2], out1[64,2]) for K=7 (133,171)."""
-    ns = np.empty((64, 2), np.int32)
-    o0 = np.empty((64, 2), np.float64)
-    o1 = np.empty((64, 2), np.float64)
-    for s in range(64):
-        for b in range(2):
-            reg = ((s << 1) | b) & 0x7F
-            ns[s, b] = reg & 0x3F
-            # reg bit d = input delayed d -> mask = bit-reversed octal
-            # generator (delay sets {0,2,3,5,6} / {0,1,2,3,6}; see
-            # _G0_TAPS note)
-            o0[s, b] = 2.0 * (bin(reg & 0o155).count("1") & 1) - 1.0
-            o1[s, b] = 2.0 * (bin(reg & 0o117).count("1") & 1) - 1.0
-    return ns, o0, o1
+def _det_templates():
+    """Segmented [LT1 LT2] templates ``[_DET_NSEG, _DET_SEG]`` (conj)
+    and per-segment energies."""
+    _, long_t, _ = _tables()
+    lt = np.concatenate([long_t, long_t])            # 128 samples
+    segs = lt.reshape(_DET_NSEG, _DET_SEG)
+    E = np.sum(np.abs(segs) ** 2, axis=-1).astype(np.float32)
+    return np.conj(segs).astype(np.complex64), E
 
 
-def _viterbi_decode(llr: np.ndarray) -> np.ndarray:
+def _wlan_metric(sync: WlanSync, ext: jnp.ndarray) -> jnp.ndarray:
+    """Segmented-coherent LT cross-correlation metric over the detect
+    region ``[0, block + 2*_DET_WIN)`` (peak = LT1 start, value ~1)."""
+    tmpl, E = _det_templates()
+    R = sync.block_size + 2 * _DET_WIN
+    L = R + _DET_SEG * (_DET_NSEG - 1) + _DET_SEG    # samples touched
+    x = ext[:L]
+    win = x[jnp.arange(L - _DET_SEG + 1)[:, None] +
+            jnp.arange(_DET_SEG)[None, :]]           # [L-7, 8]
+    C = win @ jnp.asarray(tmpl).T                    # [L-7, 16]
+    e8 = jnp.convolve(jnp.abs(x) ** 2, jnp.ones(_DET_SEG), "valid")
+    rows = jnp.arange(R)[:, None] + _DET_SEG * jnp.arange(_DET_NSEG)
+    c = C[rows, jnp.arange(_DET_NSEG)[None, :]]      # [R, 16]
+    e = e8[rows]
+    nc = jnp.abs(c) ** 2 / jnp.maximum(e * jnp.asarray(E), 1e-12)
+    metric = jnp.mean(nc, axis=-1)
+    # silence gate: require real energy under the template
+    floor = 1e-4 * _DET_NSEG * _DET_SEG * (jnp.mean(jnp.abs(x) ** 2)
+                                           + 1e-12)
+    return jnp.where(jnp.sum(e, axis=-1) > floor, metric, 0.0)
+
+
+def _find_candidates_wlan(sync: WlanSync, metric: jnp.ndarray):
+    from .ofdm_sync import topk_peaks
+    T = sync.block_size
+    win = _DET_WIN
+    local_max = jax.lax.reduce_window(
+        metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
+    is_peak = (metric >= local_max) & (metric > sync.threshold)
+    idx = jnp.arange(metric.shape[0])
+    score = jnp.where(is_peak & (idx >= win) & (idx < T + win),
+                      metric, -1.0)
+    vals, locs = topk_peaks(score, sync.max_frames, 2 * win + 1)
+    return vals > 0, locs
+
+
+@functools.lru_cache(maxsize=None)
+def _vit_tables():
+    """Predecessor tables for the K=7 (133,171) trellis.
+
+    Register convention: ``reg = (b << 6) | s`` with ``s`` holding
+    ``b[i-1]..b[i-6]`` (bit 5..0), so output j = parity(reg & g_j) with
+    the generator octals used directly, and ``next = reg >> 1`` — the
+    exact dual of :func:`_conv_encode_bits`.
+    """
+    S = 64
+    pred = np.zeros((S, 2), np.int32)
+    pred_bit = np.zeros((S, 2), np.uint8)
+    out = np.zeros((S, 2, 2), np.float32)
+    cnt = np.zeros(S, np.int32)
+    for s in range(S):
+        for b in (0, 1):
+            reg = (b << 6) | s
+            out[s, b, 0] = 2.0 * (bin(reg & 0o133).count("1") & 1) - 1.0
+            out[s, b, 1] = 2.0 * (bin(reg & 0o171).count("1") & 1) - 1.0
+            ns = reg >> 1
+            pred[ns, cnt[ns]] = s
+            pred_bit[ns, cnt[ns]] = b
+            cnt[ns] += 1
+    assert (cnt == 2).all()
+    bm = out[pred, pred_bit]                         # [S, 2, 2]
+    return pred, pred_bit, bm[..., 0].copy(), bm[..., 1].copy()
+
+
+def _viterbi_soft(llr_pairs: jnp.ndarray) -> jnp.ndarray:
     """Soft Viterbi for the zero-state-started K=7 (133,171) code.
 
-    ``llr``: coded-bit metrics (positive => bit 1, 0 = erasure), length
-    even; returns the decoded bits.  Vectorized over the 64 states.
+    ``llr_pairs [n, 2]`` float (positive => coded bit 1, 0 = erasure);
+    free end state (erasure tails leave the live prefix exactly ML).
+    Returns decoded bits ``[n]`` uint8.  lax.scan trellis: all 64 states
+    advance as one vector op per step.
     """
-    ns, o0, o1 = _viterbi_tables()
-    n = len(llr) // 2
-    pm = np.full(64, -np.inf)
-    pm[0] = 0.0
-    choices = np.empty((n, 64), np.int8)
-    # transition gather: for each destination state, its two predecessors
-    pred = np.empty((64, 2), np.int32)
-    pred_b = np.empty((64, 2), np.int32)
-    fill = np.zeros(64, np.int32)
-    for s in range(64):
-        for b in range(2):
-            d = ns[s, b]
-            pred[d, fill[d]] = s
-            pred_b[d, fill[d]] = b
-            fill[d] += 1
-    bm_out0 = o0[pred, pred_b]                    # [64, 2]
-    bm_out1 = o1[pred, pred_b]
-    for t in range(n):
-        m = (pm[pred] + llr[2 * t] * bm_out0 + llr[2 * t + 1] * bm_out1)
-        choices[t] = np.argmax(m, axis=-1)
-        pm = m[np.arange(64), choices[t]]
-    state = int(np.argmax(pm))
-    bits = np.empty(n, np.uint8)
-    for t in range(n - 1, -1, -1):
-        c = choices[t, state]
-        bits[t] = pred_b[state, c]
-        state = pred[state, c]
+    pred_np, pred_bit_np, bm0_np, bm1_np = _vit_tables()
+    pred = jnp.asarray(pred_np)
+    pred_bit = jnp.asarray(pred_bit_np)
+    bm0 = jnp.asarray(bm0_np)
+    bm1 = jnp.asarray(bm1_np)
+    pm0 = jnp.full((64,), -1e9, jnp.float32).at[0].set(0.0)
+
+    def step(pm, rx):
+        m = pm[pred] + rx[0] * bm0 + rx[1] * bm1     # [64, 2]
+        choice = jnp.argmax(m, axis=-1)
+        pm_n = jnp.take_along_axis(m, choice[:, None], axis=-1)[:, 0]
+        pm_n = pm_n - jnp.max(pm_n)
+        return pm_n, choice.astype(jnp.uint8)
+
+    pm, choices = jax.lax.scan(step, pm0, llr_pairs)
+    s0 = jnp.argmax(pm).astype(jnp.int32)
+
+    def back(state, choice_t):
+        w = choice_t[state]
+        return pred[state, w], pred_bit[state, w]
+
+    _, bits = jax.lax.scan(back, s0, choices, reverse=True)
     return bits
 
 
-def _descramble(bits: np.ndarray) -> np.ndarray:
-    """Self-synchronizing descramble: the SERVICE field's first 7 bits are
-    transmitted zero, so the received scrambled bits ARE the scrambler
-    output and seed the LFSR directly (17.3.5.5)."""
-    state = 0
-    for i in range(7):
-        state = ((state << 1) | int(bits[i])) & 0x7F
-    out = bits.copy()
-    out[:7] = 0
-    seq = np.empty(len(bits) - 7, np.uint8)
-    for i in range(len(seq)):
+def _axis_llr_jax(x: jnp.ndarray, levels: np.ndarray,
+                  nbits: int) -> jnp.ndarray:
+    """Max-log per-bit soft metrics for one gray-coded PAM axis
+    (``levels[idx]`` = amplitude for axis-bit index ``idx``, the
+    :func:`_map_bits` layout).  ``[n] -> [n, nbits]``; positive => 1."""
+    lv = jnp.asarray(levels, jnp.float32)
+    d = (x[:, None] - lv[None, :]) ** 2
+    idx = np.arange(len(levels))
+    outs = []
+    for t in range(nbits):
+        bit = (idx >> (nbits - 1 - t)) & 1
+        d0 = jnp.min(jnp.where(jnp.asarray(bit == 0), d, jnp.inf), axis=-1)
+        d1 = jnp.min(jnp.where(jnp.asarray(bit == 1), d, jnp.inf), axis=-1)
+        outs.append(d0 - d1)
+    return jnp.stack(outs, axis=-1)
+
+
+def _demap_soft_jax(pts: jnp.ndarray, bpsc: int) -> jnp.ndarray:
+    """Equalized points ``[n]`` -> per-bit LLRs ``[n, bpsc]``."""
+    if bpsc == 1:
+        return 2.0 * pts.real[:, None]
+    if bpsc == 2:
+        s = np.sqrt(2.0)
+        return jnp.stack([pts.real * s, pts.imag * s], axis=-1)
+    if bpsc == 4:
+        lut = np.array([-3, -1, 3, 1]) / np.sqrt(10)
+        return jnp.concatenate([_axis_llr_jax(pts.real, lut, 2),
+                                _axis_llr_jax(pts.imag, lut, 2)], axis=-1)
+    if bpsc == 6:
+        lut = np.array([-7, -5, -1, -3, 7, 5, 1, 3]) / np.sqrt(42)
+        return jnp.concatenate([_axis_llr_jax(pts.real, lut, 3),
+                                _axis_llr_jax(pts.imag, lut, 3)], axis=-1)
+    raise ValueError(bpsc)
+
+
+@functools.lru_cache(maxsize=None)
+def _depuncture_pos(num: int, den: int, ndbps: int) -> np.ndarray:
+    """Static within-symbol scatter: kept-LLR index -> position in the
+    symbol's ``2*ndbps`` rate-1/2 coded slots."""
+    pattern = {(1, 2): [1], (2, 3): [1, 1, 1, 0],
+               (3, 4): [1, 1, 1, 0, 0, 1]}[(num, den)]
+    keep = np.tile(pattern, 2 * ndbps // len(pattern) + 1)[: 2 * ndbps]
+    return np.nonzero(keep)[0].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _descr_tables():
+    """(master 127-bit sequence, phase[state] offset table) for the
+    self-synchronizing descrambler: the output sequence from any nonzero
+    7-bit state is a cyclic shift of the single maximal-length sequence."""
+    master = _scramble_seq(0x7F)
+    phase = np.zeros(128, np.int32)
+    state = 0x7F
+    for i in range(127):
+        phase[state] = i
         s = ((state >> 6) ^ (state >> 3)) & 1
-        seq[i] = s
         state = ((state << 1) | s) & 0x7F
-    out[7:] = bits[7:] ^ seq
+    return master, phase
+
+
+def _make_rate_branch(sync: WlanSync, rate: int):
+    """DATA demap/deinterleave/depuncture branch for one static rate:
+    ``(Yd [max_sym, 48], length) -> (llr_pairs [nb, 2], live_bits)``."""
+    bpsc, (num, den), ncbps, ndbps = WLAN_RATES[rate]
+    perm = _interleave_perm(ncbps, bpsc)
+    kept = _depuncture_pos(num, den, ndbps)
+
+    def fn(args):
+        Yd, length = args
+        llr = _demap_soft_jax(Yd.reshape(-1), bpsc)      # [ms*48, bpsc]
+        llr = llr.reshape(sync.max_sym, ncbps)
+        llr = llr[:, jnp.asarray(perm)]                  # deinterleave
+        coded = jnp.zeros((sync.max_sym, 2 * ndbps), jnp.float32)
+        coded = coded.at[:, jnp.asarray(kept)].set(llr)
+        flat = coded.reshape(-1)
+        total = 2 * sync.nb
+        if flat.shape[0] >= total:
+            flat = flat[:total]
+        else:
+            flat = jnp.pad(flat, (0, total - flat.shape[0]))
+        n_sym = (16 + 8 * length + 6 + ndbps - 1) // ndbps
+        live = jnp.minimum(n_sym * ndbps, sync.nb).astype(jnp.int32)
+        return flat.reshape(sync.nb, 2), live
+    return fn
+
+
+def _decode_candidate_wlan(sync: WlanSync, ext: jnp.ndarray,
+                           n0: jnp.ndarray):
+    """Refine + decode one candidate (``n0`` = LT1 start in ext)."""
+    W = sync.w_frame
+    start = jnp.maximum(n0 - 192, 0)
+    idx = jnp.clip(start + jnp.arange(W), 0, ext.shape[0] - 1)
+    w = ext[idx]
+    scale = _N_FFT / np.sqrt(52)
+    _, long_t, pilot_pn = _tables()
+    didx = np.array([_fftshift_index(k) for k in _DATA_IDX])
+    pidx = np.array([_fftshift_index(k) for k in _PILOT_IDX])
+
+    # two-stage CFO: coarse from the ST lag-16 products, fine from the
+    # LT lag-64 product (coarse residual well inside +-pi/64)
+    c16 = jnp.sum(w[48:160] * jnp.conj(w[32:144]))
+    cfo_c = jnp.angle(c16) / 16.0
+    t = jnp.arange(W, dtype=jnp.float32)
+    w1 = w * jnp.exp(-1j * cfo_c * t)
+    c64 = jnp.sum(w1[256:320] * jnp.conj(w1[192:256]))
+    cfo = cfo_c + jnp.angle(c64) / 64.0
+    w = w * jnp.exp(-1j * cfo * t)
+
+    # channel estimate from the two long-training symbols
+    L_ref = np.fft.fft(np.asarray(long_t)) / scale
+    act = np.abs(L_ref) > 0.1
+    L1 = jnp.fft.fft(w[192:256]) / scale
+    L2 = jnp.fft.fft(w[256:320]) / scale
+    H = jnp.where(jnp.asarray(act),
+                  (L1 + L2) / 2.0 * jnp.asarray(np.conj(L_ref) /
+                  np.maximum(np.abs(L_ref) ** 2, 1e-12)), 1.0)
+    Hsafe = jnp.where(jnp.abs(H) > 1e-6, H, 1.0)
+
+    # all symbols (SIGNAL + max_sym DATA): batched FFT + EQ + pilot CPE
+    sym_i = 336 + 80 * jnp.arange(1 + sync.max_sym)[:, None] + \
+        jnp.arange(_N_FFT)[None, :]
+    Y = jnp.fft.fft(w[sym_i], axis=-1) / scale
+    Yeq = Y / Hsafe[None, :]
+    ppol = np.array([1.0, 1.0, 1.0, -1.0], np.float32)
+    pref = (ppol[None, :] *
+            np.asarray(pilot_pn)[np.arange(1 + sync.max_sym) % 127][:, None])
+    rot = jnp.mean(Yeq[:, jnp.asarray(pidx)] * jnp.asarray(pref), axis=-1)
+    rot = rot / jnp.maximum(jnp.abs(rot), 1e-12)
+    Yeq = Yeq * jnp.conj(rot)[:, None]
+
+    # SIGNAL: BPSK r=1/2, own interleaver, 24 decoded bits
+    sig_llr = 2.0 * Yeq[0, jnp.asarray(didx)].real
+    sig_llr = sig_llr[jnp.asarray(_interleave_perm(48, 1))]
+    sig_bits = _viterbi_soft(sig_llr.reshape(24, 2))
+    codes = np.array([_RATE_CODES[r] for r in _RATE_LIST], np.uint8)
+    eq = jnp.all(sig_bits[None, :4] == jnp.asarray(codes), axis=-1)
+    rate_found = jnp.any(eq)
+    rate_idx = jnp.argmax(eq).astype(jnp.int32)
+    length = jnp.sum(sig_bits[5:17].astype(jnp.int32) <<
+                     jnp.arange(12, dtype=jnp.int32))
+    parity_ok = (jnp.sum(sig_bits[:17]).astype(jnp.int32) & 1) == \
+        sig_bits[17].astype(jnp.int32)
+    sig_ok = (rate_found & parity_ok & (length > 0) & (length <= 4095)
+              & ~jnp.any(sig_bits[18:24]))
+    length = jnp.clip(length, 0, 4095)
+
+    # DATA: rate lax.switch -> static [nb, 2] LLR pairs + live mask
+    branches = [_make_rate_branch(sync, r) for r in _RATE_LIST]
+    pairs, live = jax.lax.switch(rate_idx, branches,
+                                 (Yeq[1:, jnp.asarray(didx)], length))
+    pairs = jnp.where(jnp.arange(sync.nb)[:, None] < live, pairs, 0.0)
+    scrambled = _viterbi_soft(pairs)                 # [nb]
+
+    # self-synchronizing descramble via the phase-offset table
+    master, phase = _descr_tables()
+    st7 = jnp.sum(scrambled[:7].astype(jnp.int32) <<
+                  jnp.arange(6, -1, -1, dtype=jnp.int32))
+    ph = jnp.asarray(phase)[st7]
+    seq = jnp.asarray(master)[(ph + jnp.arange(sync.nb - 7)) % 127]
+    seq = jnp.where(st7 == 0, 0, seq).astype(jnp.uint8)
+    data = jnp.concatenate(
+        [jnp.zeros(7, jnp.uint8), scrambled[7:] ^ seq])
+
+    # PSDU bytes (LSB-first bit order, mirroring the TX unpack)
+    pb = data[16:16 + 8 * sync.max_psdu]
+    pb = pb * (jnp.arange(8 * sync.max_psdu) < 8 * length)
+    psdu = jnp.sum(pb.reshape(sync.max_psdu, 8).astype(jnp.int32) <<
+                   jnp.arange(8, dtype=jnp.int32)[None, :],
+                   axis=-1).astype(jnp.uint8)
+
+    # DATA validity: the post-scramble-zeroed tail bits must decode zero
+    tail_i = jnp.clip(16 + 8 * length + jnp.arange(6), 0, sync.nb - 1)
+    tail_ok = ~jnp.any(scrambled[tail_i])
+    psdu_ok = sig_ok & tail_ok & (length <= sync.max_psdu)
+
+    rate_val = jnp.asarray(np.array(_RATE_LIST, np.int32))[rate_idx]
+    rssi = 10.0 * jnp.log10(jnp.maximum(
+        jnp.mean(jnp.abs(ext[jnp.clip(start + jnp.arange(160), 0,
+                                      ext.shape[0] - 1)]) ** 2), 1e-12))
+    return (sig_ok, psdu_ok, jnp.where(sig_ok, rate_val, 0),
+            jnp.where(sig_ok, length, 0), psdu, cfo, rssi)
+
+
+def _gated_decode_wlan(sync: WlanSync, ext: jnp.ndarray, gate,
+                       locs: jnp.ndarray):
+    R = locs.shape[0]
+
+    def do_decode(locs_):
+        return jax.vmap(lambda n0: _decode_candidate_wlan(sync, ext,
+                                                          n0))(locs_)
+
+    def skip_decode(locs_):
+        f32 = jnp.float32
+        return (jnp.zeros((R,), bool), jnp.zeros((R,), bool),
+                jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R, sync.max_psdu), jnp.uint8),
+                jnp.zeros((R,), f32), jnp.zeros((R,), f32))
+
+    return jax.lax.cond(gate, do_decode, skip_decode, locs)
+
+
+def wlan_sync_block(sync: WlanSync, state: WlanSyncState,
+                    block: jnp.ndarray):
+    """Process ``block_size`` samples -> (state', WlanResults)."""
+    from ..ops import iqfmt
+    block = iqfmt.iq_from_any(block)
+    ext = jnp.concatenate([state.tail, block])
+    metric = _wlan_metric(sync, ext)
+    detected, locs = _find_candidates_wlan(sync, metric)
+    (sig_ok, psdu_ok, rate, length, psdu, cfo,
+     rssi) = _gated_decode_wlan(sync, ext, jnp.any(detected), locs)
+    res = WlanResults(
+        detected=detected,
+        signal_valid=detected & sig_ok,
+        psdu_valid=detected & psdu_ok,
+        rate=rate, length=length, psdu=psdu, cfo=cfo, rssi=rssi,
+        t_start=state.base + locs.astype(jnp.int32) - 192,
+    )
+    new_state = WlanSyncState(
+        tail=ext[ext.shape[0] - sync.overlap:],
+        base=state.base + sync.block_size)
+    return new_state, res
+
+
+def make_wlan_sync_step(sync: WlanSync):
+    @jax.jit
+    def step(state, block):
+        return wlan_sync_block(sync, state, block)
+    return step
+
+
+# ---------------------------------------------------------------------------
+# convenience wrappers over the jitted core (historic API)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _decode_jit(max_psdu: int):
+    sync = make_wlan_sync(max_psdu=max_psdu)
+
+    @jax.jit
+    def run(ext):
+        return _decode_candidate_wlan(sync, ext, jnp.int32(192))
+    return sync, run
+
+
+def wlan_decode(samples: np.ndarray, max_psdu: int = 4095) -> dict:
+    """Decode one 802.11a frame whose preamble starts at ``samples[0]``
+    (jitted core; LT channel EQ + pilot tracking + soft Viterbi +
+    self-synchronizing descramble).  Returns rate/length/psdu + validity
+    flags."""
+    samples = np.asarray(samples).astype(np.complex64)
+    if len(samples) < 400:
+        return {"rate": 0, "length": 0, "signal_valid": False,
+                "psdu": None, "psdu_valid": False}
+    # static budget: smallest power-of-two tier the frame could need
+    # (rate 54 packs the most bytes per symbol)
+    n_sym = max((len(samples) - 400) // 80, 1)
+    implied = min(max_psdu, (n_sym * 216 - 22) // 8 + 1)
+    tier = 64
+    while tier < implied:
+        tier *= 2
+    sync, run = _decode_jit(min(tier, 4095))
+    # n0 = 192 = LT1 offset within the frame, so the candidate window
+    # (which starts at n0 - 192) begins exactly at samples[0]
+    need = sync.w_frame
+    ext = np.zeros(need, np.complex64)
+    ext[: min(len(samples), need)] = samples[:need]
+    (sig_ok, psdu_ok, rate, length, psdu, _cfo,
+     _rssi) = jax.tree.map(np.asarray, run(jnp.asarray(ext)))
+    out = {"rate": int(rate) if sig_ok else None, "length": int(length),
+           "signal_valid": bool(sig_ok), "psdu": None,
+           "psdu_valid": False}
+    if sig_ok:
+        out["psdu"] = psdu[: int(length)]
+        out["psdu_valid"] = bool(psdu_ok)
     return out
 
 
 def wlan_sync(stream: np.ndarray, max_frames: int = 8,
-              thresh: float = 0.5) -> list:
-    """Streaming 802.11a receiver front-end: detect frames anywhere in
-    ``stream``, estimate and correct CFO, align, and decode each.
+              thresh: float = 0.45, max_psdu: int = 256) -> list:
+    """Streaming 802.11a receiver: detect frames anywhere in ``stream``
+    (segmented LT cross-correlation), correct CFO (coarse ST lag-16 +
+    fine LT lag-64), decode each through the jitted candidate core.
 
-    Detection is the classic short-training structure metric (Schmidl &
-    Cox over the 16-sample ST period): ``M(t) = |P(t)|^2 / R(t)^2`` with
-    ``P`` the lag-16 autocorrelation and ``R`` the window energy, both as
-    vectorized windowed cumulative sums.  A sustained plateau marks the
-    short preamble; coarse CFO comes from ``angle(P)/16`` on the plateau
-    (range ±1/32 cycles/sample), timing from cross-correlating the
-    coarse-corrected stream against the known long-training symbol, and
-    fine CFO from the lag-64 product of the two long symbols (the classic
-    two-stage estimator).  Each aligned, CFO-corrected frame goes through
-    :func:`wlan_decode` (LT channel EQ + pilot tracking + soft Viterbi).
-
-    Returns a list of :func:`wlan_decode` dicts, each with added
+    Returns a list of :func:`wlan_decode`-shaped dicts with added
     ``start`` (sample index of the frame's first ST sample) and ``cfo``
-    (radians/sample applied).  The reference's liquid-wlan has no
-    receiver at all; this is the capability its TX side implies.
+    (radians/sample).  The reference's liquid-wlan has no receiver at
+    all; this is the capability its TX side implies.
     """
     x = np.asarray(stream).astype(np.complex64)
-    n = len(x)
-    short, long_t, _ = _tables()
-    W = 48                                     # metric window
-    results: list = []
-    pos = 0
-    min_tail = 480                             # preamble + SIGNAL
-    while len(results) < max_frames and n - pos >= min_tail:
-        seg = x[pos:]
-        c = seg[16:] * np.conj(seg[:-16])
-        e = np.abs(seg[16:]) ** 2
-        cw = np.cumsum(np.concatenate([[0], c]))
-        ew = np.cumsum(np.concatenate([[0], e]))
-        m = len(c) - W
-        if m <= 0:
-            break
-        P = cw[W:W + m] - cw[:m]
-        R = (ew[W:W + m] - ew[:m]).real
-        M = np.abs(P) ** 2 / np.maximum(R, 1e-12) ** 2
-        # sustained plateau: metric above threshold for >= 64 consecutive
-        # samples (rejects single-sample noise spikes)
-        above = M > thresh
-        run = np.convolve(above.astype(np.int32), np.ones(64, np.int32),
-                          "valid")
-        hits = np.nonzero(run >= 64)[0]
-        if len(hits) == 0:
-            break
-        t0 = int(hits[0])                      # inside the short preamble
-        # coarse CFO from the plateau autocorrelation phase
-        cfo_c = float(np.angle(P[t0 + 32] if t0 + 32 < m else P[t0])) / 16.0
-        # LT cross-correlation on the coarse-corrected stream: search a
-        # window that must contain the first long symbol
-        lo = pos + t0
-        hi = min(n, lo + 420)
-        win = x[lo:hi] * np.exp(-1j * cfo_c * np.arange(lo, hi))
-        if len(win) < 64 + 64:
-            break
-        lt = long_t / np.linalg.norm(long_t)
-        num = np.abs(np.convolve(win, np.conj(lt[::-1]), "valid"))
-        den = np.sqrt(np.convolve(np.abs(win) ** 2, np.ones(64), "valid"))
-        corr = num / np.maximum(den, 1e-9)
-        # two LT peaks 64 apart: score joint alignment
-        if len(corr) < 65:
-            break
-        joint = corr[:-64] + corr[64:]
-        p1 = int(np.argmax(joint))
-        if joint[p1] < 1.0:                    # each peak ~1 when aligned
-            pos = lo + 160
-            continue
-        start = lo + p1 - 192                  # LT1 begins 192 in
-        if start < 0:
-            pos = lo + 160
-            continue
-        # fine CFO from the two long symbols (lag 64), after coarse
-        lt1 = x[start + 192:start + 256] * np.exp(
-            -1j * cfo_c * np.arange(start + 192, start + 256))
-        lt2 = x[start + 256:start + 320] * np.exp(
-            -1j * cfo_c * np.arange(start + 256, start + 320))
-        if len(lt2) < 64:
-            break
-        cfo = cfo_c + float(np.angle(np.vdot(lt1, lt2))) / 64.0
-        # correct + decode as much of the stream as could be one frame
-        frame = x[start:] * np.exp(
-            -1j * cfo * np.arange(start, n))
-        d = wlan_decode(frame)
-        d["start"] = start
-        d["cfo"] = cfo
-        if d["signal_valid"]:
-            results.append(d)
-            pos = start + wlan_frame_length(d["rate"], d["length"])
-        else:
-            pos = start + 320                  # skip past this preamble
-    return results
-
-
-def wlan_decode(samples: np.ndarray) -> dict:
-    """Decode one 802.11a frame whose preamble starts at ``samples[0]``.
-
-    Channel estimation from the long training symbols, pilot common-phase
-    tracking, soft demap, depuncture-with-erasures, soft Viterbi, and
-    self-synchronizing descramble.  Returns rate/length/psdu + validity
-    flags.  (The reference's liquid-wlan is TX-only, like wlanframe_tx —
-    this receive path exists for loopback verification and completeness.)
-    """
-    samples = np.asarray(samples)
-    if len(samples) < 400:
-        # too short for preamble + channel estimate + SIGNAL symbol:
-        # report an invalid frame instead of crashing on the FFT windows
-        return {"rate": 0, "length": 0, "signal_valid": False,
-                "psdu": None, "psdu_valid": False}
-    short, long_t, pilot_pn = _tables()
-    scale = _N_FFT / np.sqrt(52)
-    didx = [_fftshift_index(k) for k in _DATA_IDX]
-    pidx = [_fftshift_index(k) for k in _PILOT_IDX]
-    ppol = np.array([1, 1, 1, -1], np.float64)
-
-    # channel estimate from the two long-training symbols
-    L_ref = np.fft.fft(long_t) / scale
-    act = np.abs(L_ref) > 0.1
-    L1 = np.fft.fft(samples[192:256]) / scale
-    L2 = np.fft.fft(samples[256:320]) / scale
-    H = np.where(act, (L1 + L2) / 2.0 * np.conj(L_ref) /
-                 np.maximum(np.abs(L_ref) ** 2, 1e-12), 1.0)
-
-    def eq_symbol(sym_samples):
-        Y = np.fft.fft(sym_samples) / scale
-        Yeq = Y / np.where(np.abs(H) > 1e-6, H, 1.0)
-        return Yeq
-
-    def pilot_corr(Yeq, sym_index):
-        ref = ppol * pilot_pn[sym_index % 127]
-        rot = np.mean(Yeq[pidx] * ref)          # ref is +-1 real
-        rot = rot / max(abs(rot), 1e-12)
-        return Yeq * np.conj(rot)
-
-    # SIGNAL
-    Ys = pilot_corr(eq_symbol(samples[336:400]), 0)
-    sig_llr = _demap_soft(Ys[didx], 1).reshape(-1)
-    sig_bits = _viterbi_decode(_deinterleave(sig_llr, 48, 1))
-    rate_code = tuple(int(b) for b in sig_bits[:4])
-    rate_map = {(1, 1, 0, 1): 6, (1, 1, 1, 1): 9, (0, 1, 0, 1): 12,
-                (0, 1, 1, 1): 18, (1, 0, 0, 1): 24, (1, 0, 1, 1): 36,
-                (0, 0, 0, 1): 48, (0, 0, 1, 1): 54}
-    rate = rate_map.get(rate_code)
-    length = int(sum(int(sig_bits[5 + i]) << i for i in range(12)))
-    parity_ok = (int(sig_bits[:17].sum()) & 1) == int(sig_bits[17])
-    sig_ok = (rate is not None and parity_ok and
-              0 < length <= 4095 and not sig_bits[18:24].any())
-    out = {"rate": rate, "length": length, "signal_valid": bool(sig_ok),
-           "psdu": None, "psdu_valid": False}
-    if not sig_ok:
-        return out
-
-    bpsc, (num, den), ncbps, ndbps = WLAN_RATES[rate]
-    n_sym = wlan_n_symbols(rate, length)
-    if len(samples) < 400 + n_sym * 80:
-        return out
-    llrs = []
-    for s in range(n_sym):
-        base = 400 + s * 80 + 16
-        Y = pilot_corr(eq_symbol(samples[base:base + 64]), 1 + s)
-        llr = _demap_soft(Y[didx], bpsc).reshape(-1)
-        llrs.append(_deinterleave(llr, ncbps, bpsc))
-    llr = np.concatenate(llrs)
-    n_data_bits = n_sym * ndbps
-    coded = _depuncture(llr, num, den, 2 * n_data_bits)
-    scrambled = _viterbi_decode(coded)
-    data = _descramble(scrambled)
-    psdu_bits = data[16:16 + 8 * length]
-    psdu = np.packbits(psdu_bits.reshape(-1, 8), axis=-1,
-                       bitorder="little").reshape(-1)
-    out["psdu"] = psdu
-    # the tail bits are zeroed post-scramble by the transmitter
-    # (17.3.5.2), so the Viterbi output must be zero there — the only
-    # structural validity check the DATA field offers
-    tail_at = 16 + 8 * length
-    out["psdu_valid"] = bool(not scrambled[tail_at:tail_at + 6].any())
-    return out
+    sync = make_wlan_sync(max_psdu=max_psdu, threshold=thresh,
+                          max_frames=min(max_frames, 4))
+    step = make_wlan_sync_step(sync)
+    state = wlan_sync_init(sync)
+    bs = sync.block_size
+    n_blocks = -(-len(x) // bs) + sync.overlap // bs + 1
+    pad = np.zeros(n_blocks * bs - len(x), np.complex64)
+    xs = np.concatenate([x, pad])
+    results = []
+    for b in range(n_blocks):
+        state, res = step(state, jnp.asarray(xs[b * bs:(b + 1) * bs]))
+        res = jax.tree.map(np.asarray, res)
+        for i in np.nonzero(res.detected & res.signal_valid)[0]:
+            if len(results) >= max_frames:
+                break
+            results.append({
+                "start": int(res.t_start[i]),
+                "cfo": float(res.cfo[i]),
+                "rate": int(res.rate[i]),
+                "length": int(res.length[i]),
+                "signal_valid": True,
+                "psdu": res.psdu[i][: int(res.length[i])]
+                if res.psdu_valid[i] else None,
+                "psdu_valid": bool(res.psdu_valid[i]),
+            })
+    return sorted(results, key=lambda d: d["start"])

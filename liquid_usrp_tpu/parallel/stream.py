@@ -49,6 +49,9 @@ def _sync_ops(sync):
     from ..framing import gmskframe as gmskf
     if isinstance(sync, gmskf.GmskSync):
         return gmskf.gmsk_sync_block, gmskf.GmskSyncState
+    from ..framing import wlan
+    if isinstance(sync, wlan.WlanSync):
+        return wlan.wlan_sync_block, wlan.WlanSyncState
     raise TypeError(f"unsupported synchronizer type {type(sync).__name__}")
 
 

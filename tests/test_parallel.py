@@ -366,3 +366,63 @@ def test_sharded_mctx_matches_sequential():
     mix_seq = np.concatenate(out)
 
     np.testing.assert_allclose(mix_sharded, mix_seq, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_time_sharded_wlan_matches_sequential():
+    """The 802.11a synchronizer rides the same time-sharded
+    infrastructure as the other frame families: sharded results equal
+    the sequential scan frame-for-frame."""
+    from liquid_usrp_tpu.framing import wlan
+    sync = wlan.make_wlan_sync(block_size=4096, max_psdu=64, max_frames=2)
+    mesh = jax.make_mesh((8,), ("time",))
+    chunk_blocks = -(-sync.overlap // sync.block_size) + 1
+    bs = sync.block_size
+    total = 8 * chunk_blocks * bs
+    rng = np.random.default_rng(17)
+    streamv = np.zeros(total, np.complex64)
+    sent = []
+    pos = 1500
+    while True:
+        rate = [6, 24, 54][len(sent) % 3]
+        psdu = rng.integers(0, 256, 40, dtype=np.uint8)
+        frame = np.asarray(wlan.wlan_assemble(rate, psdu))
+        if pos + len(frame) >= total - sync.overlap:
+            break
+        streamv[pos:pos + len(frame)] = frame
+        sent.append((pos, rate, psdu))
+        pos += len(frame) + 4000
+    n = np.arange(total)
+    streamv = (0.8 * np.exp(1j * 0.4) * streamv *
+               np.exp(1j * 0.002 * n)).astype(np.complex64)
+    streamv += (0.02 * (rng.normal(size=total) +
+                        1j * rng.normal(size=total))).astype(np.complex64)
+
+    run = pstream.make_time_sharded_sync(mesh, sync, chunk_blocks)
+    res = jax.tree.map(np.asarray, run(jnp.asarray(streamv)))
+    det = res.detected & res.psdu_valid
+    got = sorted((int(res.t_start[r]), int(res.rate[r]),
+                  np.asarray(res.psdu[r])[: int(res.length[r])])
+                 for r in np.nonzero(det)[0])
+    assert len(got) == len(sent) > 2, (len(got), len(sent))
+    for (t_g, r_g, p_g), (t_w, r_w, p_w) in zip(got, sent):
+        assert t_g == t_w
+        assert r_g == r_w
+        np.testing.assert_array_equal(p_g, p_w)
+
+    # sequential oracle
+    step = wlan.make_wlan_sync_step(sync)
+    state = wlan.wlan_sync_init(sync)
+    seq = []
+    padded = np.concatenate(
+        [streamv, np.zeros(sync.overlap + bs, np.complex64)])
+    for b in range(len(padded) // bs):
+        state, r = step(state, jnp.asarray(padded[b * bs:(b + 1) * bs]))
+        for i in np.nonzero(np.asarray(r.detected) &
+                            np.asarray(r.psdu_valid))[0]:
+            seq.append((int(r.t_start[i]), int(r.rate[i]),
+                        np.asarray(r.psdu[i])[: int(r.length[i])]))
+    seq.sort()
+    assert [(t, r) for t, r, _ in seq] == [(t, r) for t, r, _ in got]
+    for (_, _, p_s), (_, _, p_g) in zip(seq, got):
+        np.testing.assert_array_equal(p_s, p_g)
