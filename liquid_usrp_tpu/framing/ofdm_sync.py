@@ -76,6 +76,10 @@ class OfdmSync(NamedTuple):
     # False = legacy autocorrelation metric (also what the Mosaic
     # kernels implement — use_pallas > 0 forces it)
     xcorr_detect: bool = True
+    # second header-decode iteration on the DD-refined channel estimate
+    # (recovers marginal Golay blocks at the 0-1 dB waterfall where the
+    # header is EQ-noise-limited; measured below)
+    iter_header: bool = True
 
 
 class OfdmSyncState(NamedTuple):
@@ -107,6 +111,7 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
               threshold: float = 0.5,
               enable_conv: bool = False, soft: bool = False,
               use_pallas="auto", xcorr_detect: bool = True,
+              iter_header: bool = True,
               expansion: int = _EXPANSION) -> OfdmSync:
     if expansion < 1:
         raise ValueError(f"expansion must be >= 1 (got {expansion})")
@@ -135,7 +140,8 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
                     threshold=threshold, overlap=overlap, max_psym=max_psym,
                     dec_max=dec_max, enc_max=enc_max, fecs=fecs, soft=soft,
                     use_pallas=int(use_pallas),
-                    xcorr_detect=bool(xcorr_detect))
+                    xcorr_detect=bool(xcorr_detect),
+                    iter_header=bool(iter_header))
 
 
 def sync_init(sync: OfdmSync) -> OfdmSyncState:
@@ -542,6 +548,37 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     nobs = jnp.sum(used, axis=0)
     r = (nobs * r + 1.0) / (nobs + 1.0)
     r = jnp.where(jnp.abs(r) > 0.2, r, 1.0)
+
+    # second header-decode iteration: re-decode on the DD-refined channel
+    # (r cuts the per-carrier EQ noise ~1/n_obs); fields merge only when
+    # pass 1 failed, so a valid pass-1 header is never perturbed.  At the
+    # 0-1 dB waterfall the header is EQ-noise-limited (ROUND3_NOTES #5) —
+    # this recovers marginal Golay blocks for one extra decode per
+    # candidate.
+    if sync.iter_header:
+        hflat2 = (hdata / r[None, :]).reshape(-1)[:HEADER_SYMS]
+        if sync.soft:
+            hllrs2 = payload_codec.generic_demod_soft(
+                hflat2, jnp.int32(_HEADER_MOD),
+                payload_codec.HEADER_ENC_BYTES * 8)
+            (user2, plen2, mod2, f02, f12, check2,
+             hvalid2) = payload_codec.decode_header_soft(
+                hllrs2, sync.max_payload, len(sync.fecs))
+        else:
+            hsym2 = modem_mod.demodulate(_HEADER_MOD, hflat2)
+            hbits2 = modem_mod.symbols_to_bits(hsym2, _HEADER_BPS)
+            hbytes2 = payload_codec.header_bits_to_bytes(hbits2)
+            (user2, plen2, mod2, f02, f12, check2,
+             hvalid2) = payload_codec.decode_header(
+                hbytes2, sync.max_payload, len(sync.fecs))
+        take = (~hvalid) & hvalid2
+        user = jnp.where(take, user2, user)
+        plen = jnp.where(take, plen2, plen)
+        mod = jnp.where(take, mod2, mod)
+        f0 = jnp.where(take, f02, f0)
+        f1 = jnp.where(take, f12, f1)
+        check = jnp.where(take, check2, check)
+        hvalid = hvalid | hvalid2
 
     # payload constellation points (FEC decode happens batched outside
     # the candidate vmap — see decode_payload_batch); the phase-trend fit
