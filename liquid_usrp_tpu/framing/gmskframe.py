@@ -247,9 +247,15 @@ class GmskSyncState(NamedTuple):
 
 def make_gmsk_sync(params: GmskParams, block_size: int = 16384,
                    max_payload: int = 2048, max_frames: int = 8,
-                   threshold: float = 0.5, enable_conv: bool = False,
+                   threshold: float = 0.38, enable_conv: bool = False,
                    soft: bool = False,
                    expansion: int = _EXPANSION) -> GmskSync:
+    # threshold 0.38 on the sqrt(m1*m2) composite (was 0.5 on m1 alone):
+    # the old default was the detection limiter below -2 dB (det 18/40
+    # at -3 dB).  At 0.38 the composite detects 40/40 at -3 dB and most
+    # frames at -4, with measured margins: data-region sidelobes <= 0.34
+    # (the diff-coherent m2 term collapses them), pure noise <= 0.15 over
+    # 500k samples (round-4 measurement, ROUND4_NOTES.md)
     if expansion < 1:
         raise ValueError(f"expansion must be >= 1 (got {expansion})")
     dec_max = max_payload + 4
@@ -365,11 +371,41 @@ def _front_end(sync: GmskSync, ext: jnp.ndarray):
     ea = np.sum(np.abs(p.a_ref.reshape(n_seg, DETECT_SEG)) ** 2, axis=-1)
     num = jnp.zeros((n_metric,), jnp.float32)
     den = jnp.zeros((n_metric,), jnp.float32)
+    # differentially-coherent cross-segment term: every c_{s+1} conj(c_s)
+    # product rotates by the SAME e^{j cfo shift}, so |sum| is CFO-
+    # invariant like the square-law term — but a data-region sidelobe's
+    # per-segment phases are incoherent, so it collapses there (measured:
+    # true frames m2 ~ m1; data sidelobes m2 ~ 0.1 at m1 ~ 0.5)
+    num2 = jnp.zeros((n_metric,), jnp.complex64)
+    den2 = jnp.zeros((n_metric,), jnp.float32)
+    prev_c = prev_e = None
     for s in range(n_seg):
         sl = slice(s * shift, s * shift + n_metric)
-        num = num + out[2 * s, sl] ** 2 + out[2 * s + 1, sl] ** 2
-        den = den + float(ea[s]) * e_out[sl]
-    metric = num / jnp.maximum(den, 1e-12)
+        cs = out[2 * s, sl] + 1j * out[2 * s + 1, sl]
+        es = float(ea[s]) * e_out[sl]
+        num = num + jnp.abs(cs) ** 2
+        den = den + es
+        if prev_c is not None:
+            num2 = num2 + cs * jnp.conj(prev_c)
+            den2 = den2 + jnp.sqrt(jnp.maximum(es * prev_e, 0.0))
+        prev_c, prev_e = cs, es
+    m1 = num / jnp.maximum(den, 1e-12)
+    m2 = jnp.abs(num2) / jnp.maximum(den2, 1e-12)
+    # geometric mean: keeps m1's per-segment Cauchy-Schwarz normalization
+    # AND m2's phase-consistency requirement.  Measured separation (see
+    # make_gmsk_sync threshold note): true frames >= 0.41 at -3 dB SNR
+    # (>= 0.32 at -5), data-region sidelobes <= 0.34 over 6 streams,
+    # pure-noise max 0.15 over 500k samples.
+    metric = jnp.sqrt(jnp.maximum(m1 * m2, 0.0))
+    # energy-balance gate: at a signal->silence seam only part of the
+    # template span carries energy, and the scale-invariant ratios can
+    # spike on the few live segments.  A full template span has
+    # den2 ~ 0.875*den (AM-GM equality at equal segment energies); a
+    # partially-covered span collapses den2 (sqrt of a near-zero
+    # neighbor), so gating at 0.4*den kills seam artifacts at 2x margin
+    # without touching real frames (measured: one seam false alarm per
+    # ~300k samples at -2 dB before the gate, none after).
+    metric = jnp.where(den2 > 0.4 * den, metric, 0.0)
     # silence gate: require real signal power in the raw samples
     pwr = jnp.abs(ext[: n_metric]) ** 2
     floor = 1e-3 * (jnp.mean(jnp.abs(ext) ** 2) + 1e-12)

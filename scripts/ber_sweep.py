@@ -234,7 +234,9 @@ def theory_per(family: str, snr_db: float, payload_len: int) -> float:
     else:
         raise ValueError(family)
     from liquid_usrp_tpu.framing import payload as pc
-    n_hdr_blocks = pc.HEADER_ENC_BYTES * 8 // 24
+    # flex carries the reference's 14-byte user header; ofdm/gmsk use 8
+    user_b = 14 if family == "flex" else pc.HEADER_USER_BYTES
+    n_hdr_blocks = pc.header_enc_bytes(user_b) * 8 // 24
     hdr_ok = _block_code_ok(p_hdr, 24, 3) ** n_hdr_blocks
     return float(1.0 - hdr_ok * pay_ok)
 
