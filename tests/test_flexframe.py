@@ -256,7 +256,8 @@ def test_long_bpsk_frame_wraps_pilot_table():
 
 
 @pytest.mark.parametrize("mod_name", ["psk256", "apsk64", "v29", "ook",
-                                      "ask16", "qam8"])
+                                      "ask16", "qam8", "sqam32", "sqam128",
+                                      "arb16opt", "arb64vt", "arb256opt"])
 def test_extended_scheme_frame_loopback(setup, mod_name):
     """Extended modem ladder (liquid string-parser surface) round-trips
     through a flexframe payload at high SNR."""
