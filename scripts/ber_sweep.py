@@ -253,7 +253,17 @@ def implementation_loss_db(results, family, payload_len,
         order = np.argsort(x)                 # sweep may be unsorted
         x, y = np.asarray(x)[order], np.asarray(y)[order]
         idx = np.where(y <= per_level)[0]
-        return float(x[idx[0]]) if len(idx) else None
+        if not len(idx):
+            return None
+        i = idx[0]
+        if i == 0 or y[i] <= 0:
+            return float(x[i])
+        # log-linear interpolation between the bracketing points: the
+        # first-grid-point-below rule quantized the loss to the sweep's
+        # SNR grid (a 1 dB bias at 1 dB spacing)
+        y0, y1 = np.log(y[i - 1]), np.log(y[i])
+        t = (np.log(per_level) - y0) / (y1 - y0)
+        return float(x[i - 1] + t * (x[i] - x[i - 1]))
 
     m = cross(snrs, per)
     t = cross(fine, th)
