@@ -262,17 +262,35 @@ def _decode_candidate(sync: FlexSync, mf: jnp.ndarray, metric: jnp.ndarray,
                           (n_slots_used + PILOT_SPACING - 1)
                           // PILOT_SPACING,
                           rot.shape[0])
-    rot = jnp.where(jnp.arange(rot.shape[0]) < seg_valid, rot, 0.0)
-    # a single pilot per segment is decision-noise limited; averaging the
-    # complex rotations of 3 adjacent pilots recovers ~2 dB (phase drift
-    # across 3*16 symbols is small after CFO derotation)
-    rpad = jnp.concatenate([rot[:1], rot, rot[-1:]])
-    rot = 0.25 * rpad[:-2] + 0.5 * rpad[1:-1] + 0.25 * rpad[2:]
-    ph = jnp.angle(rot)                               # [n_pilots]
-    # piecewise-constant segment phase (segment s covers slots
-    # [pilot_pos[s], pilot_pos[s+1]))
-    seg = jnp.asarray(data_pos) // PILOT_SPACING
-    corr = jnp.exp(-1j * ph[jnp.clip(seg, 0, ph.shape[0] - 1)])
+    w_pil = (jnp.arange(rot.shape[0]) < seg_valid).astype(jnp.float32)
+    rot = rot * w_pil
+    # GLOBAL linear phase-trend fit across the frame's pilots (replaces
+    # the round-3 3-pilot smoothing + piecewise-constant segment phase):
+    # after CFO derotation the residual common phase is linear in time
+    # (constant CFO error + static channel), so a 2-parameter fit uses
+    # every pilot — per-symbol phase noise drops from ~1/sqrt(2.7)
+    # pilot-decisions to ~1/sqrt(n_pilots), which at 7 dB SNR was worth
+    # ~1 dB of QPSK effective-SNR (the measured flex implementation-loss
+    # gap vs ofdm/gmsk).  Slope from CASCADED diff-coherent lags
+    # (1 -> 8 -> 32): the lag-1 product alone has ~0.05 rad/segment noise
+    # at 8 dB, which the global fit amplifies x32 at the frame edges
+    # (measured as a PER floor); each longer lag divides the noise by its
+    # lag while the previous stage keeps the estimate inside the +-pi/L
+    # ambiguity window.  No phase unwrap anywhere; intercept from the
+    # slope-derotated mean.
+    def _refine(sl, lag):
+        if rot.shape[0] <= lag:
+            return sl
+        acc = jnp.sum(rot[lag:] * jnp.conj(rot[:-lag]) *
+                      jnp.exp(-1j * sl * lag))
+        return sl + jnp.angle(acc) / lag
+    slope = jnp.angle(jnp.sum(rot[1:] * jnp.conj(rot[:-1])))
+    slope = _refine(slope, 8)
+    slope = _refine(slope, 32)                        # rad/segment
+    s_idx = jnp.arange(rot.shape[0], dtype=jnp.float32)
+    base = jnp.angle(jnp.sum(rot * jnp.exp(-1j * slope * s_idx)))
+    seg = (jnp.asarray(data_pos) // PILOT_SPACING).astype(jnp.float32)
+    corr = jnp.exp(-1j * (base + slope * seg))
     data = section[jnp.asarray(data_pos)] * corr
 
     rssi = 20.0 * jnp.log10(jnp.maximum(jnp.abs(g), 1e-12))
