@@ -193,3 +193,21 @@ def test_wlan_sync_large_cfo_two_stage():
     assert res[0]["rate"] == 36 and res[0]["psdu_valid"]
     np.testing.assert_array_equal(res[0]["psdu"], psdu)
     assert abs(res[0]["cfo"] - cfo) < 1e-3
+
+
+def test_wlanframe_rx_app_pair(tmp_path):
+    """The wlanframe_tx -> wlanframe_rx app pair (the RX completes the
+    pair idiom the reference's TX-only wlan app lacks) recovers every
+    frame through an impaired virtual channel."""
+    from liquid_usrp_tpu.apps import wlanframe_rx, wlanframe_tx
+    f = str(tmp_path / "wlan.iq")
+    assert wlanframe_tx.main(["-o", f, "-N", "3", "-r", "24",
+                              "-P", "90"]) == 0
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert wlanframe_rx.main(["-i", f, "--snr", "15",
+                                  "--cfo", "0.002"]) == 0
+    out = buf.getvalue()
+    assert "valid PSDUs         :      3 (100.00%)" in out
