@@ -422,8 +422,16 @@ def _equalized_symbols(sync: OfdmSync, w: jnp.ndarray, body_start: jnp.ndarray,
                     dtype=jnp.float32)
     th = jnp.angle(rot * jnp.exp(-1j * cpe)[:, None])    # residual per pilot
     wgt = jnp.abs(rot)
-    denom = jnp.maximum(jnp.sum(wgt * f * f, axis=-1), 1e-6)
-    slope = jnp.sum(wgt * th * f, axis=-1) / denom       # [n_sym]
+    # GLOBAL timing slope: the frequency-linear phase term is a sampling
+    # offset — constant over the frame — so pool every valid symbol's
+    # pilots into one weighted fit (~sqrt(n_sym) lower slope noise than
+    # the per-symbol estimate; same flat fidelity story as the flex
+    # pilot-trend rebuild).  wgt_s (the frame-validity gate) zeroes
+    # foreign symbols out of the pool.
+    wpool = wgt * (wgt_s[:, None] > 1e-8)
+    denom = jnp.maximum(jnp.sum(wpool * f * f), 1e-6)
+    slope_g = jnp.sum(wpool * th * f) / denom
+    slope = jnp.broadcast_to(slope_g, cpe.shape)         # [n_sym]
     data_idx = jnp.asarray(p.data_idx)
     fd = jnp.asarray(np.where(p.data_idx > p.M // 2,
                               p.data_idx - p.M, p.data_idx),

@@ -252,7 +252,9 @@ def implementation_loss_db(results, family, payload_len,
     def cross(x, y):
         order = np.argsort(x)                 # sweep may be unsorted
         x, y = np.asarray(x)[order], np.asarray(y)[order]
-        idx = np.where(y <= per_level)[0]
+        # tolerance: 1 - ok/n accumulates float error (199/200 missed
+        # the 1e-2 level by 9e-18)
+        idx = np.where(y <= per_level * (1 + 1e-9))[0]
         if not len(idx):
             return None
         i = idx[0]
