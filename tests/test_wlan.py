@@ -211,3 +211,40 @@ def test_wlanframe_rx_app_pair(tmp_path):
                                   "--cfo", "0.002"]) == 0
     out = buf.getvalue()
     assert "valid PSDUs         :      3 (100.00%)" in out
+
+
+def test_wlan_sync_block_size_invariance():
+    """House invariant: streaming results are block-size-invariant
+    (same stream through 4096- and 8192-sample blocks -> identical
+    frames, timestamps, payloads)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(33)
+    psdu = rng.integers(0, 256, 70, dtype=np.uint8)
+    f = np.asarray(wlan.wlan_assemble(18, psdu))
+    stream = np.zeros(20000, np.complex64)
+    stream[5111:5111 + len(f)] = f
+    stream += (0.02 * (rng.normal(size=20000) +
+                       1j * rng.normal(size=20000))).astype(np.complex64)
+
+    def run(bs):
+        sync = wlan.make_wlan_sync(block_size=bs, max_psdu=128,
+                                   max_frames=2)
+        step = wlan.make_wlan_sync_step(sync)
+        state = wlan.wlan_sync_init(sync)
+        n_blocks = -(-len(stream) // bs) + sync.overlap // bs + 1
+        padded = np.concatenate(
+            [stream, np.zeros(n_blocks * bs - len(stream), np.complex64)])
+        got = []
+        for b in range(n_blocks):
+            state, r = step(state, jnp.asarray(padded[b * bs:(b + 1) * bs]))
+            r = jax.tree.map(np.asarray, r)
+            for i in np.nonzero(r.detected & r.psdu_valid)[0]:
+                got.append((int(r.t_start[i]), int(r.rate[i]),
+                            r.psdu[i][: int(r.length[i])].tolist()))
+        return sorted(got)
+
+    a, b = run(4096), run(8192)
+    assert a == b
+    assert len(a) == 1 and a[0][0] == 5111 and a[0][1] == 18
+    assert np.array_equal(a[0][2], psdu)
