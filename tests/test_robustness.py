@@ -6,8 +6,8 @@ ANY finite input block produces finite carried state, and the CRC/parity
 gates keep `payload_valid` false when there is no real frame.  These
 sweeps feed adversarial streams — DC, full-scale tones, impulse trains,
 amplitude steps of 1e6, denormal-scale noise, all-zeros, and NaN/Inf
-blocks followed by clean blocks — through all three single-channel sync
-families and check those promises.
+blocks followed by clean blocks — through all four single-channel sync
+families (incl. 802.11a) and check those promises.
 """
 import numpy as np
 import pytest
@@ -35,10 +35,13 @@ def _families():
     gparams = gf.make_gmsk_params()
     gsync = gf.make_gmsk_sync(gparams, block_size=BS, max_payload=64,
                               max_frames=4)
+    from liquid_usrp_tpu.framing import wlan
+    wsync = wlan.make_wlan_sync(block_size=BS, max_psdu=64, max_frames=4)
     return [
         ("ofdm", osync, ofdm_sync.sync_init, ofdm_sync.sync_block),
         ("flex", fsync, ffs.flex_sync_init, ffs.flex_sync_block),
         ("gmsk", gsync, gf.gmsk_sync_init, gf.gmsk_sync_block),
+        ("wlan", wsync, wlan.wlan_sync_init, wlan.wlan_sync_block),
     ]
 
 
@@ -61,7 +64,7 @@ def _adversarial_blocks(rng):
     return blocks
 
 
-@pytest.mark.parametrize("family", ["ofdm", "flex", "gmsk"])
+@pytest.mark.parametrize("family", ["ofdm", "flex", "gmsk", "wlan"])
 def test_no_false_frames_and_finite_state(family):
     rng = np.random.default_rng(0)
     name, sync, init, block_fn = next(
@@ -70,7 +73,10 @@ def test_no_false_frames_and_finite_state(family):
         st = init(sync)
         for _ in range(2):
             st, res = block_fn(sync, st, jnp.asarray(blk))
-        assert not bool(np.asarray(res.payload_valid).any()), (tag,)
+        valid = getattr(res, "payload_valid", None)
+        if valid is None:
+            valid = res.psdu_valid
+        assert not bool(np.asarray(valid).any()), (tag,)
         for leaf in jax.tree.leaves(st):
             arr = np.asarray(leaf)
             if np.issubdtype(arr.dtype, np.floating) or \
@@ -78,7 +84,7 @@ def test_no_false_frames_and_finite_state(family):
                 assert np.isfinite(arr).all(), (tag, "non-finite state")
 
 
-@pytest.mark.parametrize("family", ["ofdm", "flex", "gmsk"])
+@pytest.mark.parametrize("family", ["ofdm", "flex", "gmsk", "wlan"])
 def test_recovers_after_nan_block(family):
     """A NaN/Inf block must not poison the carried state: a clean frame
     in a later block still decodes payload-exact."""
@@ -97,10 +103,13 @@ def test_recovers_after_nan_block(family):
         burst = np.asarray(ff.flex_assemble(
             ff.make_flex_params(), ff.default_props(), jnp.asarray(header),
             jnp.asarray(payload)))
-    else:
+    elif family == "gmsk":
         burst = np.asarray(gf.gmsk_assemble(
             gf.make_gmsk_params(), gf.gmsk_default_props(),
             jnp.asarray(header), jnp.asarray(payload)))
+    else:
+        from liquid_usrp_tpu.framing import wlan
+        burst = np.asarray(wlan.wlan_assemble(24, payload))
     bad = np.full(BS, np.nan + 1j * np.inf, np.complex64)
     clean = np.zeros(BS, np.complex64)
     clean[500:500 + len(burst)] = burst
@@ -114,10 +123,16 @@ def test_recovers_after_nan_block(family):
     for blk in (np.zeros(BS, np.complex64), clean,
                 np.zeros(BS, np.complex64), np.zeros(BS, np.complex64)):
         st, res = block_fn(sync, st, jnp.asarray(blk))
+        ok = getattr(res, "payload_valid", None)
+        if ok is None:
+            ok = res.psdu_valid
+        pay = getattr(res, "payload", None)
+        plen = getattr(res, "payload_len", None)
+        if pay is None:
+            pay, plen = res.psdu, res.length
         for k in range(sync.max_frames):
-            if bool(np.asarray(res.payload_valid[k])):
+            if bool(np.asarray(ok[k])):
                 got += 1
                 np.testing.assert_array_equal(
-                    np.asarray(res.payload[k])[: int(res.payload_len[k])],
-                    payload)
+                    np.asarray(pay[k])[: int(plen[k])], payload)
     assert got == 1
