@@ -261,6 +261,10 @@ def _detect_metric_xcorr(sync: OfdmSync, ext: jnp.ndarray) -> jnp.ndarray:
     # caps a partial overlap at lit/n_seg; silent segments are zeroed by
     # the per-segment energy gate, which doubles as the silence gate.
     seg_floor = 1e-4 * span * (jnp.mean(pw) + 1e-12)
+    # NOTE: a batched [n_seg, nfft] inverse FFT measured 2.3x SLOWER than
+    # this sequential loop on the host backend (21 vs 9 ms/131k block) —
+    # XLA:CPU threads within one large FFT but not across the batch.
+    # Retry the batch form on real TPU only (ROUND4_NOTES).
     acc = jnp.zeros((n_metric,), jnp.float32)
     for s in range(n_seg):
         off = s * span + span - 1
@@ -319,20 +323,35 @@ def _detect_candidates(sync: OfdmSync, ext: jnp.ndarray):
             ext, d, L, M, sync.block_size, sync.threshold,
             sync.max_frames, interpret=None)
         return vals > 0, locs, c_at
-    metric, c = _detect_metric(sync, ext)
     if sync.xcorr_detect and not sync.use_pallas:
-        # detect on the segmented-coherent S0 cross-correlation (the
-        # autocorrelation metric above is still computed for `c`, the
-        # lag-product correlation whose angle is the coarse CFO estimate
-        # at the chosen offsets — one cumsum, cheap).  Any use_pallas
-        # level keeps the legacy autocorrelation metric CONSISTENTLY —
-        # including this M<32 fused-kernel fallthrough — so the Mosaic
-        # and XLA paths always compare the same detector (review
-        # finding: level 1 computed the kernel metric then discarded it,
-        # and level 2 at M<32 silently swapped detectors).
+        # detect on the segmented-coherent S0 cross-correlation; the
+        # lag-product correlation `c` (whose angle is the coarse CFO
+        # estimate) is computed ONLY at the chosen candidate offsets —
+        # a [K, L] gather instead of the full-stream cumsum metric
+        # (which cost ~2.6 ms/131k block just to be sampled at <= K
+        # points).  Any use_pallas level keeps the legacy
+        # autocorrelation metric CONSISTENTLY — including the M<32
+        # fused-kernel fallthrough below — so the Mosaic and XLA paths
+        # always compare the same detector.
         metric = _detect_metric_xcorr(sync, ext)
+        detected, locs = _find_candidates(sync, metric)
+        return detected, locs, _c_at(sync, ext, locs)
+    metric, c = _detect_metric(sync, ext)
     detected, locs = _find_candidates(sync, metric)
     return detected, locs, c[jnp.clip(locs, 0, c.shape[0] - 1)]
+
+
+def _c_at(sync: OfdmSync, ext: jnp.ndarray, locs: jnp.ndarray):
+    """Lag-M/4 windowed correlation (the coarse-CFO phase reference) at
+    the candidate offsets only: ``c[n] = sum_i ext[n+i] conj(ext[n+i+d])``
+    over the S0 span — identical to sampling the full `_detect_metric`
+    correlation at ``locs``."""
+    M = sync.params.M
+    d = M // 4
+    L = NUM_S0 * M - d
+    idx = locs[:, None] + jnp.arange(L)[None, :]
+    idx = jnp.clip(idx, 0, ext.shape[0] - 1 - d)
+    return jnp.sum(ext[idx] * jnp.conj(ext[idx + d]), axis=-1)
 
 
 def _find_candidates(sync: OfdmSync, metric: jnp.ndarray):
