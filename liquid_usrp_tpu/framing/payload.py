@@ -388,24 +388,27 @@ def fec_decode_switch(scheme_idx: jnp.ndarray, buf: jnp.ndarray,
 
 def crc_check_dynamic(check: jnp.ndarray, buf: jnp.ndarray,
                       plen: jnp.ndarray) -> jnp.ndarray:
-    """Validate CRC over buf[:plen] against buf[plen:plen+w] (traced scheme)."""
-    def none_fn(b):
-        return jnp.bool_(True)
+    """Validate CRC over buf[:plen] against buf[plen:plen+w] (traced scheme).
 
-    def make(scheme):
+    Branch-free: both CRC16 and CRC32 compute unconditionally and
+    ``check`` selects.  A ``lax.switch`` here was a structural trap
+    under the callers' vmap (measured 11 ms vs 0.7 ms for a 48-row
+    candidate batch on the host: the vmapped switch scalarizes), and
+    both CRCs together are two tiny GF(2) matmuls.
+    """
+    def one(scheme):
         w = crc_mod.crc_width_bytes(scheme)
+        got = crc_mod.crc_compute_masked(scheme, buf, plen)
+        shifts = jnp.arange(w - 1, -1, -1, dtype=jnp.uint32) * 8
+        tail = jax.lax.dynamic_slice(buf, (plen,), (w,))
+        want = jnp.sum(tail.astype(jnp.uint32) << shifts,
+                       dtype=jnp.uint32)
+        return got == want
 
-        def fn(b):
-            got = crc_mod.crc_compute_masked(scheme, b, plen)
-            shifts = jnp.arange(w - 1, -1, -1, dtype=jnp.uint32) * 8
-            tail = jax.lax.dynamic_slice(b, (plen,), (w,))
-            want = jnp.sum(tail.astype(jnp.uint32) << shifts,
-                           dtype=jnp.uint32)
-            return got == want
-        return fn
-
-    return jax.lax.switch(
-        check, [none_fn, make(crc_mod.CRC_16), make(crc_mod.CRC_32)], buf)
+    ok16 = one(crc_mod.CRC_16)
+    ok32 = one(crc_mod.CRC_32)
+    return jnp.where(check == 0, jnp.bool_(True),
+                     jnp.where(check == 1, ok16, ok32))
 
 
 @functools.lru_cache(maxsize=None)
