@@ -386,6 +386,8 @@ def _bench_best():
               ingest="bf16"), "batched_xl_bf16"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
               ingest="sc8"), "batched_xl_sc8"),
+        (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
+              ingest="bf16"), "batched_l_bf16"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
               ingest="bf16", use_pallas=2), "batched_xl_bf16_pallas"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
