@@ -136,3 +136,64 @@ def test_recovers_after_nan_block(family):
                 np.testing.assert_array_equal(
                     np.asarray(pay[k])[: int(plen[k])], payload)
     assert got == 1
+
+
+def test_cross_family_isolation():
+    """A stream carrying all four families' frames: each synchronizer
+    decodes exactly its own frames payload-exact and validates nothing
+    from the other families (cross-family waveforms are adversarial
+    structured input, not noise)."""
+    from liquid_usrp_tpu.framing import wlan
+    rng = np.random.default_rng(42)
+    payloads = {}
+    bursts = {}
+    h8 = rng.integers(0, 256, 8, dtype=np.uint8)
+    h14 = rng.integers(0, 256, 14, dtype=np.uint8)
+    p = rng.integers(0, 256, 60, dtype=np.uint8)
+    payloads["ofdm"] = p
+    bursts["ofdm"] = np.asarray(ofdm.assemble_frame(
+        ofdm.make_ofdm_params(M=48, cp_len=6, taper_len=4),
+        ofdm.default_props(), jnp.asarray(h8), jnp.asarray(p)))
+    p = rng.integers(0, 256, 60, dtype=np.uint8)
+    payloads["flex"] = p
+    bursts["flex"] = np.asarray(ff.flex_assemble(
+        ff.make_flex_params(), ff.default_props(), jnp.asarray(h14),
+        jnp.asarray(p)))
+    p = rng.integers(0, 256, 60, dtype=np.uint8)
+    payloads["gmsk"] = p
+    bursts["gmsk"] = np.asarray(gf.gmsk_assemble(
+        gf.make_gmsk_params(), gf.gmsk_default_props(), jnp.asarray(h8),
+        jnp.asarray(p)))
+    p = rng.integers(0, 256, 60, dtype=np.uint8)
+    payloads["wlan"] = p
+    bursts["wlan"] = np.asarray(wlan.wlan_assemble(12, p))
+
+    stream = np.zeros(4 * BS, np.complex64)
+    pos = 700
+    for fam in ("ofdm", "flex", "gmsk", "wlan"):
+        stream[pos:pos + len(bursts[fam])] = bursts[fam]
+        pos += len(bursts[fam]) + 900
+    stream += (0.01 * (rng.normal(size=len(stream)) +
+                       1j * rng.normal(size=len(stream)))
+               ).astype(np.complex64)
+
+    for fam, sync, init, block_fn in _families():
+        st = init(sync)
+        n_blocks = 4 + sync.overlap // BS + 1
+        padded = np.concatenate(
+            [stream, np.zeros(n_blocks * BS - len(stream), np.complex64)])
+        got = []
+        for b in range(n_blocks):
+            st, res = block_fn(sync, st,
+                               jnp.asarray(padded[b * BS:(b + 1) * BS]))
+            ok = getattr(res, "payload_valid", None)
+            if ok is None:
+                ok = res.psdu_valid
+            pay = getattr(res, "payload", None)
+            plen = getattr(res, "payload_len", None)
+            if pay is None:
+                pay, plen = res.psdu, res.length
+            for k in np.nonzero(np.asarray(ok))[0]:
+                got.append(np.asarray(pay[k])[: int(plen[k])])
+        assert len(got) == 1, (fam, len(got))
+        np.testing.assert_array_equal(got[0], payloads[fam])
