@@ -342,16 +342,21 @@ def _nearest_sym(x: jnp.ndarray, table: jnp.ndarray):
     return sym, dmin
 
 
-def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
+def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int,
+                       n_table: int = _MAX_CONST):
     """Demap with a runtime-selected constellation -> bit stream [max_bits].
 
     ``x``: flat received points [n_pts]; bits laid out bps-per-point
     (MSB-first), where bps is the traced bits/symbol of ``mod``.
     DPSK schemes demap differentially (see :func:`_diff_effective`).
+    ``n_table`` statically truncates the padded table scan — exact
+    whenever the scheme's constellation fits (entries beyond ``2^bps``
+    are 1e6 padding and never win); callers gate it on the batch's max
+    bps (see :func:`decode_payload_batch`).
     """
     x, off = _diff_effective(x, mod)
     tabs = jnp.asarray(_stacked_tables())
-    table = tabs[mod]                                    # [256]
+    table = tabs[mod][:n_table]
     sym, _ = _nearest_sym(x, table)                      # [n_pts]
     bps = jnp.asarray(
         [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
@@ -513,8 +518,26 @@ def decode_payload_batch(sync_enc_max: int, dec_max: int, max_payload: int,
                          hvalid, fecs=PAYLOAD_FECS):
     """Batched payload decode for K candidates: ``points [K, n_pts]``,
     per-row props -> (payload [K, max_payload], payload_valid [K])."""
-    pbits, _ = jax.vmap(
-        lambda x, m: generic_demod_bits(x, m, sync_enc_max * 8))(points, mod)
+    # batch-gated table size: when no candidate uses a >64-point scheme
+    # (the common case — QPSK-class traffic), scan only the first 64
+    # table entries (4 chunks instead of 16; entries past 2^bps are
+    # padding and never win).  ONE scalar lax.cond outside the vmap —
+    # never a per-row switch (the crc_check_dynamic lesson).
+    bps_all = jnp.asarray(
+        [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
+        dtype=jnp.int32)[mod]
+    small = jnp.all(bps_all <= 6)
+
+    def demod(n_tab):
+        def fn(pm):
+            pts, m = pm
+            return jax.vmap(
+                lambda x, mm: generic_demod_bits(
+                    x, mm, sync_enc_max * 8, n_table=n_tab)[0])(pts, m)
+        return fn
+
+    pbits = jax.lax.cond(small, demod(64), demod(_MAX_CONST),
+                         (points, mod))
     enc = scramble(jax.vmap(pack_bits)(pbits), salt=2)
     mid = _fec_batch(f1, enc, sync_enc_max, fecs)
     dec = _fec_batch(f0, mid, dec_max, fecs)
