@@ -566,17 +566,20 @@ def _bit_masks() -> np.ndarray:
     return out
 
 
-def generic_demod_soft(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int):
+def generic_demod_soft(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int,
+                       n_table: int = _MAX_CONST):
     """Max-log per-bit LLRs for a runtime-selected constellation.
 
     Returns ``llr [max_bits]`` float32 laid out exactly like
     :func:`generic_demod_bits` (positive => bit 1).  Dummy padding points
-    sit at distance ~1e12 and never win a min.
+    sit at distance ~1e12 and never win a min.  ``n_table`` statically
+    truncates the padded table scan (exact whenever the scheme fits;
+    see :func:`generic_demod_bits`).
     """
     x, off = _diff_effective(x, mod)
     tabs = jnp.asarray(_stacked_tables())
-    table = tabs[mod]
-    bm = jnp.asarray(_bit_masks())[mod]                  # [256, 8]
+    table = tabs[mod][:n_table]
+    bm = jnp.asarray(_bit_masks())[mod][:n_table]        # [n_table, 8]
     # per-bit min distances via the same chunked scan as _nearest_sym:
     # the naive [n_pts, 8, 256] masked-min materialized ~8x the hard
     # path's already-hot distance matrix (measured 54 s for the 64-row
@@ -629,8 +632,23 @@ def decode_payload_batch_soft(sync_enc_max: int, dec_max: int,
     """
     from ..ops import conv as conv_mod
     K = points.shape[0]
-    llrs = jax.vmap(
-        lambda x, m: generic_demod_soft(x, m, sync_enc_max * 8))(points, mod)
+    # batch-gated table size, as in decode_payload_batch (one scalar
+    # cond outside the vmap; 4-chunk scan for QPSK-class batches)
+    bps_all = jnp.asarray(
+        [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
+        dtype=jnp.int32)[mod]
+    small = jnp.all(bps_all <= 6)
+
+    def dsoft(n_tab):
+        def fn(pm):
+            pts, m = pm
+            return jax.vmap(
+                lambda x, mm: generic_demod_soft(
+                    x, mm, sync_enc_max * 8, n_table=n_tab))(pts, m)
+        return fn
+
+    llrs = jax.lax.cond(small, dsoft(64), dsoft(_MAX_CONST),
+                        (points, mod))
     hard = (llrs > 0).astype(jnp.uint8)
     enc = scramble(jax.vmap(pack_bits)(hard), salt=2)
     pn_bits = jnp.asarray(np.unpackbits(
