@@ -14,14 +14,26 @@ import numpy as np  # noqa: E402
 
 
 def _time(run, state, blocks, iters=5):
+    """Time ``run`` keeping its RESULTS live.
+
+    Every runner returns ``(state, live_scalar)`` where the scalar
+    depends on the per-block results: the carried sync states depend
+    only on the INPUT samples (tail slices + counters), so a runner
+    returning state alone lets XLA dead-code-eliminate the entire
+    detector/decode — the harness then times a memcpy (the round-1..3
+    per-pipeline sync rows were invalid for exactly this reason:
+    2.3 GS/s "ofdm_sync" on a 4-core host).
+    """
     import jax
-    s2 = run(state, blocks)
-    jax.block_until_ready(s2)
+    out = run(state, blocks)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     st = state
+    acc = None
     for _ in range(iters):
-        st = run(st, blocks)
-    jax.block_until_ready(st)
+        st, live = run(st, blocks)
+        acc = live if acc is None else acc + live
+    jax.block_until_ready((st, acc))
     return (time.perf_counter() - t0) / iters
 
 
@@ -50,8 +62,8 @@ def main():
         def body(st, b):
             st, res = ofdm_sync.sync_block(sync, st, b)
             return st, jnp.sum(res.detected)
-        st, _ = jax.lax.scan(body, state, blocks)
-        return st
+        st, d = jax.lax.scan(body, state, blocks)
+        return st, jnp.sum(d)
 
     dt = _time(run_ofdm, ofdm_sync.sync_init(sync), noise((SCAN, BS)))
     rows.append(("ofdm_sync", SCAN * BS / dt))
@@ -68,8 +80,8 @@ def main():
         def body(st, b):
             st, res = ffs.flex_sync_block(fsync, st, b)
             return st, jnp.sum(res.detected)
-        st, _ = jax.lax.scan(body, state, blocks)
-        return st
+        st, d = jax.lax.scan(body, state, blocks)
+        return st, jnp.sum(d)
 
     dt = _time(run_flex, ffs.flex_sync_init(fsync), noise((SCAN, BS)))
     rows.append(("flexframe_sync", SCAN * BS / dt))
@@ -85,8 +97,8 @@ def main():
         def body(st, b):
             st, res = gf.gmsk_sync_block(gsync, st, b)
             return st, jnp.sum(res.detected)
-        st, _ = jax.lax.scan(body, state, blocks)
-        return st
+        st, d = jax.lax.scan(body, state, blocks)
+        return st, jnp.sum(d)
 
     dt = _time(run_gmsk, gf.gmsk_sync_init(gsync), noise((SCAN, BS)))
     rows.append(("gmsk_sync", SCAN * BS / dt))
@@ -100,8 +112,8 @@ def main():
         def body(st, b):
             st2, X = pfb.pfb_analyze_block(chz, st, b)
             return st2, jnp.sum(jnp.abs(X[0]))
-        st, _ = jax.lax.scan(body, state, blocks)
-        return st
+        st, d = jax.lax.scan(body, state, blocks)
+        return st, jnp.sum(d)
 
     dt = _time(run_pfb, pfb.pfbch_state(chz),
                noise((SCAN, 128 * 8192)))
@@ -119,8 +131,8 @@ def main():
         def body(st, x):
             st, res = step(st, x)
             return st, jnp.sum(res.detected)
-        st, _ = jax.lax.scan(body, state, blocks)
-        return st
+        st, d = jax.lax.scan(body, state, blocks)
+        return st, jnp.sum(d)
 
     mix = noise((SCAN, 2 * N * BS))
     dt = _time(run_mcrx, init_state(), mix)
