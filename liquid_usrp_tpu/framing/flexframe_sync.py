@@ -382,7 +382,8 @@ def _gated_decode(sync: FlexSync, mf, metric, gate, locs, c1_at, c2_at,
             sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1,
             check)
         evm = payload_codec.frame_evm_db(
-            hevm, payload_codec.payload_evm_mse(points, mod, used), used)
+            hevm, payload_codec.payload_evm_mse(points, mod, used), used,
+            hdr_syms=payload_codec.header_syms(sync.header_user))
         evm = jnp.where(hvalid, evm, hevm)
         return (user, payload, plen, mod, f0, f1, check, hvalid, pvalid,
                 rssi, evm, cfo)

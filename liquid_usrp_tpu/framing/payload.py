@@ -462,12 +462,14 @@ def payload_evm_mse(points: jnp.ndarray, mod, used):
     return tot / jnp.maximum(used.astype(jnp.float32), 1.0)
 
 
-def frame_evm_db(hevm_db, pay_mse, used):
+def frame_evm_db(hevm_db, pay_mse, used, hdr_syms: int = HEADER_SYMS):
     """Combine header EVM (dB) with payload MSE into the frame EVM the
-    reference's framesyncstats reports (energy-weighted over symbols)."""
+    reference's framesyncstats reports (energy-weighted over symbols).
+    ``hdr_syms``: the family's header symbol count (352 for the 14-byte
+    flexframe header, 256 default)."""
     hmse = 10.0 ** (hevm_db / 10.0)
-    n = HEADER_SYMS + used.astype(jnp.float32)
-    tot = (hmse * HEADER_SYMS + pay_mse * used.astype(jnp.float32)) / n
+    n = hdr_syms + used.astype(jnp.float32)
+    tot = (hmse * hdr_syms + pay_mse * used.astype(jnp.float32)) / n
     return 10.0 * jnp.log10(jnp.maximum(tot, 1e-12))
 
 
