@@ -388,6 +388,10 @@ def _bench_best():
               ingest="sc8"), "batched_xl_sc8"),
         (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
               ingest="bf16"), "batched_l_bf16"),
+        # use_pallas=1 + xcorr = the PRODUCTION metric as a one-pass
+        # Mosaic kernel (sensitivity-identical; the VERDICT-r3 A/B)
+        (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
+              ingest="bf16", use_pallas=1), "batched_xl_bf16_xck"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
               ingest="bf16", use_pallas=2), "batched_xl_bf16_pallas"),
         (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,

@@ -153,3 +153,74 @@ def test_batched_dispatch_composes_with_fused_kernel():
     b, k = int(ok[0][0]), int(ok[1][0])
     np.testing.assert_array_equal(
         np.asarray(res.payload[b, k])[:40], p)
+
+
+def test_xcorr_onepass_matches_xla_metric():
+    """The segmented-xcorr Mosaic kernel (the PRODUCTION detector as a
+    one-pass kernel) matches ofdm_sync._detect_metric_xcorr to f32/FFT
+    rounding across M configs, same peak."""
+    import numpy as np
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    from liquid_usrp_tpu.framing.ofdm_sync import NUM_S0, _xc_span
+    from liquid_usrp_tpu.ops.pallas_kernels import \
+        detect_metric_xcorr_onepass
+    for M, cp, tp, bs in ((48, 6, 4, 8192), (16, 4, 2, 2048)):
+        params = ofdm.make_ofdm_params(M, cp, tp)
+        sync = ofdm_sync.make_sync(params, block_size=bs, max_payload=64,
+                                   max_frames=4)
+        rng = np.random.default_rng(M)
+        h = rng.integers(0, 256, 8, dtype=np.uint8)
+        p = rng.integers(0, 256, 48, dtype=np.uint8)
+        w = np.asarray(ofdm.assemble_frame(
+            params, ofdm.default_props(), jnp.asarray(h), jnp.asarray(p)))
+        buf = np.zeros(bs + sync.overlap, np.complex64)
+        buf[1500:1500 + len(w)] = w
+        buf += 0.02 * (rng.normal(size=len(buf)) +
+                       1j * rng.normal(size=len(buf))
+                       ).astype(np.complex64)
+        ext = jnp.asarray(buf)
+        ref = np.asarray(ofdm_sync._detect_metric_xcorr(sync, ext))
+        tmpl = np.tile(np.asarray(params.s0_time), NUM_S0)
+        got = np.asarray(detect_metric_xcorr_onepass(
+            ext, tmpl, _xc_span(len(tmpl)), len(ref), interpret=True))
+        assert np.abs(got - ref).max() < 2e-3
+        assert got.argmax() == ref.argmax()
+
+
+def test_use_pallas1_xcorr_decodes_identically():
+    """use_pallas=1 with xcorr_detect routes detection through the
+    Mosaic xcorr kernel and must decode the same frame payload-exact at
+    the same offset as the XLA path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 256, 8, dtype=np.uint8)
+    p = rng.integers(0, 256, 40, dtype=np.uint8)
+    f = np.asarray(ofdm.assemble_frame(
+        params, ofdm.default_props(), jnp.asarray(h), jnp.asarray(p)))
+    stream = np.zeros(3 * 4096, np.complex64)
+    stream[700:700 + len(f)] = f
+    stream += (0.01 * (rng.normal(size=len(stream)) +
+                       1j * rng.normal(size=len(stream)))
+               ).astype(np.complex64)
+    rows = {}
+    for up in (0, 1):
+        sync = ofdm_sync.make_sync(params, block_size=4096, max_payload=64,
+                                   max_frames=2, use_pallas=up)
+        st = ofdm_sync.sync_init(sync)
+        got = []
+        for b in range(3 + sync.overlap // 4096 + 1):
+            blk = stream[b * 4096:(b + 1) * 4096] if b < 3 else \
+                np.zeros(4096, np.complex64)
+            st, r = ofdm_sync.sync_block(sync, st, jnp.asarray(blk))
+            for k in range(sync.max_frames):
+                if r.payload_valid[k]:
+                    got.append((int(r.t_start[k]),
+                                np.asarray(r.payload[k])[:40]))
+        rows[up] = got
+    assert len(rows[0]) == len(rows[1]) == 1
+    assert rows[0][0][0] == rows[1][0][0] == 700
+    np.testing.assert_array_equal(rows[1][0][1], p)
