@@ -170,6 +170,49 @@ def main():
                            "loc_ok": loc_ok, "n_detected": n_det,
                            "match": match, "us": round(t2(f_cand), 1),
                            "xla_us": round(t2(f_xla2), 1)}
+
+    # PRODUCTION metric kernel: segmented-xcorr one-pass vs the XLA
+    # FFT-domain path (the use_pallas=1 + xcorr_detect route) on the
+    # same frame-loaded M=48 buffer
+    from liquid_usrp_tpu.framing.ofdm_sync import _xc_span
+    from liquid_usrp_tpu.ops.pallas_kernels import \
+        detect_metric_xcorr_onepass
+    tmpl = np.tile(np.asarray(params.s0_time), ofdm_sync.NUM_S0)
+    span = _xc_span(len(tmpl))
+    n_metric = sync.block_size + 2 * 48 + 1
+    f_xcx = jax.jit(
+        lambda e: ofdm_sync._detect_metric_xcorr(sync, e))
+    f_xck = jax.jit(lambda e: detect_metric_xcorr_onepass(
+        e, tmpl, span, n_metric, interpret=False))
+    m_ref = jax.block_until_ready(f_xcx(ext))
+    try:
+        m_k = jax.block_until_ready(f_xck(ext))
+    except Exception as e:  # noqa: BLE001
+        msg = repr(e)
+        out["xcorr_m48"] = {"compile": "fail", "error": msg[:400]}
+        if "UNIMPLEMENTED" in msg or "Unimplemented" in msg:
+            print(json.dumps(out))
+            sys.exit(3)
+        any_fail = True
+    else:
+        rel = float(jnp.max(jnp.abs(m_k - m_ref))) / max(
+            float(jnp.max(jnp.abs(m_ref))), 1e-12)
+        pk_ok = bool(jnp.argmax(m_k) == jnp.argmax(m_ref))
+        match = rel < 5e-3 and pk_ok
+
+        def t3(f):
+            jax.block_until_ready(f(ext))
+            t0 = time.perf_counter()
+            for _ in range(50):
+                r = f(ext)
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / 50 * 1e6
+
+        all_match = all_match and match
+        out["xcorr_m48"] = {"compile": "ok", "rel_err": rel,
+                            "peak_match": pk_ok, "match": match,
+                            "us": round(t3(f_xck), 1),
+                            "xla_us": round(t3(f_xcx), 1)}
     print(json.dumps(out))
     sys.exit(1 if any_fail else (0 if all_match else 2))
 
