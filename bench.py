@@ -153,7 +153,7 @@ def _expected_fingerprints(payloads, weights, max_payload):
 
 
 def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
-                ingest="c64", use_pallas=0):
+                ingest="c64", use_pallas=0, planar=False):
     """Full pipeline: NCO -> 2N-bin PFB -> vmapped N-channel OFDM sync.
 
     ``batched_blocks > 1`` uses the multi-block batched dispatch
@@ -166,6 +166,14 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
     codes (UHD sc8 OTW analog — a quarter of the complex64 input read).
     The on-chip decode assertions below then also prove the quantized
     ingest is payload-exact.
+
+    ``planar=True`` runs the SAME pipeline through the planar-complex
+    transform (ops/planar.py): complex values travel as real I/Q plane
+    pairs and the DFTs lower to MXU matmuls, so no complex dtype ever
+    reaches the backend.  Decode outputs are bit-identical to the
+    complex path (tests/test_planar.py); this is the tier that runs on
+    tunnel deployments lacking complex lowering entirely
+    (docs/tpu_runs/r04_capability.json).
     """
     import jax
     import jax.numpy as jnp
@@ -247,20 +255,38 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
             np.stack([v.real, v.imag], axis=1) * (127.0 / peak)),
             -127, 127).astype(np.int8)
         blocks, flush = to_sc8(blocks), to_sc8(flush)
-    if ingest == "c64":
-        # stage through float planes: complex64 host->device transfer has
-        # an observed tunnel failure mode (ops/iqfmt.py::device_put_c64);
-        # the timed pipeline still reads an ordinary complex64 HBM array
-        from liquid_usrp_tpu.ops.iqfmt import device_put_c64
-        blocks = device_put_c64(blocks)
-        flush = device_put_c64(flush)
+    if planar:
+        from liquid_usrp_tpu.ops.planar import planarize, to_planar
+        # no complex dtype may ever touch the backend: state is built on
+        # the host backend, then shipped (with any complex blocks) as
+        # real planes; bf16/sc8 ingest planes are already real
+        with jax.default_device(jax.devices("cpu")[0]):
+            state = jax.device_get(init_state())
+        state = jax.device_put(to_planar(state))
+        if ingest == "c64":
+            blocks = jax.device_put(to_planar(blocks))
+            flush = jax.device_put(to_planar(flush))
+        else:
+            blocks = jnp.asarray(blocks)
+            flush = jnp.asarray(flush)
+        run = planarize(run_fn)
     else:
-        blocks = jnp.asarray(blocks)
-        flush = jnp.asarray(flush)
-    state = init_state()
+        if ingest == "c64":
+            # stage through float planes: complex64 host->device transfer
+            # has an observed tunnel failure mode
+            # (ops/iqfmt.py::device_put_c64); the timed pipeline still
+            # reads an ordinary complex64 HBM array
+            from liquid_usrp_tpu.ops.iqfmt import device_put_c64
+            blocks = device_put_c64(blocks)
+            flush = device_put_c64(flush)
+        else:
+            blocks = jnp.asarray(blocks)
+            flush = jnp.asarray(flush)
+        state = init_state()
+        run = run_fn
 
     # AOT compile once; reuse the executable for verify + timing + costs
-    exe = jax.jit(run_fn).lower(state, blocks).compile()
+    exe = jax.jit(run).lower(state, blocks).compile()
     try:
         ca = exe.cost_analysis() or {}
     except Exception:
@@ -360,14 +386,15 @@ def _bench_sync():
             iters * SCAN * sync.block_size / best, {"correct": False})
 
 
-def _healthy(timeout_s: float | None = None) -> bool:
+def _healthy(timeout_s: float | None = None,
+             mode: str = "complex") -> bool:
     """Fast tunnel-session health check (shared gate — see
     liquid_usrp_tpu/utils/tpu_session.py for the failure-mode rationale).
     Default timeout comes from TPU_HEALTH_TIMEOUT_S (the parent shrinks
     it as the global deadline approaches)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from liquid_usrp_tpu.utils.tpu_session import session_healthy
-    return session_healthy(timeout_s)
+    return session_healthy(timeout_s, mode=mode)
 
 
 def _bench_best():
@@ -398,6 +425,12 @@ def _bench_best():
               ingest="sc8", use_pallas=2), "batched_xl_sc8_pallas"),
         (dict(block_size=32768, max_frames=48, scan=1, batched_blocks=4),
          "batched"),
+        # planar A/B on complex-capable sessions: same pipeline through
+        # the planar transform (MXU DFT matmuls, real-only arithmetic)
+        (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
+              planar=True), "planar_l"),
+        (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
+              ingest="bf16", planar=True), "planar_l_bf16"),
     ]:
         if results and _child_time_left() < 120.0:
             # deadline-aware: report what we have rather than letting the
@@ -418,6 +451,53 @@ def _bench_best():
     # every variant's outcome is visible in the one JSON line, so a
     # regression (e.g. Mosaic rejecting the pallas kernels) can never
     # hide behind the best-of (VERDICT r2 weak #5)
+    extra["variants"] = {e["dispatch"]: round(s, 1) for _, s, e in results}
+    if failed:
+        extra["variants_failed"] = failed
+    return metric, sps, extra
+
+
+def _bench_planar_best():
+    """Planar-transform tier: the decode-verified pipeline as a real-only
+    XLA program (ops/planar.py) — the measurement tier for tunnel
+    deployments that reject complex-dtype compiles while running real
+    ops at full speed (docs/tpu_runs/r04_capability.json).
+
+    Remote compiles dominate here (~4 min/variant over the tunnel), so
+    variants are ordered best-known-first and the deadline check keeps a
+    compile-sized reserve.
+    """
+    results = []
+    failed = {}
+    for kwargs, tag in [
+        (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
+              planar=True), "planar_l"),
+        (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
+              ingest="bf16", planar=True), "planar_l_bf16"),
+        (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
+              ingest="bf16", planar=True, use_pallas=1),
+         "planar_l_bf16_xck"),
+        (dict(block_size=131072, max_frames=48, scan=1, batched_blocks=2,
+              ingest="bf16", planar=True), "planar_xl_bf16"),
+        (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
+              ingest="sc8", planar=True), "planar_l_sc8"),
+        (dict(block_size=32768, max_frames=16, scan=1, batched_blocks=4,
+              planar=True), "planar_m_batched"),
+    ]:
+        if results and _child_time_left() < 420.0:
+            failed[tag] = "skipped: child deadline"
+            continue
+        try:
+            metric, sps, extra = _bench_mcrx(**kwargs)
+            extra["dispatch"] = tag
+            results.append((metric, sps, extra))
+        except Exception as e:  # noqa: BLE001 — variant isolation
+            failed[tag] = f"{type(e).__name__}: {str(e)[:120]}"
+            print(f"variant {tag} failed: {failed[tag]}",
+                  file=sys.stderr, flush=True)
+    if not results:
+        raise RuntimeError("all planar variants failed")
+    metric, sps, extra = max(results, key=lambda r: r[1])
     extra["variants"] = {e["dispatch"]: round(s, 1) for _, s, e in results}
     if failed:
         extra["variants_failed"] = failed
@@ -473,13 +553,23 @@ def _child(which: str) -> int:
             "unit": "samples/s/chip",
             "vs_baseline": round(sps / BASELINE_SPS, 3), **extra}))
         return 0
-    if not _healthy():
+    if which == "cap":
+        from liquid_usrp_tpu.utils.tpu_session import session_capabilities
+        print(json.dumps({"metric": "cap", **session_capabilities()}))
+        return 0
+    planar_kinds = {"planar_best", "planar"}
+    # planar kinds gate on real ops only: probing a complex op in a
+    # complex-incapable session would poison every later compile in
+    # this process (utils/tpu_session.py)
+    if not _healthy(mode="real" if which in planar_kinds else "complex"):
         os._exit(3)                    # bad session: fail fast, retry
     fn = {
         "best": _bench_best,
         "mcrx_xl": lambda: _bench_mcrx(131072, 48, 1),
         "mcrx": _bench_mcrx,
         "sync": _bench_sync,
+        "planar_best": _bench_planar_best,
+        "planar": lambda: _bench_mcrx(65536, 24, 1, 2, planar=True),
     }[which]
     metric, sps, extra = fn()
     out = {
@@ -533,12 +623,41 @@ def main() -> int:
     reserve = min(300.0, 0.35 * budget)
     attempts = [("best", 12), ("mcrx_xl", 5), ("mcrx", 4), ("sync", 3)]
     attempt_log = []                 # actual per-attempt failure causes
+
+    # capability triage: one cheap child reports this deployment's
+    # session tiers (real-only vs complex-capable).  The round-4 tunnel
+    # deployment rejects every complex compile while running real ops at
+    # speed (docs/tpu_runs/r04_capability.json) — on such a deployment
+    # the complex ladder would burn the whole budget failing the gate,
+    # while the planar tier measures the same decode-verified pipeline.
+    caps = None
+    if remaining() - reserve > 420.0:
+        line, _, _ = _run_child(
+            "cap", min(300.0, remaining() - reserve),
+            {"TPU_HEALTH_TIMEOUT_S": "240"})
+        if line:
+            try:
+                caps = json.loads(line)
+            except ValueError:
+                caps = None
+        attempt_log.append(
+            "cap: " + ("no-report" if caps is None else
+                       f"real={caps.get('real')} "
+                       f"complex={caps.get('complex')}"))
+    if caps:
+        if caps.get("real") and not caps.get("complex"):
+            attempts = [("planar_best", 8), ("planar", 3)]
+        elif not caps.get("real"):
+            # dead tunnel: skip straight to one complex attempt (cheap
+            # re-check in a fresh session) then the fallback
+            attempts = [("best", 2), ("planar", 1)]
     for which, tries in attempts:
         for i in range(tries):
             avail = remaining() - reserve
             if avail < 120.0:
                 break           # out of TPU budget: go to the fallback
-            tmo = min(1500.0 if which == "best" else 700.0, avail)
+            tmo = min(1500.0 if which in ("best", "planar_best")
+                      else 700.0, avail)
             # shrink the in-child health gate so a hanging session never
             # eats more than a fraction of the attempt
             gate = str(int(min(150.0, max(30.0, tmo / 4))))

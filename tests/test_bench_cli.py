@@ -81,3 +81,27 @@ def test_fallback_note_reports_actual_attempt_reasons():
     rec = _assert_one_json_line(out)
     assert rec["dispatch"] == "cpu_fallback"
     assert reasons in rec["note"]
+
+
+def test_session_capabilities_cpu_reports_both_tiers():
+    """The capability triage the parent uses to pick its ladder: a
+    complex-capable backend (the CPU here) must report both tiers."""
+    from liquid_usrp_tpu.utils.tpu_session import session_capabilities
+    caps = session_capabilities(120)
+    assert caps == {"real": True, "complex": True}
+
+
+@pytest.mark.slow
+def test_planar_variant_decode_verified():
+    """The planar tier (_bench_mcrx(planar=True)) must decode every
+    injected frame payload-exact — same assertion machinery as the
+    complex tiers, but through the planar transform."""
+    sys.path.insert(0, os.path.dirname(BENCH))
+    import bench
+    metric, sps, extra = bench._bench_mcrx(
+        block_size=16384, max_frames=8, scan=1, batched_blocks=2,
+        planar=True)
+    assert metric == "mcrx_iq_throughput"
+    assert extra["correct"] is True
+    assert extra["frames_verified"] > 0
+    assert sps > 0
