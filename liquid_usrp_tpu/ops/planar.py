@@ -227,7 +227,8 @@ _PER_PLANE = {
     "broadcast_in_dim", "concatenate", "copy", "cumsum", "dynamic_slice",
     "dynamic_update_slice", "expand_dims", "gather", "pad", "reduce_sum",
     "reshape", "rev", "scatter", "scatter-add", "select_n", "slice",
-    "squeeze", "sub", "add", "neg", "transpose", "real_part_placeholder",
+    "squeeze", "sub", "add", "neg", "transpose", "stop_gradient",
+    "reduce_precision", "optimization_barrier",
 }
 
 _CALL_PRIMS = {"jit", "pjit", "closed_call", "core_call", "custom_jvp_call",

@@ -203,3 +203,74 @@ def test_planar_mcrx_fingerprints_exact():
     assert int(np.asarray(ref_cnt).sum()) > 0
     np.testing.assert_array_equal(np.asarray(ref_cnt), np.asarray(p_cnt))
     np.testing.assert_array_equal(np.asarray(ref_fp), np.asarray(p_fp))
+
+
+@pytest.mark.parametrize("family", ["flex", "gmsk", "wlan"])
+def test_planar_family_sync_decodes_equal(family):
+    """Every frame family's synchronizer planarizes with exact decode
+    equality — the transform covers the whole framework surface, not
+    just the flagship OFDM pipeline."""
+    rng = np.random.default_rng(17)
+    bs = 8192
+    if family == "flex":
+        from liquid_usrp_tpu.framing import flexframe as ff
+        from liquid_usrp_tpu.framing import flexframe_sync as ffs
+        params = ff.make_flex_params()
+        hdr = rng.integers(0, 256, 14, dtype=np.uint8)
+        pay = rng.integers(0, 256, 120, dtype=np.uint8)
+        w = np.asarray(ff.flex_assemble(params, ff.default_props(),
+                                        jnp.asarray(hdr), jnp.asarray(pay)))
+        sync = ffs.make_flex_sync(params, block_size=bs, max_payload=256,
+                                  max_frames=4, header_user=14)
+        sync_block, sync_init = (
+            lambda st, b: ffs.flex_sync_block(sync, st, b),
+            lambda: ffs.flex_sync_init(sync))
+        ok_of = lambda res: res.payload_valid    # noqa: E731
+        pay_of = lambda res: res.payload         # noqa: E731
+    elif family == "gmsk":
+        from liquid_usrp_tpu.framing import gmskframe as gf
+        params = gf.make_gmsk_params(k=2, m=3, bt=0.5)
+        hdr = rng.integers(0, 256, 8, dtype=np.uint8)
+        pay = rng.integers(0, 256, 100, dtype=np.uint8)
+        w = np.asarray(gf.gmsk_assemble(params, gf.gmsk_default_props(),
+                                        jnp.asarray(hdr), jnp.asarray(pay)))
+        sync = gf.make_gmsk_sync(params, block_size=bs, max_payload=256,
+                                 max_frames=4)
+        sync_block, sync_init = (
+            lambda st, b: gf.gmsk_sync_block(sync, st, b),
+            lambda: gf.gmsk_sync_init(sync))
+        ok_of = lambda res: res.payload_valid    # noqa: E731
+        pay_of = lambda res: res.payload         # noqa: E731
+    else:
+        from liquid_usrp_tpu.framing import wlan
+        sync = wlan.make_wlan_sync(block_size=bs, max_psdu=256,
+                                   max_frames=4)
+        psdu = rng.integers(0, 256, 100, dtype=np.uint8)
+        w = np.asarray(wlan.wlan_assemble(36, psdu))
+        sync_block, sync_init = (
+            lambda st, b: wlan.wlan_sync_block(sync, st, b),
+            lambda: wlan.wlan_sync_init(sync))
+        ok_of = lambda res: res.psdu_valid       # noqa: E731
+        pay_of = lambda res: res.psdu            # noqa: E731
+
+    stream = np.zeros(2 * bs, np.complex64)
+    stream[600:600 + len(w)] = w
+    stream += 0.005 * (rng.standard_normal(stream.shape)
+                       + 1j * rng.standard_normal(stream.shape)
+                       ).astype(np.complex64)
+    blocks = stream.reshape(2, bs)
+
+    def run(state, blocks):
+        def body(st, b):
+            st, res = sync_block(st, b)
+            return st, (ok_of(res), pay_of(res))
+        return lax.scan(body, state, blocks)
+
+    st0 = sync_init()
+    _, (rok, rpay) = jax.jit(run)(st0, blocks)
+    _, (pok, ppay) = jax.jit(planarize(run))(*to_planar((st0, blocks)))
+    rok_ = np.asarray(rok)
+    assert rok_.sum() >= 1
+    assert np.array_equal(rok_, np.asarray(pok))
+    np.testing.assert_array_equal(np.asarray(rpay)[rok_],
+                                  np.asarray(ppay)[rok_])
