@@ -30,6 +30,23 @@ import subprocess
 import sys
 import time
 
+# Interpreter self-heal: some driver environments put a bare interpreter
+# (no numpy/jax) first on PATH while the real stack lives in /opt/venv.
+# Re-exec once into a working interpreter instead of dying without the
+# required JSON line.
+if not os.environ.get("_BENCH_REEXEC"):
+    try:
+        import numpy  # noqa: F401
+    except ModuleNotFoundError:
+        os.environ["_BENCH_REEXEC"] = "1"
+        for _cand in ("/opt/venv/bin/python", "/usr/bin/python3",
+                      "/usr/local/bin/python3"):
+            if os.path.exists(_cand) and (os.path.realpath(_cand)
+                                          != os.path.realpath(sys.executable)):
+                os.execv(_cand, [_cand, os.path.abspath(__file__)]
+                         + sys.argv[1:])
+        raise
+
 if os.environ.get("_BENCH_CHILD") in ("cpu", "mixture"):
     # Force the host-CPU backend BEFORE any JAX use, exactly the
     # tests/conftest.py recipe: this image's sitecustomize registers the
@@ -742,7 +759,14 @@ def main() -> int:
                        f"complex={caps.get('complex')}"))
     if caps:
         if caps.get("real") and not caps.get("complex"):
-            attempts = [("planar_best", 8), ("planar", 3)]
+            # complex=None means the probe timed out (verdict unknown):
+            # still lead with the complex ladder — its own in-child
+            # health gate fails fast (rc=3) on a truly incapable
+            # deployment.  Even on a definitive complex=False, one
+            # cheap fail-fast attempt guards against a flaky probe.
+            unknown = caps.get("complex") is None
+            attempts = ([("best", 2 if unknown else 1)]
+                        + [("planar_best", 6), ("planar", 3)])
             # prefill the ground-truth file cache from a forced-CPU
             # child: TPU sessions that refuse host-backend registration
             # ("Unknown backend cpu") then measure from the cache

@@ -108,6 +108,14 @@ def _probe_complex() -> bool:
 
 
 def _run_with_timeout(fn, timeout_s: float):
+    ok, _finished = _run_with_timeout2(fn, timeout_s)
+    return ok
+
+
+def _run_with_timeout2(fn, timeout_s: float):
+    """Returns ``(ok, finished)`` — ``finished=False`` means the probe
+    thread was still running at the deadline (verdict unknown), which is
+    a different fact from a definitive in-time failure."""
     import threading
     box = []
 
@@ -120,7 +128,7 @@ def _run_with_timeout(fn, timeout_s: float):
     t = threading.Thread(target=runner, daemon=True)
     t.start()
     t.join(timeout_s)
-    return bool(box and box[0])
+    return bool(box and box[0]), bool(box)
 
 
 def session_healthy(timeout_s: float | None = None,
@@ -158,11 +166,22 @@ def session_capabilities(timeout_s: float | None = None) -> dict:
     in this process afterwards)."""
     import os
 
+    import time
+
     if timeout_s is None:
         timeout_s = float(os.environ.get("TPU_HEALTH_TIMEOUT_S", "150"))
+    t0 = time.monotonic()
     caps = {"real": False, "complex": False}
     caps["real"] = _run_with_timeout(_probe_real, 0.75 * timeout_s)
     if caps["real"]:
-        caps["complex"] = _run_with_timeout(_probe_complex,
-                                            0.25 * timeout_s)
+        # the real probe already paid backend init, so the complex probe
+        # is one compile: give it ALL remaining wall-clock (a fixed 25%
+        # slice misreported a complex-capable session as real-only when
+        # init ate the real probe's share — observed live in round 4)
+        left = max(30.0, timeout_s - (time.monotonic() - t0))
+        ok, finished = _run_with_timeout2(_probe_complex, left)
+        # a timed-out probe is an UNKNOWN verdict, not a definitive
+        # incapacity: report None so callers can still attempt the
+        # complex tier (its own health gate fails fast if truly absent)
+        caps["complex"] = ok if finished else None
     return caps
