@@ -393,8 +393,19 @@ def _find_candidates(sync: OfdmSync, metric: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def _window_gather(ext: jnp.ndarray, start: jnp.ndarray, length: int):
-    idx = jnp.clip(start + jnp.arange(length), 0, ext.shape[0] - 1)
-    return ext[idx]
+    """Contiguous window ``ext[start : start+length]`` (traced start).
+
+    MUST stay a ``dynamic_slice``: the index-array gather this used to be
+    (``ext[start + arange]``) lowers catastrophically on TPU under the
+    candidate vmap — measured 4.33 GB of HBM traffic for 24 windows vs
+    0.0095 GB for the vmapped dynamic_slice (455x; the round-3 HOST A/B
+    that favored the gather does not transfer to the chip).  Edge
+    semantics: a start past ``len-length`` clamps (window shifts left)
+    instead of repeating the last sample — both only occur for candidates
+    whose frame cannot fully decode from this block anyway (re-detected
+    next block via the overlap), and every equality test runs both paths
+    through this same primitive."""
+    return jax.lax.dynamic_slice(ext, (start,), (length,))
 
 
 def _equalized_symbols(sync: OfdmSync, w: jnp.ndarray, body_start: jnp.ndarray,
@@ -411,10 +422,18 @@ def _equalized_symbols(sync: OfdmSync, w: jnp.ndarray, body_start: jnp.ndarray,
     p = sync.params
     M, cp = p.M, p.cp_len
     n_data = len(p.data_idx)
-    sym_starts = body_start + cp + jnp.arange(n_sym) * (M + cp)
-    idx = sym_starts[:, None] + jnp.arange(M)[None, :]
-    idx = jnp.clip(idx, 0, w.shape[0] - 1)
-    time_syms = w[idx]                                   # [n_sym, M]
+    # symbol grid as ONE contiguous dynamic_slice + reshape: symbol k
+    # occupies [body+cp + k*(M+cp), +M), i.e. the first M columns of the
+    # [n_sym, M+cp] reshape of a single span.  The index-array gather
+    # this replaces lowers to GB-scale HBM traffic on TPU under the
+    # candidate vmap (same pathology as _window_gather — see its
+    # docstring).  Zero-pad so any in-window body_start slices without
+    # clamping (beyond-window spans read zeros instead of the old
+    # repeated-last-sample; both only happen for undecodable frames).
+    span = n_sym * (M + cp)
+    wpad = jnp.pad(w, (0, span + cp))
+    seg = jax.lax.dynamic_slice(wpad, (body_start + cp,), (span,))
+    time_syms = seg.reshape(n_sym, M + cp)[:, :M]        # [n_sym, M]
     Y = jnp.fft.fft(time_syms, axis=-1).astype(jnp.complex64) / \
         jnp.sqrt(jnp.float32(M))
     Hsafe = jnp.where(jnp.abs(H) > 1e-6, H, 1.0)
@@ -477,6 +496,13 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
     ``debug=True`` (trace-time flag; never used on the hot path) appends
     a dict of synchronizer internals — channel estimate, equalized
     header/payload constellation points — for :func:`debug_capture`."""
+    wraw = _window_gather(ext, n0, sync.overlap)
+    return _decode_window(sync, wraw, c_at, debug)
+
+
+def _decode_window(sync: OfdmSync, wraw: jnp.ndarray, c_at: jnp.ndarray,
+                   debug: bool = False):
+    """Refine+decode one already-sliced max-frame window ``wraw [W]``."""
     p = sync.params
     M, cp = p.M, p.cp_len
     n_hsym = header_symbol_count(p)
@@ -484,7 +510,6 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
 
     cfo = -jnp.angle(c_at) / (M // 4)
     t = jnp.arange(W, dtype=jnp.float32)
-    wraw = _window_gather(ext, n0, W)
     # fine CFO: the two S0 symbols repeat with period M, giving 4x the
     # discriminator lag of the coarse lag-M/4 estimate (Schmidl-Cox-style
     # second stage); the coarse residual is well inside the +-pi/M
@@ -674,24 +699,33 @@ def _decode_candidate(sync: OfdmSync, ext: jnp.ndarray, n0: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _gated_decode(sync: OfdmSync, source: jnp.ndarray, gate, locs, c_at,
-                  per_candidate_source: bool = False):
+                  row_of: jnp.ndarray | None = None):
     """``lax.cond``-gated batched candidate decode against ``source``.
 
     RX streams are mostly idle noise, so the expensive refine/EQ/FEC graph
     only runs when anything was detected.  ``locs``/``c_at`` are flat
-    ``[R]`` offsets into ``source``; with ``per_candidate_source`` the
-    source carries a leading ``[R]`` axis (one window per candidate).
-    Returns the 12-tuple of per-candidate results (zeros when gated off).
+    ``[R]`` offsets into ``source``; with ``row_of`` the source carries a
+    leading rows axis and candidate ``r`` reads window ``locs[r]`` of row
+    ``row_of[r]`` — as ONE fused 2D dynamic_slice per candidate, so only
+    the W-sample window ever moves (the repeated-rows array this replaces
+    cost R*len(row) of HBM).  Returns the 12-tuple of per-candidate
+    results (zeros when gated off).
     """
     R = locs.shape[0]
-    src_axis = 0 if per_candidate_source else None
+    W = sync.overlap
 
     def do_decode(args):
         locs_, c_at_ = args
+        if row_of is None:
+            win = jax.vmap(
+                lambda n0: _window_gather(source, n0, W))(locs_)
+        else:
+            win = jax.vmap(
+                lambda r, n0: jax.lax.dynamic_slice(
+                    source, (r, n0), (1, W))[0])(row_of, locs_)
         (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
          cfo) = jax.vmap(
-            lambda src, n0, ca: _decode_candidate(sync, src, n0, ca),
-            in_axes=(src_axis, 0, 0))(source, locs_, c_at_)
+            lambda w, ca: _decode_window(sync, w, ca))(win, c_at_)
         decode_fn = (payload_codec.decode_payload_batch_soft if sync.soft
                      else payload_codec.decode_payload_batch)
         payload, pvalid = decode_fn(
@@ -828,10 +862,12 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
     assert bs == sync.block_size
     K = sync.max_frames
     full = jnp.concatenate([state.tail, blocks.reshape(-1)])
-    # per-block extended windows (same arrays the sequential path sees)
-    w_idx = (jnp.arange(n_blocks) * bs)[:, None] + \
-        jnp.arange(sync.overlap + bs)[None, :]
-    exts = full[w_idx]                              # [n_blocks, overlap+bs]
+    # per-block extended windows (same arrays the sequential path sees);
+    # static slices, never an index-array gather (TPU lowering pathology
+    # — see _window_gather)
+    exts = jnp.stack([
+        jax.lax.slice_in_dim(full, i * bs, i * bs + sync.overlap + bs)
+        for i in range(n_blocks)])                  # [n_blocks, overlap+bs]
 
     detected, locs, c_at = jax.vmap(
         lambda e: _detect_candidates(sync, e))(exts)  # [n_blocks, K]
@@ -841,11 +877,10 @@ def sync_blocks_batched(sync: OfdmSync, state: OfdmSyncState,
     # estimator that touches the beyond-frame garbage tail — stay
     # bit-identical to scan-of-sync_block
     blk_of = jnp.repeat(jnp.arange(n_blocks), K)
-    cand_ext = exts[blk_of]                         # [n_blocks*K, ov+bs]
     (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, evm,
-     cfo) = _gated_decode(sync, cand_ext, jnp.any(detected),
+     cfo) = _gated_decode(sync, exts, jnp.any(detected),
                           locs.reshape(-1), c_at.reshape(-1),
-                          per_candidate_source=True)
+                          row_of=blk_of)
 
     def rs(v):
         return v.reshape((n_blocks, K) + v.shape[1:])
@@ -892,19 +927,21 @@ def sync_channels_batched(sync: OfdmSync, states: OfdmSyncState,
     assert bs == sync.block_size
     K = sync.max_frames
     full = jnp.concatenate([states.tail, chans.reshape(N, -1)], axis=-1)
-    w_idx = (jnp.arange(n_blocks) * bs)[:, None] + \
-        jnp.arange(sync.overlap + bs)[None, :]
-    exts = full[:, w_idx].reshape(N * n_blocks, sync.overlap + bs)
+    # static slices, never an index-array gather (see _window_gather)
+    exts = jnp.stack([
+        jax.lax.slice_in_dim(full, i * bs, i * bs + sync.overlap + bs,
+                             axis=1)
+        for i in range(n_blocks)], axis=1).reshape(
+        N * n_blocks, sync.overlap + bs)
 
     detected, locs, c_at = jax.vmap(
         lambda e: _detect_candidates(sync, e))(exts)  # [N*nb, K]
 
     row_of = jnp.repeat(jnp.arange(N * n_blocks), K)
-    cand_ext = exts[row_of]
     (user, payload, plen, mod, f0, f1, check, hvalid, pvalid, rssi, evm,
-     cfo) = _gated_decode(sync, cand_ext, jnp.any(detected),
+     cfo) = _gated_decode(sync, exts, jnp.any(detected),
                           locs.reshape(-1), c_at.reshape(-1),
-                          per_candidate_source=True)
+                          row_of=row_of)
 
     def rs(v):
         return v.reshape((N, n_blocks, K) + v.shape[1:])

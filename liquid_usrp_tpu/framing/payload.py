@@ -329,12 +329,20 @@ def _nearest_sym(x: jnp.ndarray, table: jnp.ndarray):
     def body(carry, cs):
         bm, ba = carry
         trk, tik, b0 = cs
-        d = (xr[:, None] - trk[None, :]) ** 2 + \
-            (xi[:, None] - tik[None, :]) ** 2
-        m = jnp.min(d, axis=-1)
-        a = jnp.argmin(d, axis=-1).astype(jnp.int32) + b0
-        upd = m < bm
-        return (jnp.where(upd, m, bm), jnp.where(upd, a, ba)), None
+        # unrolled elementwise min/argmin update: a broadcast distance
+        # tile d[n, ck] here has TWO reduction consumers (min + argmin),
+        # so XLA materializes it — and a 16-lane minor axis pads to 128
+        # on TPU (8x HBM).  The unrolled running update is one fusion
+        # reading x and the carries once per chunk, no tile at all
+        # (measured: the tile was the planar decode path's largest HBM
+        # term on v5e, docs/tpu_runs/r04b_planar_stage.json).  Ascending
+        # k with strict < keeps jnp.argmin's first-occurrence ties.
+        for k in range(ck):
+            d = (xr - trk[k]) ** 2 + (xi - tik[k]) ** 2
+            upd = d < bm
+            bm = jnp.where(upd, d, bm)
+            ba = jnp.where(upd, b0 + k, ba)
+        return (bm, ba), None
 
     init = (jnp.full(x.shape, jnp.float32(1e30)),
             jnp.zeros(x.shape, jnp.int32))
@@ -595,22 +603,28 @@ def generic_demod_soft(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int,
     INF = jnp.float32(1e12)
 
     def body(carry, cs):
-        d0, d1 = carry
+        d0s, d1s = carry
         trk, tik, bmk = cs
-        d = (xr[:, None] - trk[None, :]) ** 2 + \
-            (xi[:, None] - tik[None, :]) ** 2            # [n, ck]
-        n0, n1 = [], []
-        for kbit in range(8):
-            m = bmk[:, kbit]
-            n0.append(jnp.min(jnp.where(m[None, :] == 0, d, INF), axis=-1))
-            n1.append(jnp.min(jnp.where(m[None, :] == 1, d, INF), axis=-1))
-        d0 = jnp.minimum(d0, jnp.stack(n0, axis=-1))
-        d1 = jnp.minimum(d1, jnp.stack(n1, axis=-1))
-        return (d0, d1), None
+        # unrolled elementwise updates (same rationale as _nearest_sym:
+        # a [n, ck] distance tile with 16 reduction consumers
+        # materializes, and its 16-lane minor axis pads 8x on TPU).
+        # Carries are 8+8 separate [n] planes — a [n, 8] carry would
+        # itself pad 16x on the chip.
+        d0s, d1s = list(d0s), list(d1s)
+        for k in range(ck):
+            d = (xr - trk[k]) ** 2 + (xi - tik[k]) ** 2  # [n]
+            for kbit in range(8):
+                is1 = bmk[k, kbit] == 1                  # traced scalar
+                d0s[kbit] = jnp.minimum(d0s[kbit],
+                                        jnp.where(is1, INF, d))
+                d1s[kbit] = jnp.minimum(d1s[kbit],
+                                        jnp.where(is1, d, INF))
+        return (tuple(d0s), tuple(d1s)), None
 
-    init = (jnp.full(x.shape + (8,), INF), jnp.full(x.shape + (8,), INF))
-    (d0, d1), _ = jax.lax.scan(body, init, (trc, tic, bmc))
-    llr_pts = d0 - d1                                    # >0 => bit 1
+    init_p = (tuple(jnp.full(x.shape, INF) for _ in range(8)),
+              tuple(jnp.full(x.shape, INF) for _ in range(8)))
+    (d0s, d1s), _ = jax.lax.scan(body, init_p, (trc, tic, bmc))
+    llr_pts = jnp.stack(d0s, axis=-1) - jnp.stack(d1s, axis=-1)
     bps = jnp.asarray(
         [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
         dtype=jnp.int32)[mod]

@@ -33,7 +33,54 @@ def timeit(fn, *args, n=5):
     return best
 
 
+def _build_inputs(path: str) -> None:
+    """Forced-CPU child: build the loaded stream + init state to a file
+    (some tunnel sessions refuse host-CPU backend registration, so the
+    TPU process must never need an in-session cpu device)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from liquid_usrp_tpu.framing import ofdm, ofdm_sync
+
+    params = ofdm.make_ofdm_params(48, 6, 4)
+    bs = int(os.environ.get("BS", 65536))
+    maxf = int(os.environ.get("MAXF", 24))
+    sync = ofdm_sync.make_sync(params, block_size=bs, max_payload=512,
+                               max_frames=maxf)
+    rng = np.random.default_rng(0)
+    props = ofdm.default_props()
+    hdr = rng.integers(0, 256, 8, dtype=np.uint8)
+    pay = rng.integers(0, 256, 400, dtype=np.uint8)
+    w = np.asarray(ofdm.assemble_frame(params, props, jnp.asarray(hdr),
+                                       jnp.asarray(pay)))
+    flen = len(w)
+    stream = np.zeros(bs + sync.overlap, np.complex64)
+    pos = 64
+    while pos + flen + 128 < bs:
+        stream[pos:pos + flen] = w
+        pos += flen + 128
+    stream += 0.01 * (rng.standard_normal(stream.shape)
+                      + 1j * rng.standard_normal(stream.shape)
+                      ).astype(np.complex64)
+    state_host = jax.device_get(ofdm_sync.sync_init(sync))
+    leaves, _ = jax.tree.flatten(state_host)
+    np.savez(path, stream=stream,
+             **{f"s{i}": np.asarray(v) for i, v in enumerate(leaves)})
+
+
 def main():
+    import subprocess
+
+    bs = int(os.environ.get("BS", 65536))
+    maxf = int(os.environ.get("MAXF", 24))
+    cache = f"/tmp/planar_stage_inputs_bs{bs}_mf{maxf}.npz"
+    if not os.path.exists(cache):
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--build", cache], check=True,
+                       env=dict(os.environ, JAX_PLATFORMS="cpu"))
+
     import jax
     import jax.numpy as jnp
     from liquid_usrp_tpu.framing import ofdm, ofdm_sync
@@ -41,31 +88,17 @@ def main():
     from liquid_usrp_tpu.ops.planar import planarize, to_planar
 
     print("backend:", jax.devices(), file=sys.stderr, flush=True)
-    cpu = jax.devices("cpu")[0]
     params = ofdm.make_ofdm_params(48, 6, 4)
-    bs = int(os.environ.get("BS", 65536))
-    maxf = int(os.environ.get("MAXF", 24))
     sync = ofdm_sync.make_sync(params, block_size=bs, max_payload=512,
                                max_frames=maxf)
-    rng = np.random.default_rng(0)
 
-    # loaded single-channel stream (detection + decode exercised)
-    with jax.default_device(cpu):
-        props = ofdm.default_props()
-        hdr = rng.integers(0, 256, 8, dtype=np.uint8)
-        pay = rng.integers(0, 256, 400, dtype=np.uint8)
-        w = np.asarray(ofdm.assemble_frame(params, props, jnp.asarray(hdr),
-                                           jnp.asarray(pay)))
-        flen = len(w)
-        stream = np.zeros(bs + sync.overlap, np.complex64)
-        pos = 64
-        while pos + flen + 128 < bs:
-            stream[pos:pos + flen] = w
-            pos += flen + 128
-        stream += 0.01 * (rng.standard_normal(stream.shape)
-                          + 1j * rng.standard_normal(stream.shape)
-                          ).astype(np.complex64)
-        state_host = jax.device_get(ofdm_sync.sync_init(sync))
+    data = np.load(cache)
+    stream = data["stream"]
+    # pytree structure re-derived backend-free; leaves from the file
+    shape_leaves, treedef = jax.tree.flatten(
+        jax.eval_shape(lambda: ofdm_sync.sync_init(sync)))
+    state_host = jax.tree.unflatten(
+        treedef, [data[f"s{i}"] for i in range(len(shape_leaves))])
 
     ext_p = jax.device_put(to_planar(stream))
     blk_p = jax.device_put(to_planar(stream[sync.overlap:].copy()))
@@ -126,4 +159,7 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--build":
+        _build_inputs(sys.argv[2])
+        sys.exit(0)
     sys.exit(main())
