@@ -1,16 +1,32 @@
 """On-TPU stage cost probe for the PLANAR pipeline (HBM attribution).
 
-The planar mcrx pipeline measures ~100 KB of HBM traffic per IQ sample
-(docs/tpu_runs/), far above the theoretical need — this probe times each
-stage separately and reads XLA cost analysis per stage to attribute the
-traffic: detection metric, candidate refine, payload decode, PFB
-front-end, full sync.  Real-gate only; safe on complex-rejecting tunnel
-deployments.
+Round-5 v2.  The r05 coarse probe attributed the planar sync's HBM
+traffic (docs/tpu_runs/r05_planar_stage_v1.json): full step 46.3 KB per
+channel sample (3.03 GB / 65k block) of which detect+NMS is ~3.2 KB and
+the legacy autocorr metric 0.37 KB — the candidate refine/decode path
+owns ~93% of all bytes.  This v2 probe carves the decode path into its
+stages (xcorr metric, candidate extraction, per-candidate refine,
+payload demod, FEC+CRC, EVM) so each optimization round can see which
+stage pays.
 
-Env: BS (block size, default 65536), MAXF (max_frames, default 24).
+Hard-won measurement rules (ROUND4_NOTES):
+
+* timings must vary inputs per iteration — repeated dispatch of the
+  same executable on the same buffers is served from a cache over the
+  tunnel (observed "6309 GB/s" on an 819 GB/s chip);
+* XLA cost analysis (flops / bytes accessed) is static and trustworthy;
+* the persistent compilation cache WORKS over the tunnel (measured
+  0.74 s -> 0.08 s across processes) — enabled here so re-probes after
+  a code change only recompile the changed stages.
+
+Env: BS (block size, default 65536), MAXF (max_frames, default 24),
+STAGES (comma list to restrict), VAR (input variants for timing,
+default 4).  Output: one JSON line for docs/tpu_runs/.
 """
+import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -18,25 +34,71 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
+_CACHE_DIR = os.environ.get("JAX_PERSISTENT_CACHE", "/tmp/xla_bench_cache")
 
-def timeit(fn, *args, n=5):
+
+def _enable_compile_cache():
     import jax
-    r = fn(*args)
-    jax.block_until_ready(r)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _code_key() -> str:
+    """Short content key over the modules that shape the probe inputs —
+    a stale /tmp cache after a frame-assembly change would silently feed
+    mismatched streams (ADVICE r4)."""
+    h = hashlib.sha256()
+    root = os.path.join(os.path.dirname(__file__), "..", "liquid_usrp_tpu")
+    for rel in ("framing/ofdm.py", "framing/ofdm_sync.py",
+                "framing/payload.py", "ops/modem.py", "ops/fec.py"):
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+def timeit(fn, arg_sets, n_rounds=3):
+    """Best wall time per call, cycling through distinct input sets so
+    the tunnel's dispatch cache cannot serve a repeat."""
+    import jax
+    for a in arg_sets:                       # warm every variant once
+        jax.block_until_ready(fn(*a))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(n_rounds):
         t0 = time.perf_counter()
-        for _ in range(n):
-            r = fn(*args)
+        r = [fn(*a) for a in arg_sets]
         jax.block_until_ready(r)
-        best = min(best, (time.perf_counter() - t0) / n)
+        best = min(best, (time.perf_counter() - t0) / len(arg_sets))
     return best
 
 
+def _anchors():
+    """Per-session calibration anchors: measured bf16 matmul FLOP/s and
+    an HBM stream read bandwidth, with input variation.  Lets artifacts
+    from different sessions be compared (r04 saw an unexplained 3.9x
+    cross-session spread with no way to tell which session was slow)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    k = 2048
+    mats = [jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
+            for _ in range(3)]
+    mm = jax.jit(lambda a, b: (a @ b).astype(jnp.float32).sum())
+    t = timeit(mm, [(mats[i], mats[(i + 1) % 3]) for i in range(3)])
+    matmul_tflops = 2 * k * k * k / t / 1e12
+    n = 1 << 24                              # 64 MB f32
+    vecs = [jnp.asarray(rng.standard_normal(n), jnp.float32)
+            for _ in range(3)]
+    rd = jax.jit(lambda x: x.sum())
+    t = timeit(rd, [(v,) for v in vecs])
+    stream_gbps = 4 * n / t / 1e9
+    return {"bf16_matmul_tflops": round(matmul_tflops, 1),
+            "hbm_read_gbps": round(stream_gbps, 1)}
+
+
 def _build_inputs(path: str) -> None:
-    """Forced-CPU child: build the loaded stream + init state to a file
-    (some tunnel sessions refuse host-CPU backend registration, so the
-    TPU process must never need an in-session cpu device)."""
+    """Forced-CPU child: build the loaded stream, init state, candidate
+    locations, and the refine outputs (points + per-frame props) that
+    feed the payload-stage probes."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -66,25 +128,39 @@ def _build_inputs(path: str) -> None:
                       ).astype(np.complex64)
     state_host = jax.device_get(ofdm_sync.sync_init(sync))
     leaves, _ = jax.tree.flatten(state_host)
-    np.savez(path, stream=stream,
+
+    # ground-truth candidates + the refine stage's outputs (the payload
+    # probes' inputs), computed with the production detector on host
+    ext = jnp.asarray(stream)
+    detected, locs, c_at = ofdm_sync._detect_candidates(sync, ext)
+    (user, points, plen, mod, f0, f1, check, hvalid, rssi, hevm,
+     cfo) = jax.vmap(lambda n0, ca: ofdm_sync._decode_candidate(
+        sync, ext, n0, ca))(locs, c_at)
+    np.savez(path, stream=stream, locs=np.asarray(locs),
+             c_at=np.asarray(c_at),
+             points=np.asarray(points), plen=np.asarray(plen),
+             mod=np.asarray(mod), f0=np.asarray(f0), f1=np.asarray(f1),
+             check=np.asarray(check), hvalid=np.asarray(hvalid),
+             hevm=np.asarray(hevm),
              **{f"s{i}": np.asarray(v) for i, v in enumerate(leaves)})
 
 
 def main():
-    import subprocess
-
     bs = int(os.environ.get("BS", 65536))
     maxf = int(os.environ.get("MAXF", 24))
-    cache = f"/tmp/planar_stage_inputs_bs{bs}_mf{maxf}.npz"
+    nvar = int(os.environ.get("VAR", 4))
+    cache = (f"/tmp/planar_stage_inputs_bs{bs}_mf{maxf}"
+             f"_{_code_key()}.npz")
     if not os.path.exists(cache):
         subprocess.run([sys.executable, os.path.abspath(__file__),
                         "--build", cache], check=True,
                        env=dict(os.environ, JAX_PLATFORMS="cpu"))
 
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from liquid_usrp_tpu.framing import ofdm, ofdm_sync
-    from liquid_usrp_tpu.models.multichannel import make_mcrx_batched_step
+    from liquid_usrp_tpu.framing import payload as payload_codec
     from liquid_usrp_tpu.ops.planar import planarize, to_planar
 
     print("backend:", jax.devices(), file=sys.stderr, flush=True)
@@ -94,24 +170,72 @@ def main():
 
     data = np.load(cache)
     stream = data["stream"]
-    # pytree structure re-derived backend-free; leaves from the file
     shape_leaves, treedef = jax.tree.flatten(
         jax.eval_shape(lambda: ofdm_sync.sync_init(sync)))
     state_host = jax.tree.unflatten(
         treedef, [data[f"s{i}"] for i in range(len(shape_leaves))])
 
-    ext_p = jax.device_put(to_planar(stream))
-    blk_p = jax.device_put(to_planar(stream[sync.overlap:].copy()))
+    rng = np.random.default_rng(42)
+
+    def variants(arr, scale=1e-3):
+        """nvar input copies differing by tiny noise: decode results are
+        unchanged, the dispatch cache is defeated."""
+        out = []
+        for _ in range(nvar):
+            n = (rng.standard_normal(arr.shape)
+                 + 1j * rng.standard_normal(arr.shape)) \
+                if np.iscomplexobj(arr) else rng.standard_normal(arr.shape)
+            out.append((arr + scale * n).astype(arr.dtype))
+        return out
+
+    ext_v = [jax.device_put(to_planar(v)) for v in variants(stream)]
+    blk_v = [jax.device_put(to_planar(v[sync.overlap:].copy()))
+             for v in variants(stream)]
     state_p = jax.device_put(to_planar(state_host))
+    locs = jnp.asarray(data["locs"])
+    c_at_p = jax.device_put(to_planar(data["c_at"]))
+    pts_v = [jax.device_put(to_planar(v))
+             for v in variants(data["points"])]
+    plen, mod = jnp.asarray(data["plen"]), jnp.asarray(data["mod"])
+    f0, f1 = jnp.asarray(data["f0"]), jnp.asarray(data["f1"])
+    check = jnp.asarray(data["check"])
+    hvalid = jnp.asarray(data["hvalid"])
+    hevm = jnp.asarray(data["hevm"])
 
-    def metric_only(ext):
-        m, c = ofdm_sync._detect_metric(sync, ext)
-        return m.sum() + jnp.abs(c).sum()
+    def xcorr_metric(ext):
+        return jnp.sum(ofdm_sync._detect_metric_xcorr(sync, ext))
 
-    def detect_all(ext):
-        m, c = ofdm_sync._detect_metric(sync, ext)
-        det, locs = ofdm_sync._find_candidates(sync, m)
-        return jnp.sum(det) + jnp.sum(locs)
+    def detect_cands(ext):
+        det, locs_, c = ofdm_sync._detect_candidates(sync, ext)
+        return jnp.sum(det) + jnp.sum(locs_) + jnp.sum(jnp.abs(c))
+
+    def refine(ext, c_at_):
+        outs = jax.vmap(lambda n0, ca: ofdm_sync._decode_candidate(
+            sync, ext, n0, ca))(locs, c_at_)
+        acc = 0.0
+        for o in outs:
+            acc = acc + jnp.sum(jnp.abs(o.astype(jnp.float32))
+                                if o.dtype != jnp.complex64
+                                else jnp.abs(o))
+        return acc
+
+    def payload_demod(pts):
+        bits = jax.vmap(lambda x, m: payload_codec.generic_demod_bits(
+            x, m, sync.enc_max * 8, n_table=64)[0])(pts, mod)
+        return jnp.sum(bits)
+
+    def payload_fec(pts):
+        pay, ok = payload_codec.decode_payload_batch(
+            sync.enc_max, sync.dec_max, sync.max_payload, pts, mod, f0,
+            f1, check, plen, hvalid, sync.fecs)
+        return jnp.sum(pay) + jnp.sum(ok)
+
+    def payload_evm(pts):
+        used = payload_codec.payload_points_used(
+            sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1,
+            check)
+        mse = payload_codec.payload_evm_mse(pts, mod, used)
+        return jnp.sum(payload_codec.frame_evm_db(hevm, mse, used))
 
     step = ofdm_sync.make_sync_step(sync)
 
@@ -121,22 +245,37 @@ def main():
             + jnp.sum(jnp.abs(st.tail))
 
     stages = {
-        "metric_only": (metric_only, (ext_p,)),
-        "detect_all": (detect_all, (ext_p,)),
-        "full_step_loaded": (full_step, (state_p, blk_p)),
+        "xcorr_metric": (xcorr_metric, [(e,) for e in ext_v]),
+        "detect_cands": (detect_cands, [(e,) for e in ext_v]),
+        "refine": (refine, [(e, c_at_p) for e in ext_v]),
+        "payload_demod": (payload_demod, [(p,) for p in pts_v]),
+        "payload_fec": (payload_fec, [(p,) for p in pts_v]),
+        "payload_evm": (payload_evm, [(p,) for p in pts_v]),
+        "full_step": (full_step, [(state_p, b) for b in blk_v]),
     }
+    only = os.environ.get("STAGES")
+    if only:
+        keep = set(only.split(","))
+        stages = {k: v for k, v in stages.items() if k in keep}
 
     report = {"bs": bs, "max_frames": maxf,
-              "device": jax.devices()[0].device_kind, "stages": {}}
-    for name, (fn, args) in stages.items():
+              "device": jax.devices()[0].device_kind,
+              "code_key": _code_key(), "stages": {}}
+    try:
+        report["anchors"] = _anchors()
+        print(f"  anchors: {report['anchors']}", file=sys.stderr,
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        report["anchors"] = {"error": str(e)[:120]}
+    for name, (fn, arg_sets) in stages.items():
         t0 = time.time()
-        exe = jax.jit(planarize(fn)).lower(*args).compile()
+        exe = jax.jit(planarize(fn)).lower(*arg_sets[0]).compile()
         compile_s = time.time() - t0
         try:
             ca = exe.cost_analysis() or {}
         except Exception:
             ca = {}
-        dt = timeit(exe, *args)
+        dt = timeit(exe, arg_sets)
         row = {
             "ms": round(dt * 1e3, 3),
             "MSps": round(bs / dt / 1e6, 2),
@@ -149,7 +288,7 @@ def main():
                               1),
         }
         report["stages"][name] = row
-        print(f"  {name:18s}: {row['ms']:9.2f} ms  {row['MSps']:8.2f} MS/s  "
+        print(f"  {name:14s}: {row['ms']:9.2f} ms  {row['MSps']:8.2f} MS/s  "
               f"{row['bytes_per_sample']:9.1f} B/samp  "
               f"{row['hbm_GBps']:6.1f} GB/s  (compile {compile_s:.0f}s)",
               file=sys.stderr, flush=True)
