@@ -43,9 +43,24 @@ if not os.environ.get("_BENCH_REEXEC"):
                       "/usr/local/bin/python3"):
             if os.path.exists(_cand) and (os.path.realpath(_cand)
                                           != os.path.realpath(sys.executable)):
-                os.execv(_cand, [_cand, os.path.abspath(__file__)]
-                         + sys.argv[1:])
-        raise
+                # probe before exec'ing: a bare candidate would die later
+                # with no JSON line (the one invariant this file has)
+                try:
+                    ok = subprocess.run(
+                        [_cand, "-c", "import numpy"], timeout=60,
+                        capture_output=True).returncode == 0
+                except Exception:  # noqa: BLE001
+                    ok = False
+                if ok:
+                    os.execv(_cand, [_cand, os.path.abspath(__file__)]
+                             + sys.argv[1:])
+        print(json.dumps({
+            "metric": "mcrx_iq_throughput", "value": 0.0,
+            "unit": "samples/s/chip", "vs_baseline": 0.0,
+            "correct": False,
+            "error": "no interpreter with numpy/jax found "
+                     f"(tried {sys.executable} and the fallbacks)"}))
+        sys.exit(1)
 
 if os.environ.get("_BENCH_CHILD") in ("cpu", "mixture"):
     # Force the host-CPU backend BEFORE any JAX use, exactly the
@@ -60,6 +75,83 @@ if os.environ.get("_BENCH_CHILD") in ("cpu", "mixture"):
     jax.config.update("jax_platforms", "cpu")
 
 BASELINE_SPS = 8e6   # reference real-time envelope (8 MS/s USRP ceiling)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache, shared by every bench child.
+
+    Proven to work over the tunnel (r05: cross-process recompile of an
+    8-matmul jit dropped 0.74 s -> 0.08 s).  The bench ladder's round-4
+    failure mode — 4/6 variants "skipped: child deadline" because every
+    fresh child re-paid multi-minute remote compiles — disappears once
+    retried children hit the cache."""
+    import jax
+    d = os.environ.get("_BENCH_COMPILE_CACHE", "/tmp/xla_bench_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization
+        print(f"compile cache unavailable: {str(e)[:80]}",
+              file=sys.stderr, flush=True)
+
+
+_ANCHORS_CACHE: dict = {}
+
+
+def _session_anchors():
+    """Measured per-session calibration: bf16 matmul TFLOP/s and an HBM
+    stream read GB/s, with per-iteration input variation (same-buffer
+    redispatch is served from a cache over the tunnel — ROUND4_NOTES).
+    Recorded next to every throughput so cross-session spread (r04 saw
+    an unexplained 3.9x on identical code) becomes diagnosable."""
+    if _ANCHORS_CACHE:
+        return _ANCHORS_CACHE["a"]
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    out = {}
+
+    def best_of(fn, base, work):
+        # every call gets a FRESH uniqueness scalar: repeats of the same
+        # (executable, buffers) pair are served from a cache over the
+        # tunnel, even across timing rounds (observed 247 "TFLOP/s" on
+        # a 197 TFLOP/s part with a cycled-buffer scheme)
+        scal = [jax.device_put(jnp.float32(1e-6 * (i + 1)))
+                for i in range(16)]
+        jax.block_until_ready(scal)
+        k = 0
+        for _ in range(4):
+            jax.block_until_ready(fn(scal[k], *base))
+            k += 1
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = []
+            for _ in range(4):
+                r.append(fn(scal[k], *base))
+                k += 1
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / 4)
+        return work / best
+
+    try:
+        rng = np.random.default_rng(7)
+        k = 2048
+        a = jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
+        mm = jax.jit(lambda t, a, b: ((a + t.astype(jnp.bfloat16)) @ b)
+                     .astype(jnp.float32).sum())
+        out["bf16_matmul_tflops"] = round(
+            best_of(mm, (a, b), 2 * k ** 3) / 1e12, 1)
+        n = 1 << 24
+        v = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        rd = jax.jit(lambda t, x: (x + t).sum())
+        out["hbm_read_gbps"] = round(best_of(rd, (v,), 4 * n) / 1e9, 1)
+    except Exception as e:  # noqa: BLE001 — anchors must never sink a run
+        out["error"] = str(e)[:100]
+    _ANCHORS_CACHE["a"] = out
+    return out
 
 # chip peaks: (device_kind substring, bf16 MXU FLOP/s, HBM bytes/s).
 # Public numbers from cloud.google.com/tpu/docs/system-architecture.
@@ -420,6 +512,7 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
         "frames_verified": n_ok,
         "flops_per_s": round(flops_per_call * iters / best, 1),
         "hbm_bytes_per_s": round(bytes_per_call * iters / best, 1),
+        "anchors": _session_anchors(),
     }
     kind, peak_flops, peak_bw = _device_peaks()
     extra["device"] = kind
@@ -631,6 +724,7 @@ def _child(which: str) -> int:
     if os.environ.get("_BENCH_BUDGET_S"):
         _CHILD_DEADLINE.append(
             time.monotonic() + float(os.environ["_BENCH_BUDGET_S"]))
+    _enable_compile_cache()
     if which == "cpu":
         metric, sps, extra = _bench_cpu_fallback()
         print(json.dumps({
@@ -757,6 +851,7 @@ def main() -> int:
             "cap: " + ("no-report" if caps is None else
                        f"real={caps.get('real')} "
                        f"complex={caps.get('complex')}"))
+    needs_prefill = False
     if caps:
         if caps.get("real") and not caps.get("complex"):
             # complex=None means the probe timed out (verdict unknown):
@@ -767,30 +862,42 @@ def main() -> int:
             unknown = caps.get("complex") is None
             attempts = ([("best", 2 if unknown else 1)]
                         + [("planar_best", 6), ("planar", 3)])
-            # prefill the ground-truth file cache from a forced-CPU
-            # child: TPU sessions that refuse host-backend registration
-            # ("Unknown backend cpu") then measure from the cache
-            if remaining() - reserve > 420.0:
-                specs = [
-                    {"block_size": 65536, "max_frames": 24, "scan": 1,
-                     "batched_blocks": 2},
-                    {"block_size": 131072, "max_frames": 48, "scan": 1,
-                     "batched_blocks": 2},
-                    {"block_size": 32768, "max_frames": 16, "scan": 1,
-                     "batched_blocks": 4},
-                ]
-                line, _, err = _run_child(
-                    "mixture", min(720.0, remaining() - reserve),
-                    {"_BENCH_MIXTURE_SPECS": json.dumps(specs),
-                     "_BENCH_BUDGET_S": str(int(min(
-                         700.0, remaining() - reserve)))})
-                attempt_log.append(
-                    "mixture-prefill: " + ("ok" if line else f"fail {err}"))
+            # the ground-truth file-cache prefill (a forced-CPU child,
+            # up to ~700 s) runs lazily just before the FIRST planar
+            # attempt — never ahead of the leading complex attempts
+            # (on an unknown-complex session it would otherwise starve
+            # the complex tier the ladder is meant to give a chance)
+            needs_prefill = True
         elif not caps.get("real"):
             # dead tunnel: skip straight to one complex attempt (cheap
             # re-check in a fresh session) then the fallback
             attempts = [("best", 2), ("planar", 1)]
+
+    def _prefill_mixture():
+        # prefill the ground-truth file cache from a forced-CPU child:
+        # TPU sessions that refuse host-backend registration ("Unknown
+        # backend cpu") then measure from the cache
+        specs = [
+            {"block_size": 65536, "max_frames": 24, "scan": 1,
+             "batched_blocks": 2},
+            {"block_size": 131072, "max_frames": 48, "scan": 1,
+             "batched_blocks": 2},
+            {"block_size": 32768, "max_frames": 16, "scan": 1,
+             "batched_blocks": 4},
+        ]
+        line, _, err = _run_child(
+            "mixture", min(720.0, remaining() - reserve),
+            {"_BENCH_MIXTURE_SPECS": json.dumps(specs),
+             "_BENCH_BUDGET_S": str(int(min(
+                 700.0, remaining() - reserve)))})
+        attempt_log.append(
+            "mixture-prefill: " + ("ok" if line else f"fail {err}"))
+
     for which, tries in attempts:
+        if which.startswith("planar") and needs_prefill \
+                and remaining() - reserve > 420.0:
+            _prefill_mixture()
+            needs_prefill = False
         for i in range(tries):
             avail = remaining() - reserve
             if avail < 120.0:

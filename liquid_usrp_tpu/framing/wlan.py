@@ -212,27 +212,21 @@ def wlan_frame_length(rate: int, length: int) -> int:
     return 160 + 160 + 80 + wlan_n_symbols(rate, length) * 80
 
 
-def wlan_assemble(rate: int, psdu: np.ndarray,
-                  seed: int = 0x5D) -> jnp.ndarray:
-    """Assemble one 802.11a frame -> complex64 ``[wlan_frame_length]``.
-
-    ``rate``: 6/9/12/18/24/36/48/54 Mb/s; ``psdu``: payload bytes.
-    """
-    if rate not in WLAN_RATES:
-        raise ValueError(f"invalid rate {rate}; one of {list(WLAN_RATES)}")
+@functools.lru_cache(maxsize=None)
+def _assemble_consts(rate: int, length: int, seed: int):
+    """Host-precomputed static tables for one (rate, length, seed) frame
+    geometry: preambles, the SIGNAL symbol grid (depends only on rate +
+    length), scramble PN, puncture keep-indices, interleaver permutation,
+    constellation LUTs, and the pilot grid — NumPy, so the jitted
+    assemble converts at trace time (closure-constant rule)."""
     bpsc, (num, den), ncbps, ndbps = WLAN_RATES[rate]
-    psdu = np.asarray(psdu, dtype=np.uint8)
-    length = len(psdu)
     short, long_t, pilot_pn = _tables()
 
-    # --- preambles ---
     short_pre = np.tile(short[:16], 10)                    # 160 samples
     long_pre = np.concatenate([long_t[-32:], long_t, long_t])  # 160
 
-    # --- SIGNAL field: 24 bits, BPSK r=1/2, own symbol ---
-    rate_bits = {6: [1, 1, 0, 1], 9: [1, 1, 1, 1], 12: [0, 1, 0, 1],
-                 18: [0, 1, 1, 1], 24: [1, 0, 0, 1], 36: [1, 0, 1, 1],
-                 48: [0, 0, 0, 1], 54: [0, 0, 1, 1]}[rate]
+    # --- SIGNAL field: 24 bits, BPSK r=1/2, own symbol (static) ---
+    rate_bits = list(_RATE_CODES[rate])
     len_bits = [(length >> i) & 1 for i in range(12)]      # LSB first
     sig = np.array(rate_bits + [0] + len_bits, dtype=np.uint8)
     parity = int(sig.sum()) & 1
@@ -241,36 +235,144 @@ def wlan_assemble(rate: int, psdu: np.ndarray,
     sig_inter = _interleave(sig_coded, 48, 1)
     sig_pts = _map_bits(sig_inter, 1)
 
-    # --- DATA field ---
     n_sym = wlan_n_symbols(rate, length)
     n_data_bits = n_sym * ndbps
-    service = np.zeros(16, np.uint8)
-    psdu_bits = np.unpackbits(psdu[:, None], axis=1,
-                              bitorder="little").reshape(-1)
-    data = np.concatenate([
-        service, psdu_bits,
-        np.zeros(n_data_bits - 16 - 8 * length, np.uint8)])
-    scrambled = _scramble_bits(data, seed)
-    # zero the tail bits after scrambling (standard 17.3.5.2)
+    # scramble PN over the data-bit span; tail bits zeroed AFTER
+    # scrambling (standard 17.3.5.2) — fold that into a static mask
+    pn = np.tile(_scramble_seq(seed),
+                 -(-n_data_bits // 127))[:n_data_bits].astype(np.uint8)
     tail_at = 16 + 8 * length
-    scrambled[tail_at:tail_at + 6] = 0
-    coded = _puncture(_conv_encode_bits(scrambled), num, den)
-    inter = _interleave(coded, ncbps, bpsc)
-    pts = _map_bits(inter, bpsc)                           # [n_sym * 48]
+    keep_mask = np.ones(n_data_bits, np.uint8)
+    keep_mask[tail_at:tail_at + 6] = 0
+    # puncture keep-indices (static gather) per 17.3.5.5
+    coded_len = 2 * n_data_bits
+    if (num, den) == (1, 2):
+        punct_idx = np.arange(coded_len)
+    else:
+        pat = [1, 1, 1, 0] if (num, den) == (2, 3) else [1, 1, 1, 0, 0, 1]
+        keep = np.tile(pat, coded_len // len(pat) + 1)[:coded_len]
+        punct_idx = np.nonzero(keep)[0]
+    perm = _interleave_perm(ncbps, bpsc)
+    inv_perm = np.argsort(perm)     # out[:, perm] = in  <=>  out = in[:, inv]
 
-    # --- OFDM grids ---
-    grids = np.zeros((1 + n_sym, _N_FFT), dtype=np.complex64)
-    didx = [_fftshift_index(k) for k in _DATA_IDX]
-    pidx = [_fftshift_index(k) for k in _PILOT_IDX]
-    grids[0, didx] = sig_pts
-    grids[0, pidx] = np.array([1, 1, 1, -1]) * pilot_pn[0]
-    # all DATA symbols in two vectorized assignments
-    grids[1:, didx] = pts.reshape(n_sym, 48)
-    grids[1:, pidx] = (np.array([1, 1, 1, -1])[None, :] *
-                       pilot_pn[(1 + np.arange(n_sym)) % 127][:, None])
-    body = _symbols_to_time(grids)
+    # constellation LUTs indexed by the bpsc-bit group value (MSB-first)
+    if bpsc == 1:
+        lut_re = np.array([-1.0, 1.0], np.float32)
+        lut_im = np.zeros(2, np.float32)
+    elif bpsc == 2:
+        v = np.array([-1.0, 1.0]) / np.sqrt(2)
+        lut_re = np.repeat(v, 2).astype(np.float32)        # b0 -> re
+        lut_im = np.tile(v, 2).astype(np.float32)          # b1 -> im
+    elif bpsc == 4:
+        a = np.array([-3, -1, 3, 1]) / np.sqrt(10)
+        lut_re = np.repeat(a, 4).astype(np.float32)
+        lut_im = np.tile(a, 4).astype(np.float32)
+    else:
+        a = np.array([-7, -5, -1, -3, 7, 5, 1, 3]) / np.sqrt(42)
+        lut_re = np.repeat(a, 8).astype(np.float32)
+        lut_im = np.tile(a, 8).astype(np.float32)
 
-    return jnp.asarray(np.concatenate([short_pre, long_pre, body]))
+    didx = np.array([_fftshift_index(k) for k in _DATA_IDX])
+    pidx = np.array([_fftshift_index(k) for k in _PILOT_IDX])
+    sig_grid = np.zeros(_N_FFT, np.complex64)
+    sig_grid[didx] = sig_pts
+    sig_grid[pidx] = np.array([1, 1, 1, -1]) * pilot_pn[0]
+    pilot_grid = np.zeros((n_sym, _N_FFT), np.complex64)
+    pilot_grid[:, pidx] = (np.array([1, 1, 1, -1])[None, :] *
+                           pilot_pn[(1 + np.arange(n_sym)) % 127][:, None])
+    # 64-point DFT matrix for the planar-friendly IFFT-as-matmul:
+    # grid [.., 64] @ Winv == ifft(grid) (Winv symmetric)
+    k = np.arange(_N_FFT)
+    Winv = (np.exp(2j * np.pi * np.outer(k, k) / _N_FFT) / _N_FFT) \
+        .astype(np.complex64)
+    return dict(bpsc=bpsc, n_sym=n_sym, ndbps=ndbps, ncbps=ncbps,
+                short_pre=short_pre.astype(np.complex64),
+                long_pre=long_pre.astype(np.complex64),
+                pn=pn, keep_mask=keep_mask, punct_idx=punct_idx,
+                inv_perm=inv_perm, lut_re=lut_re, lut_im=lut_im,
+                didx=didx, sig_grid=sig_grid, pilot_grid=pilot_grid,
+                Winv=Winv)
+
+
+def _unpack_bits_lsb(data: jnp.ndarray) -> jnp.ndarray:
+    """uint8 bytes ``[n]`` -> bits ``[n*8]``, LSB first (the 802.11a PSDU
+    bit order, unlike the MSB-first house codec)."""
+    shifts = jnp.arange(0, 8, dtype=jnp.uint8)
+    bits = (data[:, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(-1)
+
+
+def _assemble_traced(rate: int, length: int, seed: int,
+                     psdu: jnp.ndarray) -> jnp.ndarray:
+    """Jit-traceable DATA-path assemble (static rate/length geometry).
+
+    Runs on-device in the house style: scramble/tail-mask as one XOR+AND
+    against static PN, the K=7 convolutional encoder as five shifted-XOR
+    streams, puncture/interleave as static gathers, constellation map as
+    LUT gathers, and the 64-point IFFT as one [n_sym+1, 64] matmul
+    against the DFT matrix (MXU-shaped; also what the planar transform
+    would produce, so complex-rejecting backends lower it unchanged)."""
+    c = _assemble_consts(rate, length, seed)
+    n_data_bits = c["n_sym"] * c["ndbps"]
+    bits = _unpack_bits_lsb(psdu.astype(jnp.uint8))
+    data = jnp.concatenate([
+        jnp.zeros(16, jnp.uint8), bits,
+        jnp.zeros(n_data_bits - 16 - 8 * length, jnp.uint8)])
+    scrambled = (data ^ jnp.asarray(c["pn"])) & jnp.asarray(c["keep_mask"])
+    # K=7 (133, 171) rate-1/2: XOR of delayed streams per generator
+    # (delays {0,2,3,5,6} and {0,1,2,3,6}; zero state start)
+    def delayed(b, d):
+        return jnp.pad(b, (d, 0))[:n_data_bits] if d else b
+    o0 = scrambled
+    for d in (2, 3, 5, 6):
+        o0 = o0 ^ delayed(scrambled, d)
+    o1 = scrambled
+    for d in (1, 2, 3, 6):
+        o1 = o1 ^ delayed(scrambled, d)
+    coded = jnp.stack([o0, o1], axis=-1).reshape(-1)       # interleaved A/B
+    punct = coded[jnp.asarray(c["punct_idx"])]
+    inter = punct.reshape(c["n_sym"], c["ncbps"])[
+        :, jnp.asarray(c["inv_perm"])]
+    # bpsc-bit groups (MSB-first) -> LUT index -> constellation point
+    bpsc = c["bpsc"]
+    grp = inter.reshape(-1, bpsc).astype(jnp.int32)
+    w = jnp.asarray(1 << np.arange(bpsc - 1, -1, -1, dtype=np.int32))
+    idx = jnp.sum(grp * w, axis=-1)
+    pts = (jnp.asarray(c["lut_re"])[idx]
+           + 1j * jnp.asarray(c["lut_im"])[idx]).astype(jnp.complex64)
+
+    grids = jnp.asarray(c["pilot_grid"])
+    grids = grids.at[:, jnp.asarray(c["didx"])].set(
+        pts.reshape(c["n_sym"], 48))
+    grids = jnp.concatenate([jnp.asarray(c["sig_grid"])[None, :], grids])
+    # IFFT as one DFT matmul + CP via slicing (scale 64/sqrt(52) folds
+    # the module power normalization, as in _symbols_to_time)
+    time = (grids @ jnp.asarray(c["Winv"])) * \
+        jnp.complex64(_N_FFT / np.sqrt(52))
+    with_cp = jnp.concatenate([time[:, -_CP:], time], axis=-1)
+    return jnp.concatenate([
+        jnp.asarray(c["short_pre"]), jnp.asarray(c["long_pre"]),
+        with_cp.reshape(-1)]).astype(jnp.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _assemble_jit(rate: int, length: int, seed: int):
+    return jax.jit(functools.partial(_assemble_traced, rate, length, seed))
+
+
+def wlan_assemble(rate: int, psdu: np.ndarray,
+                  seed: int = 0x5D) -> jnp.ndarray:
+    """Assemble one 802.11a frame -> complex64 ``[wlan_frame_length]``.
+
+    ``rate``: 6/9/12/18/24/36/48/54 Mb/s; ``psdu``: payload bytes.
+    Jitted on-device in the house style (one compile per (rate, length)
+    geometry); the reference app's TX object is host-side liquid-wlan
+    (/root/reference/src/wlanframe_tx.cc:174-231).
+    """
+    if rate not in WLAN_RATES:
+        raise ValueError(f"invalid rate {rate}; one of {list(WLAN_RATES)}")
+    psdu = jnp.asarray(psdu, dtype=jnp.uint8)
+    return _assemble_jit(rate, int(psdu.shape[-1]), seed)(psdu)
 
 
 

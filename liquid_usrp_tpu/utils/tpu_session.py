@@ -161,9 +161,15 @@ def session_healthy(timeout_s: float | None = None,
 
 def session_capabilities(timeout_s: float | None = None) -> dict:
     """Probe this session's capability tiers: ``{"real": bool,
-    "complex": bool}``.  Real is probed FIRST (a complex failure poisons
-    the session — the report stays valid but no measurement should run
-    in this process afterwards)."""
+    "complex": bool | None}``.
+
+    ``complex`` is three-valued: ``True``/``False`` are definitive probe
+    verdicts; ``None`` means the probe TIMED OUT (verdict unknown) — do
+    not collapse it with a truthiness check when "definitively
+    incapable" matters (the bench ladder keeps complex attempts alive on
+    ``None``).  Real is probed FIRST (a complex failure poisons the
+    session — the report stays valid but no measurement should run in
+    this process afterwards)."""
     import os
 
     import time

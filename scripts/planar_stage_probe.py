@@ -56,41 +56,58 @@ def _code_key() -> str:
     return h.hexdigest()[:10]
 
 
-def timeit(fn, arg_sets, n_rounds=3):
-    """Best wall time per call, cycling through distinct input sets so
-    the tunnel's dispatch cache cannot serve a repeat."""
+def timeit(fn, base_args, n_rounds=3, n_calls=4):
+    """Best wall time per call with EVERY call's argument set unique.
+
+    ``fn``'s first argument is a float32 uniqueness scalar ``t`` (the
+    stage folds it into its input at ~1e-6 scale).  Cycling a fixed pool
+    of input buffers is NOT enough: repeats of (executable, buffers)
+    pairs are served from a cache over the tunnel even across timing
+    rounds (observed anchors above chip spec — 247 TFLOP/s on a
+    197 TFLOP/s part).  A fresh scalar per call defeats it for good."""
     import jax
-    for a in arg_sets:                       # warm every variant once
-        jax.block_until_ready(fn(*a))
+    import jax.numpy as jnp
+    need = n_calls * (n_rounds + 1)
+    scal = [jax.device_put(jnp.float32(1e-6 * (i + 1)))
+            for i in range(need)]
+    jax.block_until_ready(scal)
+    k = 0
+    for _ in range(n_calls):                 # warmup
+        jax.block_until_ready(fn(scal[k], *base_args))
+        k += 1
     best = float("inf")
     for _ in range(n_rounds):
         t0 = time.perf_counter()
-        r = [fn(*a) for a in arg_sets]
+        r = []
+        for _ in range(n_calls):
+            r.append(fn(scal[k], *base_args))
+            k += 1
         jax.block_until_ready(r)
-        best = min(best, (time.perf_counter() - t0) / len(arg_sets))
+        best = min(best, (time.perf_counter() - t0) / n_calls)
     return best
 
 
 def _anchors():
     """Per-session calibration anchors: measured bf16 matmul FLOP/s and
-    an HBM stream read bandwidth, with input variation.  Lets artifacts
-    from different sessions be compared (r04 saw an unexplained 3.9x
-    cross-session spread with no way to tell which session was slow)."""
+    an HBM stream read bandwidth, every call unique (see timeit).  Lets
+    artifacts from different sessions be compared (r04 saw an
+    unexplained 3.9x cross-session spread with no way to tell which
+    session was slow)."""
     import jax
     import jax.numpy as jnp
     rng = np.random.default_rng(7)
     k = 2048
-    mats = [jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
-            for _ in range(3)]
-    mm = jax.jit(lambda a, b: (a @ b).astype(jnp.float32).sum())
-    t = timeit(mm, [(mats[i], mats[(i + 1) % 3]) for i in range(3)])
-    matmul_tflops = 2 * k * k * k / t / 1e12
+    a = jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
+    mm = jax.jit(lambda t, a, b: ((a + t.astype(jnp.bfloat16)) @ b)
+                 .astype(jnp.float32).sum())
+    dt = timeit(mm, (a, b))
+    matmul_tflops = 2 * k * k * k / dt / 1e12
     n = 1 << 24                              # 64 MB f32
-    vecs = [jnp.asarray(rng.standard_normal(n), jnp.float32)
-            for _ in range(3)]
-    rd = jax.jit(lambda x: x.sum())
-    t = timeit(rd, [(v,) for v in vecs])
-    stream_gbps = 4 * n / t / 1e9
+    v = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    rd = jax.jit(lambda t, x: (x + t).sum())
+    dt = timeit(rd, (v,))
+    stream_gbps = 4 * n / dt / 1e9
     return {"bf16_matmul_tflops": round(matmul_tflops, 1),
             "hbm_read_gbps": round(stream_gbps, 1)}
 
@@ -175,43 +192,31 @@ def main():
     state_host = jax.tree.unflatten(
         treedef, [data[f"s{i}"] for i in range(len(shape_leaves))])
 
-    rng = np.random.default_rng(42)
-
-    def variants(arr, scale=1e-3):
-        """nvar input copies differing by tiny noise: decode results are
-        unchanged, the dispatch cache is defeated."""
-        out = []
-        for _ in range(nvar):
-            n = (rng.standard_normal(arr.shape)
-                 + 1j * rng.standard_normal(arr.shape)) \
-                if np.iscomplexobj(arr) else rng.standard_normal(arr.shape)
-            out.append((arr + scale * n).astype(arr.dtype))
-        return out
-
-    ext_v = [jax.device_put(to_planar(v)) for v in variants(stream)]
-    blk_v = [jax.device_put(to_planar(v[sync.overlap:].copy()))
-             for v in variants(stream)]
+    ext_p = jax.device_put(to_planar(stream))
+    blk_p = jax.device_put(to_planar(stream[sync.overlap:].copy()))
     state_p = jax.device_put(to_planar(state_host))
     locs = jnp.asarray(data["locs"])
     c_at_p = jax.device_put(to_planar(data["c_at"]))
-    pts_v = [jax.device_put(to_planar(v))
-             for v in variants(data["points"])]
+    pts_p = jax.device_put(to_planar(data["points"]))
     plen, mod = jnp.asarray(data["plen"]), jnp.asarray(data["mod"])
     f0, f1 = jnp.asarray(data["f0"]), jnp.asarray(data["f1"])
     check = jnp.asarray(data["check"])
     hvalid = jnp.asarray(data["hvalid"])
     hevm = jnp.asarray(data["hevm"])
 
-    def xcorr_metric(ext):
-        return jnp.sum(ofdm_sync._detect_metric_xcorr(sync, ext))
+    # every stage's first arg is the uniqueness scalar t (see timeit):
+    # folded into the stage input at negligible scale so no two calls
+    # ever present the same argument buffers
+    def xcorr_metric(t, ext):
+        return jnp.sum(ofdm_sync._detect_metric_xcorr(sync, ext + t))
 
-    def detect_cands(ext):
-        det, locs_, c = ofdm_sync._detect_candidates(sync, ext)
+    def detect_cands(t, ext):
+        det, locs_, c = ofdm_sync._detect_candidates(sync, ext + t)
         return jnp.sum(det) + jnp.sum(locs_) + jnp.sum(jnp.abs(c))
 
-    def refine(ext, c_at_):
+    def refine(t, ext, c_at_):
         outs = jax.vmap(lambda n0, ca: ofdm_sync._decode_candidate(
-            sync, ext, n0, ca))(locs, c_at_)
+            sync, ext + t, n0, ca))(locs, c_at_)
         acc = 0.0
         for o in outs:
             acc = acc + jnp.sum(jnp.abs(o.astype(jnp.float32))
@@ -219,39 +224,39 @@ def main():
                                 else jnp.abs(o))
         return acc
 
-    def payload_demod(pts):
+    def payload_demod(t, pts):
         bits = jax.vmap(lambda x, m: payload_codec.generic_demod_bits(
-            x, m, sync.enc_max * 8, n_table=64)[0])(pts, mod)
+            x, m, sync.enc_max * 8, n_table=64)[0])(pts + t, mod)
         return jnp.sum(bits)
 
-    def payload_fec(pts):
+    def payload_fec(t, pts):
         pay, ok = payload_codec.decode_payload_batch(
-            sync.enc_max, sync.dec_max, sync.max_payload, pts, mod, f0,
-            f1, check, plen, hvalid, sync.fecs)
+            sync.enc_max, sync.dec_max, sync.max_payload, pts + t, mod,
+            f0, f1, check, plen, hvalid, sync.fecs)
         return jnp.sum(pay) + jnp.sum(ok)
 
-    def payload_evm(pts):
+    def payload_evm(t, pts):
         used = payload_codec.payload_points_used(
             sync.fecs, sync.dec_max, sync.enc_max, plen, mod, f0, f1,
             check)
-        mse = payload_codec.payload_evm_mse(pts, mod, used)
+        mse = payload_codec.payload_evm_mse(pts + t, mod, used)
         return jnp.sum(payload_codec.frame_evm_db(hevm, mse, used))
 
     step = ofdm_sync.make_sync_step(sync)
 
-    def full_step(state, block):
-        st, res = step(state, block)
+    def full_step(t, state, block):
+        st, res = step(state, block + t)
         return jnp.sum(res.payload_valid) + jnp.sum(res.payload) \
             + jnp.sum(jnp.abs(st.tail))
 
     stages = {
-        "xcorr_metric": (xcorr_metric, [(e,) for e in ext_v]),
-        "detect_cands": (detect_cands, [(e,) for e in ext_v]),
-        "refine": (refine, [(e, c_at_p) for e in ext_v]),
-        "payload_demod": (payload_demod, [(p,) for p in pts_v]),
-        "payload_fec": (payload_fec, [(p,) for p in pts_v]),
-        "payload_evm": (payload_evm, [(p,) for p in pts_v]),
-        "full_step": (full_step, [(state_p, b) for b in blk_v]),
+        "xcorr_metric": (xcorr_metric, (ext_p,)),
+        "detect_cands": (detect_cands, (ext_p,)),
+        "refine": (refine, (ext_p, c_at_p)),
+        "payload_demod": (payload_demod, (pts_p,)),
+        "payload_fec": (payload_fec, (pts_p,)),
+        "payload_evm": (payload_evm, (pts_p,)),
+        "full_step": (full_step, (state_p, blk_p)),
     }
     only = os.environ.get("STAGES")
     if only:
@@ -267,15 +272,16 @@ def main():
               flush=True)
     except Exception as e:  # noqa: BLE001
         report["anchors"] = {"error": str(e)[:120]}
-    for name, (fn, arg_sets) in stages.items():
+    t_sample = jax.device_put(jnp.float32(0.0))
+    for name, (fn, base_args) in stages.items():
         t0 = time.time()
-        exe = jax.jit(planarize(fn)).lower(*arg_sets[0]).compile()
+        exe = jax.jit(planarize(fn)).lower(t_sample, *base_args).compile()
         compile_s = time.time() - t0
         try:
             ca = exe.cost_analysis() or {}
         except Exception:
             ca = {}
-        dt = timeit(exe, arg_sets)
+        dt = timeit(exe, base_args, n_calls=nvar)
         row = {
             "ms": round(dt * 1e3, 3),
             "MSps": round(bs / dt / 1e6, 2),
