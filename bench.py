@@ -497,21 +497,42 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
     n_ok = int(cnt.sum())
 
     # --- timing ---
-    iters = 5
-    best = float("inf")
-    st = state
-    for _ in range(3):               # best-of-3 (tunnel transport jitter)
+    # Honest tunnel timing (r05): block_until_ready returns BEFORE
+    # execution on this backend, a value fetch costs a ~35 ms
+    # round-trip, and repeated (executable, same-buffers) dispatches are
+    # served from a cache.  So: (a) every call is unique — the carried
+    # state (base counter + tail) evolves monotonically and is never
+    # reset; (b) each timed chain of k calls is drained by fetching the
+    # last call's tiny count array; (c) the k=1 chain time (RTT +
+    # dispatch) is differenced out of the k=K chain.
+    chain_state = [s2]
+
+    def chain(k):
+        st = chain_state[0]
+        out = None
         t0 = time.perf_counter()
-        for _ in range(iters):
-            st, _ = exe(st, blocks)
-        jax.block_until_ready(st)
-        best = min(best, time.perf_counter() - t0)
-    sps = iters * SCAN * g / best
+        for _ in range(k):
+            st, out = exe(st, blocks)
+        import numpy as _np
+        _np.asarray(out[0])          # drain: value fetch of [.., N] ints
+        chain_state[0] = st
+        return time.perf_counter() - t0
+
+    chain(1)                          # warm any lazy executable state
+    K = 4
+    t1 = min(chain(1), chain(1))
+    while True:
+        tK = min(chain(K), chain(K))
+        if tK - t1 > 0.25 or K >= 64 or _child_time_left() < 60.0:
+            break
+        K *= 4
+    best = max(tK - t1, 1e-9) / (K - 1)
+    sps = SCAN * g / best
     extra = {
         "correct": True,
         "frames_verified": n_ok,
-        "flops_per_s": round(flops_per_call * iters / best, 1),
-        "hbm_bytes_per_s": round(bytes_per_call * iters / best, 1),
+        "flops_per_s": round(flops_per_call / best, 1),
+        "hbm_bytes_per_s": round(bytes_per_call / best, 1),
         "anchors": _session_anchors(),
     }
     kind, peak_flops, peak_bw = _device_peaks()
@@ -520,6 +541,13 @@ def _bench_mcrx(block_size=32768, max_frames=16, scan=2, batched_blocks=1,
         extra["mfu"] = round(extra["flops_per_s"] / peak_flops, 5)
     if peak_bw and bytes_per_call:
         extra["hbm_util"] = round(extra["hbm_bytes_per_s"] / peak_bw, 4)
+    # roofline against the MEASURED session anchors, not just the spec
+    # table: the r05 anchors read ~1.8x the "TPU v5 lite" spec on both
+    # axes, so spec-normalized utilization under-credits this backend
+    a = extra["anchors"]
+    if isinstance(a, dict) and a.get("hbm_read_gbps") and bytes_per_call:
+        extra["hbm_util_measured"] = round(
+            extra["hbm_bytes_per_s"] / (a["hbm_read_gbps"] * 1e9), 4)
     return "mcrx_iq_throughput", sps, extra
 
 
@@ -551,17 +579,26 @@ def _bench_sync():
     state = ofdm_sync.sync_init(sync)
     s2, _ = run(state, blocks)
     jax.block_until_ready(s2)
-    iters = 5
-    best = float("inf")
-    st = state
-    for _ in range(3):               # best-of-3 (tunnel transport jitter)
+    # chained-drain timing (see _bench_mcrx: block_until_ready does not
+    # wait on the tunnel backend; difference out the fetch round-trip)
+    chain_state = [s2]
+
+    def chain(k):
+        st = chain_state[0]
+        out = None
         t0 = time.perf_counter()
-        for _ in range(iters):
-            st, _ = run(st, blocks)
-        jax.block_until_ready(st)
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(k):
+            st, out = run(st, blocks)
+        np.asarray(out)
+        chain_state[0] = st
+        return time.perf_counter() - t0
+
+    chain(1)
+    t1 = min(chain(1), chain(1))
+    tK = min(chain(8), chain(8))
+    best = max(tK - t1, 1e-9) / 7
     return ("ofdm_sync_iq_throughput",
-            iters * SCAN * sync.block_size / best, {"correct": False})
+            SCAN * sync.block_size / best, {"correct": False})
 
 
 def _healthy(timeout_s: float | None = None,

@@ -211,3 +211,39 @@ class RxStats:
             print("    data rate           : %12.8f kbps" %
                   (8.0 * self.num_bytes_received / runtime_s * 1e-3),
                   file=file)
+
+
+def dump_framesync_octave(path: str, title: str, stream: np.ndarray,
+                          cap: dict) -> None:
+    """Write one framesync debug capture as an executable octave script
+    (the ofdmflexframesync_debug_print parity surface: raw IQ, detection
+    metric, |H|, received constellation —
+    /root/reference/lib/ofdmtxrx.cc:241-242,518-525)."""
+    def cvec(f, name, vals, limit=4096):
+        f.write(name + " = [" + " ".join(
+            "(%.5g%+.5gj)" % (v.real, v.imag) for v in vals[:limit])
+            + "];\n")
+
+    with open(path, "w") as f:
+        f.write("%% " + title + " (octave)\nclear all;\n")
+        f.write("%% strongest candidate: n0=%d detected=%d hdr_valid=%d "
+                "cfo=%.6f rssi=%.1f dB\n" %
+                (cap["n0"], cap["detected"], cap["header_valid"],
+                 cap["cfo"], cap["rssi"]))
+        cvec(f, "x", stream[:4096])
+        f.write("metric = [" + " ".join(
+            "%.4f" % v
+            for v in cap["metric"][: min(len(cap["metric"]), 4096)])
+            + "];\n")
+        cvec(f, "H", cap["H"])               # channel estimate [M]
+        cvec(f, "syms_hdr", cap["hsyms_eq"])    # equalized header points
+        cvec(f, "syms_pay", cap["psyms_eq"])    # equalized payload points
+        f.write(
+            "figure;\n"
+            "subplot(2,2,1); plot(real(x)); ylabel('I');\n"
+            "subplot(2,2,2); plot(metric); ylabel('detect metric');\n"
+            "subplot(2,2,3); plot(20*log10(max(abs(H),1e-6))); "
+            "ylabel('|H| dB'); xlabel('subcarrier');\n"
+            "subplot(2,2,4); plot(real(syms_pay), imag(syms_pay), 'x', "
+            "real(syms_hdr), imag(syms_hdr), '.'); axis square; "
+            "xlabel('I'); ylabel('Q'); title('received constellation');\n")

@@ -20,13 +20,33 @@ USAGE = """multichannel_rx -i in.iq [options]
   h : usage                     i : input IQ file (required)
   n : number of channels (2)    M : subcarriers (48)
   C : cyclic prefix (6)         q : quiet
+  d : debug dump prefix (writes <prefix>_framesync_channel<k>.m per
+      channel — the reference's hardwired per-channel debug capture,
+      lib/multichannelrx.cc:118-122)
   --snr/--cfo/--delay : virtual channel impairments
 """
 
 
+def _dump_channel_debug(prefix: str, rx, stream) -> None:
+    """Per-channel octave dumps: channelize the mixture once, then run
+    the single-sync debug capture on each channel's baseband stream
+    (framesync_channel%u.m parity,
+    /root/reference/lib/multichannelrx.cc:83-85,118-122)."""
+    from ..framing import ofdm_sync as _os
+    from .common import dump_framesync_octave
+    chans = rx.channelize(stream[: (1 << 16) * 2 * rx.num_channels])
+    for ch in range(rx.num_channels):
+        cap = _os.debug_capture(rx.sync, chans[ch])
+        path = f"{prefix}_framesync_channel{ch}.m"
+        dump_framesync_octave(
+            path, f"multichannel_rx channel {ch} debug capture",
+            chans[ch], cap)
+        print(f"debug capture written to {path}")
+
+
 def main(argv=None) -> int:
     flags, _ = parse_args(argv if argv is not None else sys.argv[1:],
-                          "hi:n:M:C:q")
+                          "hi:n:M:C:d:q")
     if "h" in flags:
         print(USAGE)
         return 0
@@ -60,6 +80,8 @@ def main(argv=None) -> int:
                    "ok" if f["payload_valid"] else "FAIL"))
     print("multichannel_rx results:")
     stats.report(time.time() - t0)
+    if "d" in flags:
+        _dump_channel_debug(flags["d"], rx, stream)
     return 0
 
 

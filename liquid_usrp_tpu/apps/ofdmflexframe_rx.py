@@ -48,11 +48,6 @@ USAGE = """ofdmflexframe_rx -i in.iq [options]
 """
 
 
-def _cvec(f, name, vals, limit=4096):
-    f.write(name + " = [" + " ".join(
-        "(%.5g%+.5gj)" % (v.real, v.imag) for v in vals[:limit]) + "];\n")
-
-
 def _dump_debug(prefix: str, txrx, stream):
     """Octave dump of synchronizer internals — the debug-capture parity
     surface (ofdmflexframesync_debug_print -> ofdmtxrx_framesync_debug.m,
@@ -60,32 +55,12 @@ def _dump_debug(prefix: str, txrx, stream):
     channel estimate, and the received (equalized) constellation points
     of the strongest frame (lib/ofdmtxrx.cc:518-525)."""
     from liquid_usrp_tpu.framing import ofdm_sync as _os
+    from .common import dump_framesync_octave
     n = min(len(stream), 1 << 16)
     cap = _os.debug_capture(txrx._sync, stream[:n])
     path = f"{prefix}_framesync_debug.m"
-    with open(path, "w") as f:
-        f.write("%% ofdmflexframe_rx debug capture (octave)\nclear all;\n")
-        f.write("%% strongest candidate: n0=%d detected=%d hdr_valid=%d "
-                "cfo=%.6f rssi=%.1f dB\n" %
-                (cap["n0"], cap["detected"], cap["header_valid"],
-                 cap["cfo"], cap["rssi"]))
-        _cvec(f, "x", stream[: min(n, 4096)])
-        f.write("metric = [" + " ".join(
-            "%.4f" % v
-            for v in cap["metric"][: min(len(cap["metric"]), 4096)])
-            + "];\n")
-        _cvec(f, "H", cap["H"])              # channel estimate [M]
-        _cvec(f, "syms_hdr", cap["hsyms_eq"])   # equalized header points
-        _cvec(f, "syms_pay", cap["psyms_eq"])   # equalized payload points
-        f.write(
-            "figure;\n"
-            "subplot(2,2,1); plot(real(x)); ylabel('I');\n"
-            "subplot(2,2,2); plot(metric); ylabel('detect metric');\n"
-            "subplot(2,2,3); plot(20*log10(max(abs(H),1e-6))); "
-            "ylabel('|H| dB'); xlabel('subcarrier');\n"
-            "subplot(2,2,4); plot(real(syms_pay), imag(syms_pay), 'x', "
-            "real(syms_hdr), imag(syms_hdr), '.'); axis square; "
-            "xlabel('I'); ylabel('Q'); title('received constellation');\n")
+    dump_framesync_octave(path, "ofdmflexframe_rx debug capture",
+                          stream[:n], cap)
     print(f"debug capture written to {path}")
 
 

@@ -437,6 +437,24 @@ class MultichannelRx:
             // self.granularity + 1)
         return self.execute(np.zeros(pad, np.complex64))
 
+    def channelize(self, samples: np.ndarray) -> np.ndarray:
+        """Offline/debug helper: mixture -> per-channel baseband streams
+        ``[N, len // 2N]`` through the same NCO + PFB front-end, from a
+        FRESH state (the streaming state is untouched).  Feeds the
+        per-channel framesync debug dumps — the reference hardwires
+        per-channel debug capture into its RX
+        (/root/reference/lib/multichannelrx.cc:83-85,118-122)."""
+        N = self.num_channels
+        g = 2 * N
+        x = np.asarray(samples, np.complex64)
+        x = x[: (len(x) // g) * g]
+        chz = pfb_mod.pfbch_create(g, m=7, As=60.0)
+        _, y = nco_mod.nco_mix_block(
+            nco_mod.nco_init(-_center_offset(N)),
+            iqfmt.device_put_c64(x), up=True)
+        _, X = pfb_mod.pfb_analyze_block(chz, pfb_mod.pfbch_state(chz), y)
+        return iqfmt.device_get_c64(X[:, :N].T)
+
 
 # ---------------------------------------------------------------------------
 # full duplex composition

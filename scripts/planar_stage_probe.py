@@ -56,35 +56,55 @@ def _code_key() -> str:
     return h.hexdigest()[:10]
 
 
-def timeit(fn, base_args, n_rounds=3, n_calls=4):
-    """Best wall time per call with EVERY call's argument set unique.
+def make_looped(fn):
+    """Wrap stage ``fn(t, *args) -> f32 scalar`` as ``looped(t, n,
+    *args)`` running the stage ``n`` times inside ONE executable via
+    ``fori_loop`` (traced bound — no recompile per n), with a
+    per-iteration uniqueness offset so nothing CSEs across iterations
+    and the carry chains the iterations serially."""
+    import jax.numpy as jnp
+    from jax import lax
 
-    ``fn``'s first argument is a float32 uniqueness scalar ``t`` (the
-    stage folds it into its input at ~1e-6 scale).  Cycling a fixed pool
-    of input buffers is NOT enough: repeats of (executable, buffers)
-    pairs are served from a cache over the tunnel even across timing
-    rounds (observed anchors above chip spec — 247 TFLOP/s on a
-    197 TFLOP/s part).  A fresh scalar per call defeats it for good."""
+    def looped(t, n, *args):
+        def body(i, acc):
+            return acc + fn(t + jnp.float32(1e-6) *
+                            (i.astype(jnp.float32) + acc * 0), *args)
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+    return looped
+
+
+def timeit(exe, base_args, target_s=0.2, n_max=512):
+    """Per-iteration device seconds for ``exe(t, n, *args)`` (a
+    :func:`make_looped` stage) by N-differencing.
+
+    On this tunnel backend the naive recipes are all wrong:
+    ``block_until_ready`` returns before execution, repeated
+    (executable, buffers) dispatches are served from a cache, a value
+    fetch costs a ~35 ms round-trip, and each dispatch RPC ~0.4 ms
+    (measured, ROUND5 notes).  So: run the stage n times INSIDE one
+    dispatch, fetch the scalar result to drain, and difference n=1
+    against a large n — RTT and dispatch overhead cancel exactly."""
     import jax
     import jax.numpy as jnp
-    need = n_calls * (n_rounds + 1)
-    scal = [jax.device_put(jnp.float32(1e-6 * (i + 1)))
-            for i in range(need)]
-    jax.block_until_ready(scal)
-    k = 0
-    for _ in range(n_calls):                 # warmup
-        jax.block_until_ready(fn(scal[k], *base_args))
-        k += 1
-    best = float("inf")
-    for _ in range(n_rounds):
+    state = {"k": 0}
+
+    def run(n):
+        state["k"] += 1
+        t = jax.device_put(jnp.float32(1e-3 * state["k"]))
+        nn = jax.device_put(jnp.int32(n))
         t0 = time.perf_counter()
-        r = []
-        for _ in range(n_calls):
-            r.append(fn(scal[k], *base_args))
-            k += 1
-        jax.block_until_ready(r)
-        best = min(best, (time.perf_counter() - t0) / n_calls)
-    return best
+        np.asarray(exe(t, nn, *base_args))
+        return time.perf_counter() - t0
+
+    run(1)
+    run(1)                                   # warm (compile + caches)
+    n = 8
+    while True:
+        t1 = min(run(1), run(1))
+        tn = min(run(n), run(n))
+        if tn - t1 > target_s or n >= n_max:
+            return max(tn - t1, 1e-9) / (n - 1)
+        n *= 4
 
 
 def _anchors():
@@ -99,14 +119,19 @@ def _anchors():
     k = 2048
     a = jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
-    mm = jax.jit(lambda t, a, b: ((a + t.astype(jnp.bfloat16)) @ b)
-                 .astype(jnp.float32).sum())
-    dt = timeit(mm, (a, b))
+
+    def mm(t, a, b):
+        return ((a + t.astype(jnp.bfloat16)) @ b).astype(jnp.float32).sum()
+
+    dt = timeit(jax.jit(make_looped(mm)), (a, b))
     matmul_tflops = 2 * k * k * k / dt / 1e12
     n = 1 << 24                              # 64 MB f32
     v = jnp.asarray(rng.standard_normal(n), jnp.float32)
-    rd = jax.jit(lambda t, x: (x + t).sum())
-    dt = timeit(rd, (v,))
+
+    def rd(t, x):
+        return (x + t).sum()
+
+    dt = timeit(jax.jit(make_looped(rd)), (v,))
     stream_gbps = 4 * n / dt / 1e9
     return {"bf16_matmul_tflops": round(matmul_tflops, 1),
             "hbm_read_gbps": round(stream_gbps, 1)}
@@ -165,7 +190,7 @@ def _build_inputs(path: str) -> None:
 def main():
     bs = int(os.environ.get("BS", 65536))
     maxf = int(os.environ.get("MAXF", 24))
-    nvar = int(os.environ.get("VAR", 4))
+
     cache = (f"/tmp/planar_stage_inputs_bs{bs}_mf{maxf}"
              f"_{_code_key()}.npz")
     if not os.path.exists(cache):
@@ -273,15 +298,17 @@ def main():
     except Exception as e:  # noqa: BLE001
         report["anchors"] = {"error": str(e)[:120]}
     t_sample = jax.device_put(jnp.float32(0.0))
+    n_sample = jax.device_put(jnp.int32(1))
     for name, (fn, base_args) in stages.items():
         t0 = time.time()
-        exe = jax.jit(planarize(fn)).lower(t_sample, *base_args).compile()
+        exe = jax.jit(planarize(make_looped(fn))).lower(
+            t_sample, n_sample, *base_args).compile()
         compile_s = time.time() - t0
         try:
             ca = exe.cost_analysis() or {}
         except Exception:
             ca = {}
-        dt = timeit(exe, base_args, n_calls=nvar)
+        dt = timeit(exe, base_args)
         row = {
             "ms": round(dt * 1e3, 3),
             "MSps": round(bs / dt / 1e6, 2),
