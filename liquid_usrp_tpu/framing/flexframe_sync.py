@@ -153,8 +153,8 @@ def _find_candidates(sync: FlexSync, metric: jnp.ndarray):
     # both sides; see ofdm_sync._find_candidates)
     T = sync.block_size
     win = sync.params.k * PREAMBLE_SYMS // 2
-    local_max = jax.lax.reduce_window(
-        metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
+    from ..ops.corr import sliding_max
+    local_max = sliding_max(metric, win)
     is_peak = (metric >= local_max) & (metric > sync.threshold)
     idx = jnp.arange(metric.shape[0])
     score = jnp.where(is_peak & (idx >= win) & (idx < T + win), metric,

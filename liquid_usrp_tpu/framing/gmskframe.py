@@ -412,8 +412,8 @@ def _front_end(sync: GmskSync, ext: jnp.ndarray):
     metric = jnp.where(pwr > floor, metric, 0.0)
 
     win = k * 16
-    local_max = jax.lax.reduce_window(
-        metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
+    from ..ops.corr import sliding_max
+    local_max = sliding_max(metric, win)
     is_peak = (metric >= local_max) & (metric > sync.threshold)
     idx = jnp.arange(metric.shape[0])
     # detect region inset by the NMS radius (see ofdm_sync)

@@ -377,8 +377,8 @@ def _find_candidates(sync: OfdmSync, metric: jnp.ndarray):
     M = sync.params.M
     T = sync.block_size
     win = M  # suppression radius ~ one symbol
-    local_max = jax.lax.reduce_window(
-        metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
+    from ..ops.corr import sliding_max
+    local_max = sliding_max(metric, win)
     is_peak = (metric >= local_max) & (metric > sync.threshold)
     idx = jnp.arange(metric.shape[0])
     in_region = (idx >= win) & (idx < T + win)
@@ -668,8 +668,10 @@ def _decode_window(sync: OfdmSync, wraw: jnp.ndarray, c_at: jnp.ndarray,
         dd_syms = min(_DD_SYMS, sync.max_psym)
         tab = jnp.asarray(payload_codec._stacked_tables())[mod]
         sub = pdata[:dd_syms]                            # [dd, n_data]
-        sym, _ = payload_codec._nearest_sym(sub.reshape(-1), tab)
-        dec = tab[sym].reshape(sub.shape)                # [dd, n_data]
+        # nearest POINT carried by value — a tab[sym] traced gather here
+        # was 65% of the whole refine stage on chip (refine_probe dd_tab)
+        dec, _ = payload_codec._nearest_point(sub.reshape(-1), tab)
+        dec = dec.reshape(sub.shape)                     # [dd, n_data]
         pt_i = (jnp.arange(dd_syms)[:, None] * n_data +
                 jnp.arange(n_data)[None, :])
         wgt = ((pt_i < used_pts) & hvalid).astype(jnp.float32) * \

@@ -350,6 +350,75 @@ def _nearest_sym(x: jnp.ndarray, table: jnp.ndarray):
     return sym, dmin
 
 
+_BPS_SET = tuple(sorted({modem_mod.bits_per_symbol(s)
+                         for s in PAYLOAD_MODS}))
+
+
+def _bits_from_syms(sym: jnp.ndarray, off: jnp.ndarray, bps: jnp.ndarray,
+                    max_bits: int) -> jnp.ndarray:
+    """Symbol stream -> MSB-first bit stream ``[max_bits]`` for a traced
+    ``bps``, with the DPSK reference-point offset ``off`` (0/1).
+
+    The direct form — ``sym[clip(j // bps + off)]`` — is a traced
+    index-array gather, which lowers catastrophically on TPU under the
+    candidate vmap (measured: 3.0 ms / 1.4 GB of HBM for the 24-row
+    batch vs 0.08 ms for the argmin scan feeding it — the same
+    pathology as _window_gather).  Instead each STATIC bps in the
+    scheme set gets a gather-free layout (broadcast + shift + reshape;
+    ``off`` via one dynamic_slice), and a mask-select picks the row's
+    layout — layouts are cheap ``[max_bits]`` u8 streams, so computing
+    all |{bps}| of them costs far less than one bad gather."""
+    n = sym.shape[0]
+    streams = []
+    for b in _BPS_SET:
+        n_sym = -(-max_bits // b) + 1
+        pad = max(n_sym + 1 - n, 0)
+        sp = jnp.concatenate([sym, jnp.zeros(pad, sym.dtype)]) if pad \
+            else sym
+        s = jax.lax.dynamic_slice(sp, (jnp.clip(off, 0, 1),), (n_sym,))
+        shifts = jnp.arange(b - 1, -1, -1, dtype=sym.dtype)
+        bits = ((s[:, None] >> shifts[None, :]) & 1).reshape(-1)
+        streams.append(bits[:max_bits].astype(jnp.uint8))
+    out = jnp.zeros(max_bits, jnp.uint8)
+    for b, bits in zip(_BPS_SET, streams):
+        out = jnp.where(bps == b, bits, out)
+    return out
+
+
+def _nearest_point(x: jnp.ndarray, table: jnp.ndarray):
+    """``(dec, dmin)``: the nearest constellation POINT (value) per
+    sample, via the same chunked scan as :func:`_nearest_sym` but
+    carrying the winning point's re/im planes instead of its index.
+
+    Exists for the decision-directed passes: ``tab[_nearest_sym(x)[0]]``
+    is a traced index gather, which lowers catastrophically on TPU under
+    the candidate vmap (measured 1.17 ms / 484 MB of the refine stage's
+    1.78 ms — scripts/refine_probe.py); the value carry costs two extra
+    ``[n]`` planes in the scan and no gather at all."""
+    C = table.shape[0]
+    ck = _DEMOD_CHUNK
+    xr, xi = jnp.real(x), jnp.imag(x)
+    trc = jnp.real(table).reshape(C // ck, ck)
+    tic = jnp.imag(table).reshape(C // ck, ck)
+
+    def body(carry, cs):
+        bm, br, bi = carry
+        trk, tik = cs
+        for k in range(ck):
+            d = (xr - trk[k]) ** 2 + (xi - tik[k]) ** 2
+            upd = d < bm
+            bm = jnp.where(upd, d, bm)
+            br = jnp.where(upd, trk[k], br)
+            bi = jnp.where(upd, tik[k], bi)
+        return (bm, br, bi), None
+
+    init = (jnp.full(x.shape, jnp.float32(1e30)),
+            jnp.zeros(x.shape, jnp.float32),
+            jnp.zeros(x.shape, jnp.float32))
+    (dmin, br, bi), _ = jax.lax.scan(body, init, (trc, tic))
+    return jax.lax.complex(br, bi), dmin
+
+
 def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int,
                        n_table: int = _MAX_CONST):
     """Demap with a runtime-selected constellation -> bit stream [max_bits].
@@ -369,11 +438,8 @@ def generic_demod_bits(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int,
     bps = jnp.asarray(
         [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
         dtype=jnp.int32)[mod]
-    j = jnp.arange(max_bits)
-    src = jnp.clip(j // bps + off, 0, x.shape[0] - 1)
-    k = j % bps
-    bits = (sym[src] >> (bps - 1 - k)) & 1
-    return bits.astype(jnp.uint8), bps
+    bits = _bits_from_syms(sym, off, bps, max_bits)
+    return bits, bps
 
 
 def fec_decode_switch(scheme_idx: jnp.ndarray, buf: jnp.ndarray,
@@ -628,12 +694,22 @@ def generic_demod_soft(x: jnp.ndarray, mod: jnp.ndarray, max_bits: int,
     bps = jnp.asarray(
         [modem_mod.bits_per_symbol(s) for s in PAYLOAD_MODS],
         dtype=jnp.int32)[mod]
-    j = jnp.arange(max_bits)
-    src = jnp.clip(j // bps + off, 0, x.shape[0] - 1)
-    k = j % bps
-    llr = llr_pts[src, k]
-    # beyond-bps slots never occur (k < bps by construction)
-    return llr
+    # per-static-bps gather-free layouts + mask-select — the direct
+    # ``llr_pts[j // bps + off, j % bps]`` traced 2-D gather lowers
+    # catastrophically under the candidate vmap (see _bits_from_syms)
+    n = llr_pts.shape[0]
+    out = jnp.zeros(max_bits, llr_pts.dtype)
+    for b in _BPS_SET:
+        n_sym = -(-max_bits // b) + 1
+        pad = max(n_sym + 1 - n, 0)
+        lp = jnp.concatenate(
+            [llr_pts, jnp.zeros((pad, llr_pts.shape[1]),
+                                llr_pts.dtype)]) if pad else llr_pts
+        s = jax.lax.dynamic_slice(
+            lp, (jnp.clip(off, 0, 1), 0), (n_sym, lp.shape[1]))
+        stream = s[:, :b].reshape(-1)[:max_bits]
+        out = jnp.where(bps == b, stream, out)
+    return out
 
 
 def decode_payload_batch_soft(sync_enc_max: int, dec_max: int,

@@ -486,8 +486,8 @@ def _find_candidates_wlan(sync: WlanSync, metric: jnp.ndarray):
     from .ofdm_sync import topk_peaks
     T = sync.block_size
     win = _DET_WIN
-    local_max = jax.lax.reduce_window(
-        metric, -jnp.inf, jax.lax.max, (2 * win + 1,), (1,), "SAME")
+    from ..ops.corr import sliding_max
+    local_max = sliding_max(metric, win)
     is_peak = (metric >= local_max) & (metric > sync.threshold)
     idx = jnp.arange(metric.shape[0])
     score = jnp.where(is_peak & (idx >= win) & (idx < T + win),

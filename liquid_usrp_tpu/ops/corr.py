@@ -24,7 +24,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["next_pow2", "comb_rev_freq_np", "comb_moving_sum"]
+__all__ = ["next_pow2", "comb_rev_freq_np", "comb_moving_sum",
+           "sliding_max"]
 
 
 def next_pow2(n: int) -> int:
@@ -56,3 +57,30 @@ def comb_moving_sum(x: jnp.ndarray, D: int, k: int,
                           jnp.cumsum(X, axis=0)])
     S = cs[D:] - cs[:-D]                 # S[m, r] = sum_d X[m + d, r]
     return S.reshape(-1)[:n_out]
+
+
+def sliding_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """``out[i] = max(x[i-radius : i+radius+1])`` ("SAME", -inf padded).
+
+    van Herk / Gil-Werman: two per-block running maxima + one combine —
+    O(1) work per sample for any radius, all static slices.  Replaces
+    ``lax.reduce_window`` in the detector NMS passes, which costs
+    O(window) per sample on TPU (measured 1.42 ms for a 97-wide window
+    over a 65k block — the whole detect stage's dominant term; an
+    arange-indexed gather variant was worse, 557 MB of HBM, the usual
+    TPU gather pathology).  Exactly equal to reduce_window: max is
+    insensitive to association order.
+    """
+    from jax import lax
+    W = 2 * radius + 1
+    n = x.shape[0]
+    nt = -(-(n + 2 * radius) // W)
+    neg = jnp.full((1,), -jnp.inf, x.dtype)
+    xp = jnp.concatenate([
+        jnp.broadcast_to(neg, (radius,)), x,
+        jnp.broadcast_to(neg, (nt * W - n - radius,))])
+    blocks = xp.reshape(nt, W)
+    P = lax.cummax(blocks, axis=1).reshape(-1)
+    S = lax.cummax(blocks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    return jnp.maximum(lax.slice(S, (0,), (n,)),
+                       lax.slice(P, (W - 1,), (W - 1 + n,)))
