@@ -761,8 +761,8 @@ def _child(which: str) -> int:
     if os.environ.get("_BENCH_BUDGET_S"):
         _CHILD_DEADLINE.append(
             time.monotonic() + float(os.environ["_BENCH_BUDGET_S"]))
-    _enable_compile_cache()
     if which == "cpu":
+        _enable_compile_cache()        # no health gate on this path
         metric, sps, extra = _bench_cpu_fallback()
         print(json.dumps({
             "metric": metric, "value": round(sps, 1),
@@ -807,6 +807,11 @@ def _child(which: str) -> int:
     # this process (utils/tpu_session.py)
     if not _healthy(mode="real" if which in planar_kinds else "complex"):
         os._exit(3)                    # bad session: fail fast, retry
+    # AFTER the gate: enabling the persistent compile cache before the
+    # gate's threaded probe crashes the probe thread (measured r05 —
+    # three straight false gate-fails); post-gate enabling still caches
+    # every expensive pipeline compile
+    _enable_compile_cache()
     fn = {
         "best": _bench_best,
         "mcrx_xl": lambda: _bench_mcrx(131072, 48, 1),

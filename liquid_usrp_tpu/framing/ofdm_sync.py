@@ -129,13 +129,20 @@ def make_sync(params: OfdmParams, block_size: int = 16384,
     fecs = (payload_codec.PAYLOAD_FECS_FULL if enable_conv
             else payload_codec.PAYLOAD_FECS)
     if use_pallas == "auto":
-        # The Mosaic detect front-ends (detect_metric_onepass and the
-        # fused candidate kernel) are interpret-validated for every
-        # production M, but Mosaic remote compilation has not yet been
-        # confirmed on this image's tunnel backend (ROUND2_NOTES), so
-        # auto resolves to off; scripts/tpu_pallas_probe.py is the
-        # validation gate that flips this to
-        # `2 if jax.default_backend() == "tpu" else 0`.
+        # Resolved to 0 (XLA detect) BY MEASUREMENT, not by caution:
+        # Mosaic remote compile works on this image's tunnel (confirmed
+        # r04), and the on-chip A/B ran — `planar_l_bf16_xck` decoded at
+        # parity with the XLA path (4963.2 vs 4971.3 kS/s,
+        # docs/tpu_runs/r04a_bench_planar.json).  The r05 stage
+        # attribution then showed why: the pipeline's time lived in the
+        # decode path's traced gathers and the reduce_window NMS (fixed
+        # in XLA form — see _bits_from_syms / _nearest_point /
+        # ops.corr.sliding_max), leaving the whole detect front-end at
+        # ~0.14 ms of a 2.08 ms block step
+        # (docs/tpu_runs/r05_planar_stage_v5_postfix.json).  The Mosaic
+        # kernels remain a validated optional tier (use_pallas=1/2,
+        # exercised by tests and the bench ladder) but there is no
+        # headroom for them to buy at the detect stage.
         use_pallas = 0
     return OfdmSync(params=params, block_size=block_size,
                     max_payload=max_payload, max_frames=max_frames,
