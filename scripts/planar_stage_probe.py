@@ -274,14 +274,29 @@ def main():
         return jnp.sum(res.payload_valid) + jnp.sum(res.payload) \
             + jnp.sum(jnp.abs(st.tail))
 
+    # glue attribution: the vmapped candidate window slice on its own,
+    # and the no-detection floor (noise input keeps the decode gate's
+    # skip branch — detect + state carry + result assembly only)
+    def window_gather(t, ext):
+        wins = jax.vmap(lambda n0: ofdm_sync._window_gather(
+            ext + t, n0, sync.overlap))(locs)
+        return jnp.sum(jnp.abs(wins))
+
+    noise_blk = 0.01 * (np.random.default_rng(9).standard_normal(bs)
+                        + 1j * np.random.default_rng(10)
+                        .standard_normal(bs)).astype(np.complex64)
+    noise_p = jax.device_put(to_planar(noise_blk))
+
     stages = {
         "xcorr_metric": (xcorr_metric, (ext_p,)),
         "detect_cands": (detect_cands, (ext_p,)),
+        "window_gather": (window_gather, (ext_p,)),
         "refine": (refine, (ext_p, c_at_p)),
         "payload_demod": (payload_demod, (pts_p,)),
         "payload_fec": (payload_fec, (pts_p,)),
         "payload_evm": (payload_evm, (pts_p,)),
         "full_step": (full_step, (state_p, blk_p)),
+        "full_step_idle": (full_step, (state_p, noise_p)),
     }
     only = os.environ.get("STAGES")
     if only:
