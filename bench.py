@@ -110,44 +110,57 @@ def _session_anchors():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
     out = {}
 
-    def best_of(fn, base, work):
-        # every call gets a FRESH uniqueness scalar: repeats of the same
-        # (executable, buffers) pair are served from a cache over the
-        # tunnel, even across timing rounds (observed 247 "TFLOP/s" on
-        # a 197 TFLOP/s part with a cycled-buffer scheme)
-        scal = [jax.device_put(jnp.float32(1e-6 * (i + 1)))
-                for i in range(16)]
-        jax.block_until_ready(scal)
-        k = 0
-        for _ in range(4):
-            jax.block_until_ready(fn(scal[k], *base))
-            k += 1
-        best = float("inf")
-        for _ in range(3):
+    def per_iter_time(fn, base, n_big=64):
+        # honest tunnel recipe (ROUND5_NOTES): repeat the work n times
+        # INSIDE one executable (fori_loop, traced bound — no recompile
+        # per n), vary each iteration via the uniqueness scalar, drain
+        # with a scalar value fetch, and difference n=1 out of n=n_big
+        # so the ~35 ms fetch RTT and per-dispatch cost cancel
+        def looped(t, n, *args):
+            def body(i, acc):
+                return acc + fn(t + jnp.float32(1e-6) *
+                                (i.astype(jnp.float32) + acc * 0), *args)
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        exe = jax.jit(looped)
+        kk = [0]
+
+        def run(n):
+            kk[0] += 1
+            t = jax.device_put(jnp.float32(1e-3 * kk[0]))
             t0 = time.perf_counter()
-            r = []
-            for _ in range(4):
-                r.append(fn(scal[k], *base))
-                k += 1
-            jax.block_until_ready(r)
-            best = min(best, (time.perf_counter() - t0) / 4)
-        return work / best
+            np.asarray(exe(t, jnp.int32(n), *base))
+            return time.perf_counter() - t0
+
+        run(1)
+        run(1)
+        t1 = min(run(1), run(1))
+        tn = min(run(n_big), run(n_big))
+        return max(tn - t1, 1e-9) / (n_big - 1)
 
     try:
         rng = np.random.default_rng(7)
         k = 2048
         a = jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
         b = jnp.asarray(rng.standard_normal((k, k)), jnp.bfloat16)
-        mm = jax.jit(lambda t, a, b: ((a + t.astype(jnp.bfloat16)) @ b)
-                     .astype(jnp.float32).sum())
+
+        def mm(t, a, b):
+            return ((a + t.astype(jnp.bfloat16)) @ b) \
+                .astype(jnp.float32).sum()
+
         out["bf16_matmul_tflops"] = round(
-            best_of(mm, (a, b), 2 * k ** 3) / 1e12, 1)
+            2 * k ** 3 / per_iter_time(mm, (a, b)) / 1e12, 1)
         n = 1 << 24
         v = jnp.asarray(rng.standard_normal(n), jnp.float32)
-        rd = jax.jit(lambda t, x: (x + t).sum())
-        out["hbm_read_gbps"] = round(best_of(rd, (v,), 4 * n) / 1e9, 1)
+
+        def rd(t, x):
+            return (x + t).sum()
+
+        out["hbm_read_gbps"] = round(
+            4 * n / per_iter_time(rd, (v,)) / 1e9, 1)
     except Exception as e:  # noqa: BLE001 — anchors must never sink a run
         out["error"] = str(e)[:100]
     _ANCHORS_CACHE["a"] = out
