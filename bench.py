@@ -113,12 +113,15 @@ def _session_anchors():
     from jax import lax
     out = {}
 
-    def per_iter_time(fn, base, n_big=64):
+    def per_iter_time(fn, base):
         # honest tunnel recipe (ROUND5_NOTES): repeat the work n times
         # INSIDE one executable (fori_loop, traced bound — no recompile
         # per n), vary each iteration via the uniqueness scalar, drain
-        # with a scalar value fetch, and difference n=1 out of n=n_big
-        # so the ~35 ms fetch RTT and per-dispatch cost cancel
+        # with a scalar value fetch, and difference n=1 out of a large
+        # n so the ~35 ms fetch RTT and per-dispatch cost cancel.  n
+        # grows until the differenced work dominates the RTT's own
+        # jitter (a fixed small n measured 256 "TFLOP/s" on a 197-peak
+        # part — ±ms fetch jitter swamped a ~6 ms delta)
         def looped(t, n, *args):
             def body(i, acc):
                 return acc + fn(t + jnp.float32(1e-6) *
@@ -137,9 +140,13 @@ def _session_anchors():
 
         run(1)
         run(1)
-        t1 = min(run(1), run(1))
-        tn = min(run(n_big), run(n_big))
-        return max(tn - t1, 1e-9) / (n_big - 1)
+        n = 64
+        while True:
+            t1 = min(run(1), run(1))
+            tn = min(run(n), run(n))
+            if tn - t1 > 0.25 or n >= 16384:
+                return max(tn - t1, 1e-9) / (n - 1)
+            n *= 4
 
     try:
         rng = np.random.default_rng(7)
@@ -700,6 +707,8 @@ def _bench_planar_best():
     for kwargs, tag in [
         (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
               planar=True), "planar_l"),
+        (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=4,
+              planar=True), "planar_l_nb4"),
         (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
               ingest="bf16", planar=True), "planar_l_bf16"),
         (dict(block_size=65536, max_frames=24, scan=1, batched_blocks=2,
