@@ -18,7 +18,7 @@ probe() {
     timeout 240 python -c "
 from liquid_usrp_tpu.utils.tpu_session import session_healthy
 import sys
-sys.exit(0 if session_healthy(timeout_s=180) else 1)" >>"$log" 2>&1
+sys.exit(0 if session_healthy(timeout_s=180, mode="real") else 1)" >>"$log" 2>&1
 }
 
 echo "[watch $(date -u +%FT%TZ)] start period=${period}s prefix=$prefix" >>"$log"
@@ -34,6 +34,8 @@ while true; do
             timeout 1800 python scripts/tpu_session_probe.py >>"$log" 2>&1
         bash scripts/record_tpu_run.sh "${prefix}_bench_all" \
             timeout 1800 python scripts/bench_all.py >>"$log" 2>&1
+        bash scripts/record_tpu_run.sh "${prefix}_planar_stage" \
+            timeout 2400 python scripts/planar_stage_probe.py >>"$log" 2>&1
         bash scripts/record_tpu_run.sh "${prefix}_bench" \
             timeout 2400 python bench.py >>"$log" 2>&1
         echo "[watch $(date -u +%FT%TZ)] suite done" >>"$log"
