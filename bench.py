@@ -933,9 +933,13 @@ def main() -> int:
             # the complex tier the ladder is meant to give a chance)
             needs_prefill = True
         elif not caps.get("real"):
-            # dead tunnel: skip straight to one complex attempt (cheap
-            # re-check in a fresh session) then the fallback
-            attempts = [("best", 2), ("planar", 1)]
+            # dead tunnel: sessions cycle sick/healthy on ~10-minute
+            # scales (r05), so spread cheap fail-fast attempts across
+            # the remaining budget — a recovering session then still
+            # lands a real measurement (gate fails cost ~gate-timeout
+            # each); planar_best leads because this deployment has
+            # never passed the complex gate
+            attempts = [("best", 1), ("planar_best", 3), ("planar", 2)]
 
     def _prefill_mixture():
         # prefill the ground-truth file cache from a forced-CPU child:

@@ -18,5 +18,23 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches after each test module.
+
+    The full slow lane in one process accumulates hundreds of compiled
+    programs; at that load the XLA:CPU compiler segfaulted twice inside
+    ``backend_compile_and_load`` (r05, rc=139 near the lane's end) while
+    every module-level subset passes.  Bounding the in-process compiler
+    state removes the trigger; cross-module executable reuse is rare, so
+    the recompile cost is small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
