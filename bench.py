@@ -948,6 +948,8 @@ def main() -> int:
         specs = [
             {"block_size": 65536, "max_frames": 24, "scan": 1,
              "batched_blocks": 2},
+            {"block_size": 65536, "max_frames": 24, "scan": 1,
+             "batched_blocks": 4},
             {"block_size": 131072, "max_frames": 48, "scan": 1,
              "batched_blocks": 2},
             {"block_size": 32768, "max_frames": 16, "scan": 1,
