@@ -130,12 +130,77 @@ def main():
             return jnp.sum(jnp.abs(num))
         return jnp.sum(jax.vmap(one)(pd[:, :dd] + t, mod))
 
+    def chan_est(t, w):
+        s1f = jnp.asarray(params.s1_freq)
+        s0f = jnp.asarray(params.s0_freq)
+        order = np.argsort([k - M if k > M // 2 else k
+                            for k in sorted(set(params.data_idx.tolist()) |
+                                            set(params.pilot_idx.tolist()))])
+        act_sorted = np.array(sorted(set(params.data_idx.tolist()) |
+                                     set(params.pilot_idx.tolist())))[order]
+
+        def one(wr):
+            t1 = jnp.int32(2 * M + 3)
+            r1 = jax.lax.dynamic_slice(wr, (t1,), (M,))
+            R1 = jnp.fft.fft(r1) / jnp.sqrt(jnp.float32(M))
+            active = jnp.abs(s1f) > 1e-6
+            H = jnp.where(active, R1 * jnp.conj(s1f) /
+                          jnp.maximum(jnp.abs(s1f) ** 2, 1e-12), 1.0)
+            r0 = jax.lax.dynamic_slice(
+                wr, (jnp.maximum(t1 - 2 * M, 0),), (2 * M,))
+            R0 = (jnp.fft.fft(r0[:M]) + jnp.fft.fft(r0[M:])) / \
+                (2.0 * jnp.sqrt(jnp.float32(M)))
+            act0 = (jnp.abs(s0f) > 1e-6) & (t1 >= 2 * M)
+            H0 = R0 * jnp.conj(s0f) / jnp.maximum(jnp.abs(s0f) ** 2, 1e-12)
+            H = jnp.where(act0, (H + 2.0 * H0) / 3.0, H)
+            Ha = H[jnp.asarray(act_sorted)]
+            Hpad = jnp.concatenate([Ha[:1], Ha, Ha[-1:]])
+            Hs = 0.25 * Hpad[:-2] + 0.5 * Hpad[1:-1] + 0.25 * Hpad[2:]
+            H = H.at[jnp.asarray(act_sorted)].set(Hs)
+            return jnp.sum(jnp.abs(H))
+        return jnp.sum(jax.vmap(one)(w + t))
+
+    def eq_hdr(t, w):
+        n_hsym = ofdm_sync.header_symbol_count(params)
+
+        def one(wr):
+            hd = ofdm_sync._equalized_symbols(
+                sync, wr, jnp.int32(3 * M), jnp.ones((M,), jnp.complex64),
+                n_hsym, 0)
+            return jnp.sum(jnp.abs(hd))
+        return jnp.sum(jax.vmap(one)(w + t))
+
+    def dd_new(t, pd):
+        dd = min(64, sync.max_psym)
+
+        def one(sub, m):
+            tab = jnp.asarray(payload_codec._stacked_tables())[m]
+            dec, _ = payload_codec._nearest_point(sub.reshape(-1), tab)
+            dec = dec.reshape(sub.shape)
+            num = jnp.sum(sub * jnp.conj(dec), axis=0)
+            return jnp.sum(jnp.abs(num))
+        return jnp.sum(jax.vmap(one)(pd[:, :dd] + t, mod))
+
+    def decode_all(t, ext, c_at_):
+        outs = ofdm_sync._gated_decode(
+            sync, ext + t, jnp.bool_(True), locs, c_at_)
+        acc = 0.0
+        for o in outs:
+            acc = acc + jnp.sum(jnp.abs(o.astype(jnp.float32))
+                                if o.dtype != jnp.complex64
+                                else jnp.abs(o))
+        return acc
+
     stages = {
         "win_cfo": (win_cfo, (ext_p, c_at_p)),
         "win_mf": (win_mf, (w_p,)),
+        "chan_est": (chan_est, (w_p,)),
+        "eq_hdr": (eq_hdr, (w_p,)),
         "golay_hdr": (golay_hdr, (w_p,)),
         "eq_pay": (eq_pay, (w_p,)),
         "dd_tab": (dd_tab, (pd_p,)),
+        "dd_new": (dd_new, (pd_p,)),
+        "decode_all": (decode_all, (ext_p, c_at_p)),
     }
     only = os.environ.get("STAGES")
     if only:
