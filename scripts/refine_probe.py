@@ -191,6 +191,31 @@ def main():
                                 else jnp.abs(o))
         return acc
 
+    def decode_nocond(t, ext, c_at_):
+        """The same decode pipeline composed WITHOUT the lax.cond gate —
+        isolates the cond join's cost from the parts' inherent cost."""
+        exta = ext + t
+        win = jax.vmap(lambda n0: ofdm_sync._window_gather(
+            exta, n0, sync.overlap))(locs)
+        (user, points, plen, mod_, f0_, f1_, check_, hvalid_, rssi,
+         hevm_, cfo) = jax.vmap(
+            lambda w_, ca: ofdm_sync._decode_window(sync, w_, ca))(
+            win, c_at_)
+        payload, pvalid = payload_codec.decode_payload_batch(
+            sync.enc_max, sync.dec_max, sync.max_payload, points, mod_,
+            f0_, f1_, check_, plen, hvalid_, sync.fecs)
+        used = payload_codec.payload_points_used(
+            sync.fecs, sync.dec_max, sync.enc_max, plen, mod_, f0_, f1_,
+            check_)
+        evm = payload_codec.frame_evm_db(
+            hevm_, payload_codec.payload_evm_mse(points, mod_, used),
+            used)
+        acc = 0.0
+        for o in (user, payload, plen, mod_, f0_, f1_, check_, hvalid_,
+                  pvalid, rssi, evm, cfo):
+            acc = acc + jnp.sum(jnp.abs(o.astype(jnp.float32)))
+        return acc
+
     stages = {
         "win_cfo": (win_cfo, (ext_p, c_at_p)),
         "win_mf": (win_mf, (w_p,)),
@@ -201,6 +226,7 @@ def main():
         "dd_tab": (dd_tab, (pd_p,)),
         "dd_new": (dd_new, (pd_p,)),
         "decode_all": (decode_all, (ext_p, c_at_p)),
+        "decode_nocond": (decode_nocond, (ext_p, c_at_p)),
     }
     only = os.environ.get("STAGES")
     if only:
