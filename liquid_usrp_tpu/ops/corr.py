@@ -68,9 +68,22 @@ def sliding_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     O(window) per sample on TPU (measured 1.42 ms for a 97-wide window
     over a 65k block — the whole detect stage's dominant term; an
     arange-indexed gather variant was worse, 557 MB of HBM, the usual
-    TPU gather pathology).  Exactly equal to reduce_window: max is
-    insensitive to association order.
+    TPU gather pathology).  On XLA:CPU the preference INVERTS
+    (reduce_window vectorizes well there; the composed noise-path step
+    measured 3.22 vs 4.66 ms/32k block), so the form is picked by
+    backend at trace time — both produce bit-identical outputs (max is
+    insensitive to association order), proven in
+    tests/test_tpu_lowering_forms.py.
     """
+    import jax
+    from jax import lax
+    if jax.default_backend() == "cpu":
+        return lax.reduce_window(x, -jnp.inf, lax.max,
+                                 (2 * radius + 1,), (1,), "SAME")
+    return _sliding_max_vanherk(x, radius)
+
+
+def _sliding_max_vanherk(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     from jax import lax
     W = 2 * radius + 1
     n = x.shape[0]

@@ -13,18 +13,23 @@ import pytest
 
 from liquid_usrp_tpu.framing import payload as payload_codec
 from liquid_usrp_tpu.ops import modem as modem_mod
-from liquid_usrp_tpu.ops.corr import sliding_max
+from liquid_usrp_tpu.ops.corr import _sliding_max_vanherk, sliding_max
 
 
 @pytest.mark.parametrize("n,radius", [(5, 1), (97, 48), (1000, 3),
                                       (4096, 96), (65633, 48)])
 def test_sliding_max_equals_reduce_window(n, radius):
+    """Both dispatch targets must match reduce_window exactly (the CPU
+    lane's sliding_max IS reduce_window, so the van Herk core — the TPU
+    form — is asserted explicitly)."""
     rng = np.random.default_rng(n + radius)
     x = jnp.asarray(rng.standard_normal(n), jnp.float32)
     want = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                  (2 * radius + 1,), (1,), "SAME")
-    got = sliding_max(x, radius)
-    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    np.testing.assert_array_equal(np.asarray(want),
+                                  np.asarray(sliding_max(x, radius)))
+    np.testing.assert_array_equal(
+        np.asarray(want), np.asarray(_sliding_max_vanherk(x, radius)))
 
 
 @pytest.mark.parametrize("scheme", [1, 2, 9, 17, 24, 40])  # bps 1,2,4,6...
